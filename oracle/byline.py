@@ -1,0 +1,126 @@
+"""Author/byline extraction (MR-X8) — normative spec SURVEY.md A.4.
+
+Candidate nodes (a node may hit several sources; bonuses accumulate):
+  * class/id matches AUTHOR_CLASSID (substring, ci)            +2
+  * ``rel`` attribute contains token ``author``                +2
+  * hCard: class token ``fn`` under an ancestor with ``vcard`` +2
+  * rendered text starts ``by\\b`` (ci)                        +1
+    — bare by-prefix candidacy is only evaluated on elements whose raw
+      collected text is ≤ 400 chars and whose normalized text is ≤ 150 chars
+      (pinned; whole-article containers are not bylines).
+Additional score terms:
+  * ≥2 capitalized words in the normalized text                +1
+  * each DISTINCT stop substring (comment/posted in/filed/tags/share/
+    updated/min read) present in the lowercased text           −2 per hit
+  * within 3 undirected DOM hops of the headline winner        +1
+
+Winner: max score, ties → document order; must score ≥ 1.0 else authors = [].
+Cleanup (pinned order): strip leading ``by``; split on ``,`` / word ``and`` /
+``&`` / ``|``; normalize each part; drop empties; drop parts that are a role
+word only (editor/correspondent/reporter/staff, compared lowercased with
+``.,;:`` trimmed); preserve document order; dedupe case-sensitively (first
+occurrence kept).
+"""
+
+from __future__ import annotations
+
+from oracle import signals
+from oracle.dom import Node, dom_distance
+from oracle.textnorm import norm_ws, render_text
+
+_BY_TEXT_RAW_MAX = 400
+
+
+def _raw_lengths(root: Node) -> dict[int, int]:
+    """One bottom-up pass: id(node) → raw collected text length."""
+    out: dict[int, int] = {}
+
+    def walk(n: Node) -> int:
+        total = 0
+        for ch in n.children:
+            if isinstance(ch, str):
+                total += len(ch)
+            else:
+                total += walk(ch)
+        out[id(n)] = total
+        return total
+
+    walk(root)
+    return out
+
+
+def _role_word_only(part: str) -> bool:
+    return part.strip(".,;:").lower() in signals.ROLE_WORDS
+
+
+def split_authors(winner_text: str) -> list[str]:
+    """Winner-text → canonical author list (the A.4 cleanup, standalone for tests)."""
+    t = signals.BY_STRIP.sub("", winner_text)
+    parts = signals.AUTHOR_SPLIT.split(t)
+    seen: set[str] = set()
+    authors: list[str] = []
+    for p in parts:
+        p = norm_ws(p)
+        if not p or _role_word_only(p):
+            continue
+        if p not in seen:
+            seen.add(p)
+            authors.append(p)
+    return authors
+
+
+def extract_authors(root: Node, headline_node: Node | None) -> list[str]:
+    raw_len = _raw_lengths(root)
+
+    best_score = None
+    best_text = ""
+
+    for n in root.iter():
+        classid = n.class_id
+        classid_hit = bool(classid) and signals.AUTHOR_CLASSID.search(classid) is not None
+        rel_hit = "author" in n.get("rel").split()
+        hcard_hit = "fn" in n.classes and any("vcard" in a.classes for a in n.ancestors())
+
+        text: str | None = None
+        by_hit = False
+        if classid_hit or rel_hit or hcard_hit:
+            text = render_text(n)
+            if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:
+                by_hit = signals.BY_PREFIX.match(text) is not None
+        elif 0 < raw_len[id(n)] <= _BY_TEXT_RAW_MAX:
+            text = render_text(n)
+            if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:
+                by_hit = signals.BY_PREFIX.match(text) is not None
+            if not by_hit:
+                continue
+        else:
+            continue
+        if not text:
+            continue
+
+        score = 0.0
+        if classid_hit:
+            score += signals.AUTHOR_CLASSID_BONUS
+        if rel_hit:
+            score += signals.AUTHOR_REL_BONUS
+        if hcard_hit:
+            score += signals.AUTHOR_HCARD_BONUS
+        if by_hit:
+            score += signals.AUTHOR_BY_PREFIX_BONUS
+        if len(signals.CAP_WORD.findall(text)) >= 2:
+            score += signals.AUTHOR_CAPWORDS_BONUS
+        low = text.lower()
+        score -= signals.AUTHOR_STOPWORD_PENALTY * sum(
+            1 for s in signals.AUTHOR_STOP_SUBSTRINGS if s in low
+        )
+        if headline_node is not None:
+            if dom_distance(n, headline_node, signals.AUTHOR_PROXIMITY_HOPS + 1) <= signals.AUTHOR_PROXIMITY_HOPS:
+                score += signals.AUTHOR_PROXIMITY_BONUS
+
+        if best_score is None or score > best_score:
+            best_score = score
+            best_text = text
+
+    if best_score is None or best_score < signals.AUTHOR_MIN_SCORE:
+        return []
+    return split_authors(best_text)

@@ -1,0 +1,42 @@
+"""Shared fixtures. Ray is initialised ONCE per pytest session (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def fixture_pages(tmp_path_factory):
+    """Deterministic fixture corpus (pages + expected), generated once."""
+    from fixtures.gen import generate
+
+    out = tmp_path_factory.mktemp("fixture_corpus")
+    paths = generate(str(out), n_rows=400, seed=42)
+    return paths
