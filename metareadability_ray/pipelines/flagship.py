@@ -1,0 +1,222 @@
+"""Flagship batch-extraction pipeline (SURVEY.md §3.2(b)) — Ray-Data-first.
+
+Plan (stage → Ray Data mapping)::
+
+    read_parquet(pages, columns=[url, warc_ts, html])   # MR-S1: prune at read
+      → map_batches(assign_partition)                   # MR-P4: crc32(url) % P
+      → [resume] map_batches(drop done partitions)      # MR-D3: manifest anti-filter
+      → groupby(partition_id).map_groups(dedup)         # MR-D1: THE url-hash shuffle
+      → map_batches(ExtractActor, pyarrow, zero-copy)   # MR-X0: stateful actor pool
+      → groupby(partition_id).map_groups(write)         # MR-S2/S3: sort-by-url,
+                                                        #   atomic part file + manifest
+      → sidecar rebuild (lineage/metrics parquet)
+
+Scale notes (10^12-doc design, tested single-node):
+  * The only shuffle that moves ``html`` payload bytes is the url-hash
+    groupby; everything downstream of extraction is url+3 short strings.
+  * Dedup and final write reuse the SAME key (partition_id = crc32(url)%P),
+    so the second groupby shuffles only the small extracted rows.
+  * Partition count P is the checkpoint/resume granularity AND the output
+    file layout; choose P ≈ total-input-bytes / 512 MiB on a real cluster.
+  * On a multi-node cluster ``out_dir`` must be shared storage (object store
+    / NFS); every stage writes only its own partition file, atomically.
+  * Streaming executor end to end — nothing materializes the full dataset;
+    the driver only ever holds P manifest rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from metareadability_ray import __version__ as ENGINE_VERSION
+from metareadability_ray.stages.extract_stage import ExtractActor
+from metareadability_ray.stages.partitioning import assign_partition, dedup_partition
+from metareadability_ray.state import manifest as mf
+
+
+def _drop_done(batch: pa.Table, done_pids: frozenset[int]) -> pa.Table:
+    if not done_pids:
+        return batch
+    mask = [pid not in done_pids for pid in batch.column("partition_id").to_pylist()]
+    return batch.filter(pa.array(mask, pa.bool_()))
+
+
+def _make_write_partition(out_dir: str, input_files: list[str]):
+    def write_partition(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = int(group.column("partition_id")[0].as_py())
+
+        g = group.take(pc.sort_indices(group, sort_keys=[("url", "ascending")]))
+        out = g.select(["url", "headline", "pubdate", "authors"])
+
+        # attempt tracking: a start marker survives a mid-write crash
+        os.makedirs(os.path.join(out_dir, mf.MANIFEST_DIR), exist_ok=True)
+        start_marker = mf.manifest_file(out_dir, pid) + ".start"
+        attempt = 1
+        if os.path.exists(start_marker):
+            try:
+                with open(start_marker) as f:
+                    attempt = int(f.read().strip() or "0") + 1
+            except ValueError:
+                attempt = 1
+        with open(start_marker, "w") as f:
+            f.write(str(attempt))
+
+        # atomic data write: tmp + rename, then manifest
+        path = mf.partition_file(out_dir, pid)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        import pyarrow.parquet as pq
+
+        pq.write_table(out, tmp)
+        with open(tmp, "rb") as f:
+            content_hash = hashlib.md5(f.read()).hexdigest()
+        os.replace(tmp, path)
+
+        n = out.num_rows
+        urls = out.column("url")
+
+        def _count_nonempty(col: str) -> int:
+            return int(pc.sum(pc.cast(pc.not_equal(g.column(col), ""), pa.int64())).as_py() or 0)
+
+        row = {
+            "partition_id": pid,
+            "status": "done",
+            "output_file": path,
+            "content_hash": content_hash,
+            "attempt": attempt,
+            "input_files": input_files,
+            "row_count": n,
+            "first_url": urls[0].as_py() if n else "",
+            "last_url": urls[n - 1].as_py() if n else "",
+            "n_headline": _count_nonempty("headline"),
+            "n_pubdate": _count_nonempty("pubdate"),
+            "n_authors": int(pc.sum(pc.cast(pc.greater(pc.list_value_length(g.column("authors")), 0), pa.int64())).as_py() or 0),
+            "n_parse_err": int(pc.sum(g.column("parse_err")).as_py() or 0),
+            "n_enc_fallback": int(pc.sum(g.column("enc_fallback")).as_py() or 0),
+            "n_oversize": int(pc.sum(g.column("oversize")).as_py() or 0),
+            "bytes_in": int(pc.sum(g.column("bytes_in")).as_py() or 0),
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        mf.write_manifest_row(out_dir, row)
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int32()),
+                "row_count": pa.array([n], pa.int64()),
+                "attempt": pa.array([attempt], pa.int32()),
+                "output_file": pa.array([path], pa.string()),
+            }
+        )
+
+    return write_partition
+
+
+def build_extraction_dataset(
+    inputs: list[str] | str,
+    num_partitions: int = 64,
+    concurrency=None,
+    batch_size: int = 128,
+    done_pids: frozenset[int] = frozenset(),
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """The lazy read→partition→dedup→extract chain (no write), for reuse by
+    the flagship writer, ``entry()`` and the bench."""
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.available_resources().get("CPU", 8)) - 1)
+    ds = ray.data.read_parquet(
+        inputs,
+        columns=["url", "warc_ts", "html"],
+        override_num_blocks=override_num_blocks,
+    )
+    ds = ds.map_batches(
+        assign_partition,
+        fn_kwargs={"num_partitions": num_partitions},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if done_pids:
+        ds = ds.map_batches(
+            _drop_done,
+            fn_kwargs={"done_pids": done_pids},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ds = ds.groupby("partition_id").map_groups(dedup_partition, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExtractActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return ds
+
+
+def run_extraction(
+    inputs: list[str] | str,
+    out_dir: str,
+    num_partitions: int = 64,
+    concurrency=None,
+    batch_size: int = 128,
+    resume: bool = True,
+) -> dict:
+    """Run the flagship pipeline end-to-end; returns a run summary dict."""
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    os.makedirs(out_dir, exist_ok=True)
+
+    done = mf.read_done(out_dir) if resume else {}
+    if resume and len(done) >= num_partitions:
+        # every possible partition id is already manifested — nothing to run
+        from oracle import SIGNALS_VERSION
+
+        mf.rebuild_sidecars(out_dir, {"signals": SIGNALS_VERSION, "engine": ENGINE_VERSION})
+        return {
+            "out_dir": out_dir,
+            "partitions_run": 0,
+            "partitions_skipped": len(done),
+            "rows_written": 0,
+            "data_dir": os.path.join(out_dir, mf.DATA_DIR),
+        }
+    if not resume:
+        import shutil
+
+        for sub in (mf.MANIFEST_DIR, mf.DATA_DIR):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+
+    ds = build_extraction_dataset(
+        inputs,
+        num_partitions=num_partitions,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        done_pids=frozenset(done),
+    )
+    writer = _make_write_partition(out_dir, [os.path.abspath(p) for p in inputs])
+    manifest_ds = ds.groupby("partition_id").map_groups(writer, batch_format="pyarrow")
+    ran = manifest_ds.take_all()  # tiny: one row per partition run
+
+    from oracle import SIGNALS_VERSION
+
+    mf.rebuild_sidecars(out_dir, {"signals": SIGNALS_VERSION, "engine": ENGINE_VERSION})
+    rows_written = sum(r["row_count"] for r in ran)
+    return {
+        "out_dir": out_dir,
+        "partitions_run": len(ran),
+        "partitions_skipped": len(done),
+        "rows_written": rows_written,
+        "data_dir": os.path.join(out_dir, mf.DATA_DIR),
+    }
+
+
+def read_extracted(out_dir: str) -> "ray.data.Dataset":
+    """Read the deterministic extraction output back as a Dataset."""
+    return ray.data.read_parquet(os.path.join(out_dir, mf.DATA_DIR))

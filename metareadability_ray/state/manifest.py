@@ -1,0 +1,104 @@
+"""Per-partition checkpoint manifest + lineage/metrics sidecars (MR-S3, §4.4).
+
+Layout under the output directory::
+
+    out/
+      extracted/part-00017.parquet     # one file per partition, rows sorted by url
+      _manifest/part-00017.json        # written ATOMICALLY after its data file
+      lineage.parquet                  # rebuilt from _manifest/ at end of run
+      metrics.parquet
+
+A partition is "done" iff its manifest JSON exists and parses. Resume =
+read done-set → drop those partitions from the input at the scan (before any
+shuffle) → run the remainder → rebuild sidecars. Data files are written to a
+temp name and renamed, and the manifest is written only after the rename, so
+a killed run can never leave a done-marked partition with bad data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_DIR = "_manifest"
+DATA_DIR = "extracted"
+
+
+def partition_file(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, DATA_DIR, f"part-{pid:05d}.parquet")
+
+
+def manifest_file(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"part-{pid:05d}.json")
+
+
+def read_done(out_dir: str) -> dict[int, dict]:
+    """pid → manifest row for every completed partition."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    done: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return done
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                row = json.load(f)
+            done[int(row["partition_id"])] = row
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue  # torn manifest → partition not done
+    return done
+
+
+def write_manifest_row(out_dir: str, row: dict) -> None:
+    """Atomic (tmp+rename) manifest write; marks the partition done."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    path = manifest_file(out_dir, int(row["partition_id"]))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(row, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def rebuild_sidecars(out_dir: str, stage_versions: dict[str, str]) -> None:
+    """Rebuild lineage.parquet + metrics.parquet from the manifest dir (§1.2)."""
+    rows = sorted(read_done(out_dir).values(), key=lambda r: r["partition_id"])
+    if not rows:
+        return
+    lineage = pa.table(
+        {
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
+            "input_files": pa.array([r.get("input_files", []) for r in rows], pa.list_(pa.string())),
+            "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
+            "first_url": pa.array([r.get("first_url", "") for r in rows], pa.string()),
+            "last_url": pa.array([r.get("last_url", "") for r in rows], pa.string()),
+            "stage_versions": pa.array(
+                [list(stage_versions.items())] * len(rows),
+                pa.map_(pa.string(), pa.string()),
+            ),
+            "wall_ms": pa.array([r.get("wall_ms", 0) for r in rows], pa.int64()),
+            "attempt": pa.array([r.get("attempt", 1) for r in rows], pa.int32()),
+            "content_hash": pa.array([r.get("content_hash", "") for r in rows], pa.string()),
+        }
+    )
+    metrics = pa.table(
+        {
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
+            "n_docs": pa.array([r["row_count"] for r in rows], pa.int64()),
+            "n_headline": pa.array([r.get("n_headline", 0) for r in rows], pa.int64()),
+            "n_pubdate": pa.array([r.get("n_pubdate", 0) for r in rows], pa.int64()),
+            "n_authors": pa.array([r.get("n_authors", 0) for r in rows], pa.int64()),
+            "n_parse_err": pa.array([r.get("n_parse_err", 0) for r in rows], pa.int64()),
+            "n_enc_fallback": pa.array([r.get("n_enc_fallback", 0) for r in rows], pa.int64()),
+            "n_oversize": pa.array([r.get("n_oversize", 0) for r in rows], pa.int64()),
+            "bytes_in": pa.array([r.get("bytes_in", 0) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(lineage, os.path.join(out_dir, "lineage.parquet"))
+    pq.write_table(metrics, os.path.join(out_dir, "metrics.parquet"))
