@@ -118,25 +118,18 @@ def _make_write_partition(out_dir: str, input_files: list[str]):
     return write_partition
 
 
-def build_extraction_dataset(
-    inputs: list[str] | str,
+def extraction_chain(
+    ds: "ray.data.Dataset",
     num_partitions: int = 64,
     concurrency=None,
     batch_size: int = 128,
     done_pids: frozenset[int] = frozenset(),
-    override_num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
-    """The lazy read→partition→dedup→extract chain (no write), for reuse by
-    the flagship writer, ``entry()`` and the bench."""
+    """partition→dedup→extract over an existing `pages` Dataset (lazy)."""
     if concurrency is None:
         import ray
 
         concurrency = max(2, int(ray.available_resources().get("CPU", 8)) - 1)
-    ds = ray.data.read_parquet(
-        inputs,
-        columns=["url", "warc_ts", "html"],
-        override_num_blocks=override_num_blocks,
-    )
     ds = ds.map_batches(
         assign_partition,
         fn_kwargs={"num_partitions": num_partitions},
@@ -159,6 +152,29 @@ def build_extraction_dataset(
         concurrency=concurrency,
     )
     return ds
+
+
+def build_extraction_dataset(
+    inputs: list[str] | str,
+    num_partitions: int = 64,
+    concurrency=None,
+    batch_size: int = 128,
+    done_pids: frozenset[int] = frozenset(),
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """read_parquet(pages) → :func:`extraction_chain` (lazy, no write)."""
+    ds = ray.data.read_parquet(
+        inputs,
+        columns=["url", "warc_ts", "html"],
+        override_num_blocks=override_num_blocks,
+    )
+    return extraction_chain(
+        ds,
+        num_partitions=num_partitions,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        done_pids=done_pids,
+    )
 
 
 def run_extraction(

@@ -1,0 +1,281 @@
+"""Relational QA surface over the driver testdata (SURVEY.md §2.4–2.8).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``
+(or a small ``pyarrow.Table``); its DuckDB-equivalent SQL lives in
+``metareadability_ray.qa.REGISTRY``. Column names are pinned to match the SQL
+aliases exactly (the driver's compare hashes values after sorting columns by
+name).
+
+Scale discipline (these run at sf0.01 for the gate but are written for 100 TB):
+  * every read prunes columns at the scan (``read_parquet(columns=[...])``);
+  * groupbys aggregate with Ray's partial+final ``AggregateFn``s (no
+    driver-side loops);
+  * small-side joins are BROADCAST: the small table is read once on the
+    driver, shipped via ``ray.put`` once, and looked up inside ``map_batches``
+    — no shuffle of the big side;
+  * big-big joins use ``Dataset.join`` (hash shuffle on the key);
+  * floats that cross the oracle boundary are rounded (2–4 dp) identically on
+    both sides so double-accumulation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _fmt_cols(ds: "ray.data.Dataset", spec: dict[str, int]) -> "ray.data.Dataset":
+    """Render double columns as fixed-decimal STRINGS (`printf('%.Nf')` on the
+    SQL side): double sums accumulate in engine-specific order, so two
+    correctly-rounded doubles can differ by one ulp — a decimal string at
+    ≤4 dp is identical on both sides for anything not astronomically close
+    to a rounding boundary."""
+
+    def do(batch: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            i = batch.column_names.index(col)
+            vals = [None if v is None else f"{v:.{nd}f}" for v in batch.column(col).to_pylist()]
+            batch = batch.set_column(i, col, pa.array(vals, pa.string()))
+        return batch
+
+    return ds.map_batches(do, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- MR-F1/MR-P1
+def q_filter_project(sf_dir: str) -> "ray.data.Dataset":
+    """Arrow-native filter + projection, pruned at the read."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_quantity", "l_discount"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(batch.column("l_quantity"), 45.0),
+            pc.less(batch.column("l_discount"), 0.05),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------- MR-G1/G2
+def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style grouped aggregate (partial+final combine under the hood)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    return _fmt_cols(agg, {"sum_qty": 2, "sum_base_price": 2, "avg_disc": 4})
+
+
+# ---------------------------------------------------------------------- MR-J3
+def q_join_customer_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Hash equi-join (Dataset.join) + grouped rollup: revenue by segment."""
+    cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"),
+    )
+    return _fmt_cols(agg, {"revenue": 2})
+
+
+def q_three_way_join(sf_dir: str) -> "ray.data.Dataset":
+    """customer ⋈ nation (broadcast) ⋈ orders (hash) → revenue per nation."""
+    import pyarrow.parquet as pq
+
+    n_tbl = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    n_map_ref = ray.put(dict(zip(n_tbl.column("n_nationkey").to_pylist(), n_tbl.column("n_name").to_pylist())))
+
+    cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+
+    def add_nation(batch: pa.Table, n_map_ref=n_map_ref) -> pa.Table:
+        n_map = ray.get(n_map_ref) if isinstance(n_map_ref, ray.ObjectRef) else n_map_ref
+        names = [n_map.get(k, "") for k in batch.column("c_nationkey").to_pylist()]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    cust = cust.map_batches(add_nation, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    agg = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"),
+    )
+    return _fmt_cols(agg, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------- MR-J2
+def q_broadcast_join_part(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast-hash-join idiom: small `part` side via ray.put, no shuffle of
+    lineitem; then grouped rollup by brand."""
+    import pyarrow.parquet as pq
+
+    small = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    brand_ref = ray.put(dict(zip(small.column("p_partkey").to_pylist(), small.column("p_brand").to_pylist())))
+
+    li = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+
+    def add_brand(batch: pa.Table) -> pa.Table:
+        brands = ray.get(brand_ref) if isinstance(brand_ref, ray.ObjectRef) else brand_ref
+        vals = [brands.get(k) for k in batch.column("l_partkey").to_pylist()]
+        return batch.append_column("p_brand", pa.array(vals, pa.string()))
+
+    with_brand = li.map_batches(add_brand, batch_format="pyarrow", zero_copy_batch=True)
+    agg = with_brand.groupby("p_brand").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_items"),
+    )
+    return _fmt_cols(agg, {"sum_qty": 2})
+
+
+def q_semi_join_customers(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-join via broadcast key-set: customers that have ≥1 order."""
+    import pyarrow.parquet as pq
+
+    keys = frozenset(
+        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"]).column("o_custkey").to_pylist()
+    )
+    keys_ref = ray.put(keys)
+    cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        mask = pa.array([k in ks for k in batch.column("c_custkey").to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return cust.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_anti_join_customers(sf_dir: str) -> "ray.data.Dataset":
+    """Anti-join via broadcast key-set: customers with NO 'F'-status order."""
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+    keys = frozenset(
+        ot.filter(pc.equal(ot.column("o_orderstatus"), "F")).column("o_custkey").to_pylist()
+    )
+    keys_ref = ray.put(keys)
+    cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        mask = pa.array([k not in ks for k in batch.column("c_custkey").to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------- MR-G3
+def q_distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
+    """SELECT DISTINCT via groupby (distributed, no driver materialize)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="__n")).drop_columns(["__n"])
+
+
+# ---------------------------------------------------------------------- MR-O2
+def q_topk_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Top-k by distributed sort + limit (tie-broken on key for determinism)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# --------------------------------------------------------- MR-D1 (relational)
+def q_latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup, latest-wins: one row per user_id (max ts, tie → max id)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def latest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        )
+        return group.take(idx[:1])
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(latest, batch_format="pyarrow")
+        .drop_columns(["ts"])
+    )
+
+
+# ---------------------------------------------------------------------- MR-D2
+def q_union_priority(sf_dir: str) -> "ray.data.Dataset":
+    """Union of two filtered slices, then grouped count."""
+    base = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderpriority", "o_orderstatus"])
+
+    def mk(status: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("o_orderstatus"), status))
+
+        return f
+
+    a = base.map_batches(mk("F"), batch_format="pyarrow", zero_copy_batch=True)
+    b = base.map_batches(mk("O"), batch_format="pyarrow", zero_copy_batch=True)
+    return a.union(b).groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="n")
+    )
+
+
+# ------------------------------------------------------------- json / window
+def q_json_props_sum(sf_dir: str) -> "ray.data.Dataset":
+    """JSON field extraction (vectorized regex, no Python json loop) + rollup."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": k})
+
+    return (
+        ds.map_batches(extract_k, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+def q_hourly_event_window(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling event-time window: truncate ts to the hour, then rollup —
+    the windowed-aggregate pattern (window key = groupby key)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "hour": hour,
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return _fmt_cols(agg, {"sum_value": 2})

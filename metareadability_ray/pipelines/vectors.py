@@ -1,0 +1,215 @@
+"""Similarity search / embedding operators over the `embeddings` table.
+
+Brute-force cosine top-k (broadcast query matrix + per-batch numpy matmul) as
+the baseline; an LSH-bucketed (random-hyperplane) variant as the 100 TB scale
+path; embedding near-dup pairs; per-label rollups.
+
+Float discipline: all similarity math is float64 on BOTH the Ray side and the
+DuckDB oracle (list_cosine_similarity computes in double); values that cross
+the oracle boundary are rounded to 4 dp.
+
+Scale notes: the query matrix is broadcast once via ``ray.put`` (never
+re-shipped per batch); each batch contributes only its local top-k, so the
+final exact top-k reduction sees k×num_queries rows per block — the full
+score matrix never materialises.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+_ROUND = {"round_mode": "half_towards_infinity"}
+
+
+def _p(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    """(n, d) float64 matrix from the list<float> column (one copy)."""
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def knn_bruteforce(
+    sf_dir: str, num_queries: int = 5, k: int = 10
+) -> "ray.data.Dataset":
+    """Exact cosine top-k: queries = vec_id < num_queries (broadcast), then
+    per-batch matmul → per-batch local top-k → exact global top-k per query."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"])
+    qmask = pc.less(qt.column("vec_id"), num_queries)
+    qt = qt.filter(qmask)
+    q_ids = qt.column("vec_id").to_pylist()
+    Q = _emb_matrix(qt)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Q))
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids_l, Qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        M = _emb_matrix(batch)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qm @ M.T  # (nq, nb)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids_l):
+            scores = S[qi]
+            valid = ids != qid
+            vi = np.nonzero(valid)[0]
+            if len(vi) == 0:
+                continue
+            kk = min(k, len(vi))
+            # top-k by (score desc, vec_id asc) — lexsort for determinism
+            order = vi[np.lexsort((ids[vi], -scores[vi]))][:kk]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_s.extend(scores[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("score_raw", "descending"), ("neighbor_id", "ascending")]
+        )
+        top = group.take(idx[:k])
+        # fixed-decimal string: ulp-robust vs the DuckDB oracle (see relational._fmt_cols)
+        score = pa.array([f"{v:.4f}" for v in top.column("score_raw").to_pylist()], pa.string())
+        return pa.table(
+            {
+                "query_id": top.column("query_id"),
+                "neighbor_id": top.column("neighbor_id"),
+                "score": score,
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pyarrow")
+    )
+
+
+def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
+    return knn_bruteforce(sf_dir, num_queries=5, k=10)
+
+
+def neardup_cosine_pairs(sf_dir: str, threshold: float = 0.45) -> "ray.data.Dataset":
+    """Embedding near-dup: all pairs with cosine ≥ threshold.
+
+    Small-side broadcast of the full normalized matrix (OK while it fits the
+    object store — at 100 TB you LSH-bucket first, see
+    :func:`lsh_bucket_stats`); each batch scores its rows against the
+    broadcast matrix and emits only pairs (a < b) above threshold."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"])
+    ids_all = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    M = _emb_matrix(t)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    m_ref = ray.put((ids_all, M))
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, Ma = ray.get(m_ref) if isinstance(m_ref, ray.ObjectRef) else m_ref
+        ids_b = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        B = _emb_matrix(batch)
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = B @ Ma.T  # (nb, nall)
+        bi, ai = np.nonzero(S >= threshold)
+        keep = ids_b[bi] < ids_a[ai]  # a<b and drops self-pairs
+        bi, ai = bi[keep], ai[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids_b[bi].tolist(), pa.int64()),
+                "vec_b": pa.array(ids_a[ai].tolist(), pa.int64()),
+                "score": pa.array([f"{v:.4f}" for v in S[bi, ai]], pa.string()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_neardup_cosine(sf_dir: str) -> "ray.data.Dataset":
+    return neardup_cosine_pairs(sf_dir, threshold=0.45)
+
+
+class HyperplaneLSH:
+    """Actor-pool stage: random-hyperplane LSH bucketing (the ANN scale path).
+
+    Hyperplanes drawn once per actor from a fixed seed → identical across
+    actors/retries. Bucket = sign-bit string of the projections."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.H = rng.standard_normal((n_planes, dim))
+        self.pw = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        bits = (M @ self.H.T) > 0  # (n, planes)
+        bucket = (bits.astype(np.int64) * self.pw).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "label": batch.column("label"),
+                "bucket": pa.array(bucket.tolist(), pa.int64()),
+            }
+        )
+
+
+def q_lsh_bucket_stats(sf_dir: str) -> "ray.data.Dataset":
+    """LSH-bucketed ANN scaffold: bucket sizes (deterministic, rows-only check)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding", "label"])
+    return (
+        ds.map_batches(HyperplaneLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_vectors"))
+    )
+
+
+def q_label_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label rollup: count + mean squared-norm (rounded, hash-stable)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["label", "embedding"])
+
+    def add_norm(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "norm_sq": pa.array((M * M).sum(axis=1).tolist(), pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vectors"), Sum("norm_sq", alias_name="sum_norm_sq"))
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_norm_sq")
+        vals = [f"{v:.2f}" for v in batch.column("sum_norm_sq").to_pylist()]
+        return batch.set_column(i, "sum_norm_sq", pa.array(vals, pa.string()))
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)

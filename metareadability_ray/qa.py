@@ -1,0 +1,317 @@
+"""QA registry: every SURVEY.md §2 operator exposed as a named query with
+(ray_fn, oracle_sql). Consumed by ``__ray_entry__.py`` and the local
+verification harness (scripts/verify_queries.py).
+
+oracle_sql is ANSI SQL DuckDB runs over the driver's pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings). ``sql=None`` → non-SQL-expressible op (driver does rows-only).
+
+Float policy (why every ROUND appears in pairs): any double that crosses the
+compare boundary is rounded identically on both sides; thresholds on floats
+are avoided in favour of integer cross-multiplication where exactness
+matters (see ngram_jaccard_pairs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from metareadability_ray.pipelines import relational as R
+from metareadability_ray.pipelines import textops as T
+from metareadability_ray.pipelines import vectors as V
+
+
+@dataclass(frozen=True)
+class QASpec:
+    fn: Callable
+    sql: Optional[str]
+    spec_id: str  # MR-* operator id(s) from SURVEY.md §2
+
+
+REGISTRY: dict[str, QASpec] = {
+    # ---------------------------------------------------------- relational
+    "filter_project": QASpec(
+        R.q_filter_project,
+        """
+        SELECT l_orderkey, l_partkey, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        """,
+        "MR-F1,MR-P1",
+    ),
+    "pricing_summary": QASpec(
+        R.q_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               printf('%.2f', sum(l_quantity))      AS sum_qty,
+               printf('%.2f', sum(l_extendedprice)) AS sum_base_price,
+               printf('%.4f', avg(l_discount))      AS avg_disc,
+               count(*)                       AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "MR-G1,MR-G2",
+    ),
+    "join_customer_orders": QASpec(
+        R.q_join_customer_orders,
+        """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               printf('%.2f', sum(o_totalprice)) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """,
+        "MR-J3",
+    ),
+    "three_way_join": QASpec(
+        R.q_three_way_join,
+        """
+        SELECT n_name, count(*) AS n_orders,
+               printf('%.2f', sum(o_totalprice)) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        "MR-J3,MR-J2",
+    ),
+    "broadcast_join_part": QASpec(
+        R.q_broadcast_join_part,
+        """
+        SELECT p_brand, printf('%.2f', sum(l_quantity)) AS sum_qty, count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        """,
+        "MR-J2",
+    ),
+    "semi_join_customers": QASpec(
+        R.q_semi_join_customers,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "MR-J2(semi)",
+    ),
+    "anti_join_customers": QASpec(
+        R.q_anti_join_customers,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "MR-J2(anti),MR-D3",
+    ),
+    "distinct_event_types": QASpec(
+        R.q_distinct_event_types,
+        "SELECT DISTINCT event_type FROM events",
+        "MR-G3",
+    ),
+    "topk_orders": QASpec(
+        R.q_topk_orders,
+        """
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "MR-O1,MR-O2",
+    ),
+    "latest_event_per_user": QASpec(
+        R.q_latest_event_per_user,
+        """
+        SELECT user_id, event_id, event_type FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "MR-D1",
+    ),
+    "union_priority": QASpec(
+        R.q_union_priority,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM (
+            SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        ) GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "MR-D2",
+    ),
+    "json_props_sum": QASpec(
+        R.q_json_props_sum,
+        """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+        """,
+        "MR-X json_get",
+    ),
+    "hourly_event_window": QASpec(
+        R.q_hourly_event_window,
+        """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, printf('%.2f', sum(value)) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        "windowed-aggregate",
+    ),
+    # ------------------------------------------------------------- textops
+    "token_stats": QASpec(
+        T.q_token_stats,
+        r"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+        """,
+        "token-counting",
+    ),
+    "quality_score": QASpec(
+        T.q_quality_score,
+        r"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_extract_all(text, '\b(the|a|and|of|to|in)\b')) AS BIGINT) AS n_stopwords,
+               CAST(CASE WHEN length(regexp_extract_all(text, '\S+')) >= 10
+                          AND n_chars >= 50
+                          AND 2 * length(regexp_extract_all(text, '[A-Za-z]')) >= n_chars
+                    THEN 1 ELSE 0 END AS INT) AS quality_ok
+        FROM documents
+        """,
+        "quality-scoring",
+    ),
+    "langid": QASpec(
+        T.q_langid,
+        r"""
+        WITH s AS (
+            SELECT length(regexp_extract_all(text, '\b(the|and|of|to|a)\b'))    AS s_en,
+                   length(regexp_extract_all(text, '\b(el|la|de|que|los)\b'))   AS s_es,
+                   length(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
+                   length(regexp_extract_all(text, '\b(le|les|des|et|une)\b'))  AS s_fr,
+                   length(regexp_extract_all(text, '[一-鿿]'))                   AS s_zh
+            FROM documents
+        ), p AS (
+            SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                        WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                        WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+                        WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+                        WHEN s_fr >= s_zh THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        )
+        SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
+        """,
+        "language-ID",
+    ),
+    "doc_fingerprint": QASpec(
+        T.q_doc_fingerprint,
+        r"""
+        SELECT doc_id, md5(text) AS fingerprint,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+        "fingerprinting",
+    ),
+    "exact_dedup": QASpec(
+        T.q_exact_dedup,
+        """
+        SELECT md5(text) AS text_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+        "MR-D1(exact-dedup)",
+    ),
+    "ngram_jaccard_pairs": QASpec(
+        T.q_ngram_jaccard_pairs,
+        r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN []
+                        WHEN length(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(generate_series(1, length(t) - 2),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   END AS shingles
+            FROM toks
+        ), ds AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        ), sz AS (
+            SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id
+        ), inter_t AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter,
+               (sa.set_size + sb.set_size - inter) AS union_size
+        FROM inter_t
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 5 >= 1 * (sa.set_size + sb.set_size - inter)
+        """,
+        "MR-D4(ngram-jaccard)",
+    ),
+    "minhash_lsh_pairs": QASpec(T.q_minhash_lsh_pairs, None, "MR-D4(minhash-lsh)"),
+    "simhash": QASpec(T.q_simhash, None, "MR-D4(simhash)"),
+    # -------------------------------------------------------------- vectors
+    "knn_bruteforce": QASpec(
+        V.q_knn_bruteforce,
+        """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 5
+        )
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               printf('%.4f', list_cosine_similarity(qe, CAST(embedding AS DOUBLE[]))) AS score
+        FROM q CROSS JOIN embeddings
+        WHERE vec_id <> qid
+        QUALIFY row_number() OVER (
+            PARTITION BY qid
+            ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC, vec_id
+        ) <= 10
+        """,
+        "ANN(bruteforce-topk)",
+    ),
+    "neardup_cosine": QASpec(
+        V.q_neardup_cosine,
+        """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               printf('%.4f', list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[]))) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "MR-D4(embedding-cosine)",
+    ),
+    "lsh_bucket_stats": QASpec(V.q_lsh_bucket_stats, None, "ANN(lsh-buckets)"),
+    "label_stats": QASpec(
+        V.q_label_stats,
+        """
+        SELECT label, count(*) AS n_vectors,
+               printf('%.2f', sum(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                   CAST(embedding AS DOUBLE[])))) AS sum_norm_sq
+        FROM embeddings GROUP BY label
+        """,
+        "MR-G2(vectors)",
+    ),
+}
+
+
+def _q_media_features(sf_dir: str):
+    from metareadability_ray.stages.multimodal import media_features
+
+    return media_features(sf_dir)
+
+
+def _q_extract_pages(sf_dir: str):
+    """Flagship DOM extraction over pages derived from the sf documents table."""
+    from metareadability_ray.pipelines.docs2pages import pages_dataset
+    from metareadability_ray.pipelines.flagship import extraction_chain
+
+    ds = extraction_chain(pages_dataset(sf_dir), num_partitions=16, concurrency=4)
+    return ds.select_columns(["url", "headline", "pubdate", "authors"])
+
+
+REGISTRY["media_features"] = QASpec(_q_media_features, None, "multimodal(decode-stub)")
+REGISTRY["extract_pages"] = QASpec(_q_extract_pages, None, "MR-X0(flagship)")
