@@ -1,0 +1,222 @@
+"""Benchmark entrypoint (driver-run per round; also the scaling evidence).
+
+Prints ONE JSON line::
+
+    {"metric": "...", "value": <headline wall sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline pipeline = flagship extraction (read → url-hash partition → dedup →
+actor-pool extract → per-partition sorted write + manifests) over a
+deterministic synthetic `pages` corpus (fixtures/gen.py, seeded, cached in
+/tmp), plus per-query timings for the QA surface over $GRAFT_SF_DIR testdata.
+
+`--scaling` runs the headline pipeline in TWO FRESH PROCESSES
+(num_cpus=8 then num_cpus=32) on the same corpus and reports throughput at
+both plus efficiency = (thr_32/thr_8)/4 — the sandbox stand-in for the north
+rule's N→4N-node protocol (single node here; the entrypoint itself is
+`ray job submit`-compatible).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+MR_BENCH_PAGES (default 240000).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Queries timed at bench sf (ngram_jaccard excluded: exact-quadratic variant
+# is a correctness surface; its scale path is minhash_lsh_pairs).
+BENCH_QUERIES = [
+    "filter_project",
+    "pricing_summary",
+    "join_customer_orders",
+    "three_way_join",
+    "broadcast_join_part",
+    "hourly_event_window",
+    "latest_event_per_user",
+    "json_props_sum",
+    "token_stats",
+    "langid",
+    "quality_score",
+    "exact_dedup",
+    "doc_fingerprint",
+    "simhash",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+    "neardup_cosine",
+    "lsh_bucket_stats",
+    "media_features",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            log_to_driver=False,
+        )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def ensure_corpus(n_rows: int, seed: int = 42, shards: int = 32) -> str:
+    """Deterministic bench `pages` corpus, generated in parallel Ray tasks
+    (one seeded fixtures.gen shard each), cached under /tmp."""
+    out_dir = f"/tmp/mr_bench_pages_{n_rows}_{seed}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen_shard(i: int) -> str:
+        import sys as _s
+
+        _s.path.insert(0, REPO)
+        from fixtures.gen import generate
+
+        sub = os.path.join(out_dir, f"shard={i:03d}")
+        paths = generate(
+            sub,
+            n_rows=n_rows // shards,
+            seed=seed * 1000 + i,
+            rows_per_file=10**9,
+            with_expected=False,
+        )
+        return paths["pages"]
+
+    ray.get([gen_shard.remote(i) for i in range(shards)])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def bench_extract(num_cpus: int, n_rows: int, seed: int = 42) -> dict:
+    """Time the flagship extraction over the cached corpus (fresh output)."""
+    import glob
+    import shutil
+
+    from metareadability_ray.pipelines.flagship import run_extraction
+
+    corpus = ensure_corpus(n_rows, seed)
+    files = sorted(glob.glob(os.path.join(corpus, "shard=*", "pages.parquet")))
+    out = f"/tmp/mr_bench_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_extraction(
+        files,
+        out,
+        num_partitions=max(64, num_cpus * 2),
+        concurrency=max(2, num_cpus - 1),
+        batch_size=256,
+        resume=False,
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "rows": res["rows_written"],
+        "docs_per_sec": round(res["rows_written"] / wall, 1),
+    }
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    from metareadability_ray.qa import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        res = spec.fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--n-pages", type=int, default=int(os.environ.get("MR_BENCH_PAGES", "240000")))
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        # fresh process per CPU level, same cached corpus
+        _init_ray(num_cpus)  # parent only generates the corpus
+        ensure_corpus(args.n_pages)
+        import ray
+
+        ray.shutdown()
+        levels = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--extract-only",
+                 "--n-pages", str(args.n_pages)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            levels[cpus] = json.loads(line)
+        thr8 = levels[8]["docs_per_sec"]
+        thr32 = levels[32]["docs_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "extract_scaling_efficiency_8to32cpus",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sf": "synthetic_pages",
+                    "n_pages": args.n_pages,
+                    "throughput_8cpu_docs_per_sec": thr8,
+                    "throughput_32cpu_docs_per_sec": thr32,
+                    "pass": eff >= 0.8,
+                }
+            )
+        )
+        return
+
+    _init_ray(num_cpus)
+    ext = bench_extract(num_cpus, args.n_pages)
+    result = {
+        "metric": "flagship_extract_wall_s",
+        "value": ext["wall_s"],
+        "unit": "sec",
+        "sf": 0.1,
+        "num_cpus": num_cpus,
+        "docs": ext["rows"],
+        "docs_per_sec": ext["docs_per_sec"],
+    }
+    if not args.extract_only:
+        result["queries"] = bench_queries(sf_dir)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,17 +5,20 @@ Plan (stage → Ray Data mapping)::
     read_parquet(pages, columns=[url, warc_ts, html])   # MR-S1: prune at read
       → map_batches(assign_partition)                   # MR-P4: crc32(url) % P
       → [resume] map_batches(drop done partitions)      # MR-D3: manifest anti-filter
-      → groupby(partition_id).map_groups(dedup)         # MR-D1: THE url-hash shuffle
       → map_batches(ExtractActor, pyarrow, zero-copy)   # MR-X0: stateful actor pool
-      → groupby(partition_id).map_groups(write)         # MR-S2/S3: sort-by-url,
-                                                        #   atomic part file + manifest
+      → groupby(partition_id).map_groups(               # THE one url-hash shuffle:
+            dedup_extracted + sort-by-url + write)      # MR-D1 + MR-S2/S3
       → sidecar rebuild (lineage/metrics parquet)
 
 Scale notes (10^12-doc design, tested single-node):
-  * The only shuffle that moves ``html`` payload bytes is the url-hash
-    groupby; everything downstream of extraction is url+3 short strings.
-  * Dedup and final write reuse the SAME key (partition_id = crc32(url)%P),
-    so the second groupby shuffles only the small extracted rows.
+  * **The raw ``html`` column NEVER shuffles.** Extraction runs streaming on
+    read order; dedup (MR-D1: latest ``warc_ts`` per url, tie → smallest
+    md5(html)) happens AFTER extraction on the small (url + 3 short strings)
+    rows, using an ``html_md5`` column carried from the extract actor.
+    Extracting a duplicate costs ~2% extra CPU; shuffling every page's bytes
+    to dedup first would cost an all-to-all over the full corpus.
+  * The single shuffle key (partition_id = crc32(url)%P) serves dedup,
+    deterministic output order AND the checkpoint/file layout at once.
   * Partition count P is the checkpoint/resume granularity AND the output
     file layout; choose P ≈ total-input-bytes / 512 MiB on a real cluster.
   * On a multi-node cluster ``out_dir`` must be shared storage (object store
@@ -37,7 +40,7 @@ import ray.data
 
 from metareadability_ray import __version__ as ENGINE_VERSION
 from metareadability_ray.stages.extract_stage import ExtractActor
-from metareadability_ray.stages.partitioning import assign_partition, dedup_partition
+from metareadability_ray.stages.partitioning import assign_partition, dedup_extracted
 from metareadability_ray.state import manifest as mf
 
 
@@ -53,7 +56,9 @@ def _make_write_partition(out_dir: str, input_files: list[str]):
         t0 = time.perf_counter()
         pid = int(group.column("partition_id")[0].as_py())
 
-        g = group.take(pc.sort_indices(group, sort_keys=[("url", "ascending")]))
+        # MR-D1 dedup on the small extracted rows, which also yields the
+        # deterministic url sort order (MR-O1) for free.
+        g = dedup_extracted(group)
         out = g.select(["url", "headline", "pubdate", "authors"])
 
         # attempt tracking: a start marker survives a mid-write crash
@@ -124,8 +129,15 @@ def extraction_chain(
     concurrency=None,
     batch_size: int = 128,
     done_pids: frozenset[int] = frozenset(),
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
-    """partition→dedup→extract over an existing `pages` Dataset (lazy)."""
+    """partition→extract(→dedup) over an existing `pages` Dataset (lazy).
+
+    Extraction streams WITHOUT any shuffle of the html payload; dedup (when
+    requested) is the single url-hash groupby over the small extracted rows.
+    ``run_extraction`` passes ``dedup=False`` because its per-partition
+    writer performs the dedup inside the same (only) shuffle.
+    """
     if concurrency is None:
         import ray
 
@@ -143,7 +155,6 @@ def extraction_chain(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    ds = ds.groupby("partition_id").map_groups(dedup_partition, batch_format="pyarrow")
     ds = ds.map_batches(
         ExtractActor,
         batch_format="pyarrow",
@@ -151,6 +162,8 @@ def extraction_chain(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    if dedup:
+        ds = ds.groupby("partition_id").map_groups(dedup_extracted, batch_format="pyarrow")
     return ds
 
 
@@ -161,6 +174,7 @@ def build_extraction_dataset(
     batch_size: int = 128,
     done_pids: frozenset[int] = frozenset(),
     override_num_blocks: int | None = None,
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
     """read_parquet(pages) → :func:`extraction_chain` (lazy, no write)."""
     ds = ray.data.read_parquet(
@@ -174,6 +188,7 @@ def build_extraction_dataset(
         concurrency=concurrency,
         batch_size=batch_size,
         done_pids=done_pids,
+        dedup=dedup,
     )
 
 
@@ -215,6 +230,7 @@ def run_extraction(
         concurrency=concurrency,
         batch_size=batch_size,
         done_pids=frozenset(done),
+        dedup=False,  # the writer dedups inside the same single shuffle
     )
     writer = _make_write_partition(out_dir, [os.path.abspath(p) for p in inputs])
     manifest_ds = ds.groupby("partition_id").map_groups(writer, batch_format="pyarrow")

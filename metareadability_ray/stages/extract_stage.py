@@ -22,6 +22,8 @@ OUTPUT_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
         ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html_md5", pa.string()),  # dedup tie-break key (MR-D1) — html itself never shuffles
         ("headline", pa.string()),
         ("pubdate", pa.string()),
         ("authors", pa.list_(pa.string())),
@@ -45,6 +47,8 @@ class ExtractActor:
         self.docs_seen = 0  # MR-A3 per-actor counter (diagnostics)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         tss = batch.column("warc_ts").to_pylist()
@@ -55,6 +59,7 @@ class ExtractActor:
         heads: list[str] = [""] * n
         dates: list[str] = [""] * n
         auths: list[list[str]] = [[] for _ in range(n)]
+        md5s: list[str] = [""] * n
         perr = [0] * n
         efb = [0] * n
         ovs = [0] * n
@@ -64,6 +69,7 @@ class ExtractActor:
         for i in range(n):
             html = htmls[i]
             nbytes[i] = len(html) if html is not None else 0
+            md5s[i] = hashlib.md5(html if html is not None else b"").hexdigest()
             r = ex(html, urls[i], tss[i])
             heads[i] = r.headline
             dates[i] = r.pubdate
@@ -77,6 +83,8 @@ class ExtractActor:
             {
                 "partition_id": pa.array(pids, pa.int32()),
                 "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html_md5": pa.array(md5s, pa.string()),
                 "headline": pa.array(heads, pa.string()),
                 "pubdate": pa.array(dates, pa.string()),
                 "authors": pa.array(auths, pa.list_(pa.string())),

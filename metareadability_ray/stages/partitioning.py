@@ -32,6 +32,29 @@ def assign_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column("partition_id", pa.array(pids, pa.int32()))
 
 
+def dedup_extracted(group: pa.Table) -> pa.Table:
+    """Exact url dedup AFTER extraction (MR-D1), on small extracted rows.
+
+    Scale rationale: extraction is pure per-row, so extracting duplicates
+    (~2% extra compute) and deduping the small (url + 3 short strings)
+    output is far cheaper than shuffling raw ``html`` payload bytes to
+    co-locate duplicates first — the binary column never crosses the wire.
+    Winner rule unchanged: latest ``warc_ts``, tie → smallest ``html_md5``
+    (computed from the raw bytes inside the extract actor).
+    """
+    idx = pc.sort_indices(
+        group,
+        sort_keys=[("url", "ascending"), ("warc_ts", "descending"), ("html_md5", "ascending")],
+    )
+    g = group.take(idx)
+    if g.num_rows <= 1:
+        return g
+    urls = g.column("url")
+    first_of_run = pc.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
+    mask = pa.chunked_array([pa.array([True]), first_of_run.combine_chunks()])
+    return g.filter(mask)
+
+
 def dedup_partition(group: pa.Table) -> pa.Table:
     """Exact url dedup within one partition group (MR-D1).
 
