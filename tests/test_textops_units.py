@@ -1,0 +1,117 @@
+"""Unit tests for the training-data text/vector operators' pure kernels
+(no Ray needed — the distributed paths are covered by the driver-compare
+harness in scripts/verify_queries.py and by test_queries.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from metareadability_ray.pipelines.textops import (
+    MinHasher,
+    SimHasher,
+    _doc_minhash,
+    _minhash_params,
+    _shingles,
+)
+from metareadability_ray.stages.multimodal import (
+    DECODED_SCHEMA,
+    MEDIA_SCHEMA,
+    MediaDecodeActor,
+    _fake_decode,
+    synth_media_batch,
+)
+
+
+def test_shingles_basic():
+    assert _shingles(["a", "b", "c", "d"], 3) == {"a b c", "b c d"}
+    assert _shingles(["a", "b"], 3) == {"a b"}
+    assert _shingles([], 3) == set()
+    # identical docs → identical shingle sets
+    assert _shingles("x y z w".split(), 3) == _shingles("x y z w".split(), 3)
+
+
+def test_minhash_deterministic_across_instances():
+    a, b = _minhash_params(64)
+    a2, b2 = _minhash_params(64)
+    assert np.array_equal(a, a2) and np.array_equal(b, b2)
+    s1 = _doc_minhash("the quick brown fox jumps".split(), a, b)
+    s2 = _doc_minhash("the quick brown fox jumps".split(), a, b)
+    assert np.array_equal(s1, s2)
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _minhash_params(256)
+    t1 = [f"w{i}" for i in range(100)]
+    t2 = t1[:80] + [f"v{i}" for i in range(20)]  # high overlap
+    s1 = _doc_minhash(t1, a, b)
+    s2 = _doc_minhash(t2, a, b)
+    est = (s1 == s2).mean()
+    sh1, sh2 = _shingles(t1), _shingles(t2)
+    true_j = len(sh1 & sh2) / len(sh1 | sh2)
+    assert abs(est - true_j) < 0.15  # 256 perms → small error
+    # disjoint docs → near-zero estimate
+    s3 = _doc_minhash([f"z{i}" for i in range(100)], a, b)
+    assert (s1 == s3).mean() < 0.05
+
+
+def test_minhasher_batch_stage():
+    mh = MinHasher(num_perm=64)
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["a b c d e", "a b c d e"]})
+    out = mh(batch)
+    sigs = out.column("sig").to_pylist()
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    assert len(sigs[0]) == 64
+
+
+def test_simhash_properties():
+    sh = SimHasher()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["alpha beta gamma delta", "alpha beta gamma delta", "one two three four"],
+        }
+    )
+    out = sh(batch).column("simhash").to_pylist()
+    assert out[0] == out[1]  # deterministic
+    assert out[0] != out[2]
+    # near-identical docs → small hamming distance
+    batch2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta " * 4,
+                "alpha beta gamma delta epsilon zeta eta theta " * 4 + "iota",
+            ],
+        }
+    )
+    a, b = sh(batch2).column("simhash").to_pylist()
+    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+
+
+def test_fake_decode_deterministic_and_raises_on_empty():
+    w1, h1, f1, feat1 = _fake_decode(b"payload", "image")
+    w2, h2, f2, feat2 = _fake_decode(b"payload", "image")
+    assert (w1, h1, f1) == (w2, h2, f2)
+    assert np.array_equal(feat1, feat2)
+    assert f1 == 1  # image → single frame
+    _, _, vf, _ = _fake_decode(b"payload", "video")
+    assert vf >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _fake_decode(b"", "image")
+
+
+def test_media_decode_actor_schema_and_error_counting():
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": ["hello", "", "world"]})
+    media = synth_media_batch(docs)
+    assert media.schema == MEDIA_SCHEMA
+    actor = MediaDecodeActor()
+    out = actor(media)
+    assert out.schema == DECODED_SCHEMA
+    assert out.num_rows == 3
+    assert actor.decoded == 2 and actor.failed == 1  # empty text → empty payload
+    # failed row is zeroed, not dropped
+    assert out.column("width").to_pylist()[1] == 0
