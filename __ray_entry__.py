@@ -22,7 +22,12 @@ def entry() -> Any:
     from metareadability_ray.pipelines.docs2pages import pages_dataset
     from metareadability_ray.pipelines.flagship import extraction_chain
 
-    ds = extraction_chain(pages_dataset(SF_SMOKE_DIR), num_partitions=8, concurrency=4)
+    from metareadability_ray.util import auto_actor_concurrency
+
+    ds = extraction_chain(
+        pages_dataset(SF_SMOKE_DIR), num_partitions=8,
+        concurrency=auto_actor_concurrency(),
+    )
     return ds.select_columns(["url", "headline", "pubdate", "authors"])
 
 

@@ -135,6 +135,7 @@ def bench_extract(num_cpus: int, n_rows: int, seed: int = 42) -> dict:
         concurrency=max(1, num_cpus // 2),
         batch_size=256,
         resume=False,
+        override_num_blocks=max(16, num_cpus * 4),
     )
     wall = time.perf_counter() - t0
     return {
@@ -156,6 +157,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
             res = res.materialize()
             res.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        del res
+        import gc
+
+        gc.collect()  # release each query's actor pool before the next
     return timings
 
 

@@ -141,7 +141,7 @@ def extraction_chain(
     if concurrency is None:
         import ray
 
-        concurrency = max(2, int(ray.available_resources().get("CPU", 8)) - 1)
+        concurrency = max(1, int(ray.available_resources().get("CPU", 8)) - 2)
     ds = ds.map_batches(
         assign_partition,
         fn_kwargs={"num_partitions": num_partitions},
@@ -161,6 +161,12 @@ def extraction_chain(
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        # max_restarts=0: Ray 2.49's restartable map-worker actors can fail
+        # teardown ("Failed to report actor out of scope"), wedging the whole
+        # session after ~5 datasets (reproduced in-sandbox). The stage is
+        # idempotent + deterministic, so lost actors are re-created by task
+        # retry at the operator level instead.
+        max_restarts=0,
     )
     if dedup:
         ds = ds.groupby("partition_id").map_groups(dedup_extracted, batch_format="pyarrow")
@@ -199,6 +205,7 @@ def run_extraction(
     concurrency=None,
     batch_size: int = 128,
     resume: bool = True,
+    override_num_blocks: int | None = None,
 ) -> dict:
     """Run the flagship pipeline end-to-end; returns a run summary dict."""
     if isinstance(inputs, str):
@@ -231,10 +238,23 @@ def run_extraction(
         batch_size=batch_size,
         done_pids=frozenset(done),
         dedup=False,  # the writer dedups inside the same single shuffle
+        # Coarse blocks matter: the post-extract sort shuffle costs per-BLOCK,
+        # not per-row (measured 8.9s over 224 blocks vs 1.4s over 32 for the
+        # same 240k rows) — keep extract output blocks few and fat.
+        override_num_blocks=override_num_blocks,
     )
     writer = _make_write_partition(out_dir, [os.path.abspath(p) for p in inputs])
     manifest_ds = ds.groupby("partition_id").map_groups(writer, batch_format="pyarrow")
     ran = manifest_ds.take_all()  # tiny: one row per partition run
+
+    # Release the actor pool NOW: completed datasets leave MapWorker actor
+    # handles trapped in reference cycles; without an explicit collect they
+    # accumulate (each holding 1 CPU) until the cluster has no CPUs left and
+    # the next dataset wedges forever (reproduced: ~5-12 runs on 4 CPUs).
+    import gc
+
+    del manifest_ds, ds
+    gc.collect()
 
     from oracle import SIGNALS_VERSION
 

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from metareadability_ray.util import auto_actor_concurrency
 
 _TOKEN_RE = r"\S+"
 _ROUND = {"round_mode": "half_towards_infinity"}
@@ -335,7 +336,8 @@ def minhash_lsh_pairs(
         fn_constructor_kwargs={"num_perm": num_perm, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=4,
+        concurrency=auto_actor_concurrency(),
+        max_restarts=0,
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -430,5 +432,7 @@ class SimHasher:
 
 def q_simhash(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=auto_actor_concurrency(),
+        max_restarts=0,
     )

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
+from metareadability_ray.util import auto_actor_concurrency
 
 _ROUND = {"round_mode": "half_towards_infinity"}
 
@@ -182,7 +183,7 @@ def q_lsh_bucket_stats(sf_dir: str) -> "ray.data.Dataset":
     """LSH-bucketed ANN scaffold: bucket sizes (deterministic, rows-only check)."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding", "label"])
     return (
-        ds.map_batches(HyperplaneLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+        ds.map_batches(HyperplaneLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=auto_actor_concurrency(cap=4), max_restarts=0)
         .groupby("bucket")
         .aggregate(Count(alias_name="n_vectors"))
     )

@@ -309,7 +309,11 @@ def _q_extract_pages(sf_dir: str):
     from metareadability_ray.pipelines.docs2pages import pages_dataset
     from metareadability_ray.pipelines.flagship import extraction_chain
 
-    ds = extraction_chain(pages_dataset(sf_dir), num_partitions=16, concurrency=4)
+    from metareadability_ray.util import auto_actor_concurrency
+
+    ds = extraction_chain(
+        pages_dataset(sf_dir), num_partitions=16, concurrency=auto_actor_concurrency()
+    )
     return ds.select_columns(["url", "headline", "pubdate", "authors"])
 
 

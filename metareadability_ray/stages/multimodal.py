@@ -125,11 +125,14 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    from metareadability_ray.util import auto_actor_concurrency
+
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow", zero_copy_batch=True)
     return media.map_batches(
         MediaDecodeActor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=64,  # large payload rows → small batches
-        concurrency=2,
+        concurrency=auto_actor_concurrency(cap=4),
+        max_restarts=0,
     )

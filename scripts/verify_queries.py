@@ -92,6 +92,10 @@ def main() -> int:
             print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        finally:
+            import gc
+
+            gc.collect()  # release the query's actor pool
         ray_s = time.perf_counter() - t0
         if spec.sql is None:
             print(f"ok   {name}: rows-only rows={ray_t.num_rows} cols={sorted(ray_t.column_names)} ({ray_s:.1f}s)")

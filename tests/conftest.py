@@ -29,7 +29,24 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield ray
-    ray.shutdown()
+    # Shut down in a bounded thread: a wedged cluster (leaked actor-pool
+    # workers, see ray#53727-adjacent teardown failures) can hang
+    # ray.shutdown() forever, which would swallow pytest's failure report.
+    import threading
+
+    t = threading.Thread(target=ray.shutdown, daemon=True)
+    t.start()
+    t.join(timeout=30)
+
+
+@pytest.fixture(autouse=True)
+def _release_actor_pools():
+    """Break the reference cycles that keep completed datasets' actor-pool
+    workers alive (each holds a CPU; enough leaks wedge the 4-CPU session)."""
+    yield
+    import gc
+
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,96 @@
+"""Relational conformance tests (SURVEY.md §5.4): every SQL-backed query in
+qa.REGISTRY must match its DuckDB oracle on the sf0.001 testdata — row count,
+column names, and order-insensitive values. The driver runs the same compare
+at sf0.01; this is the in-repo early-warning version."""
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for name in TABLES:
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')")
+    return c
+
+
+def _canon_val(v):
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_canon_val(x) for x in v)
+    return v
+
+
+def _canon(t: pa.Table):
+    cols = sorted(t.column_names)
+    rows = sorted(
+        (tuple(_canon_val(r[c]) for c in cols) for r in t.select(cols).to_pylist()),
+        key=repr,
+    )
+    return t.num_rows, tuple(cols), rows
+
+
+def _to_table(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    import ray
+
+    tabs = [ray.get(r) for r in res.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    return pa.concat_tables(tabs, promote_options="permissive") if tabs else pa.table({})
+
+
+def _registry():
+    from metareadability_ray.qa import REGISTRY
+
+    return REGISTRY
+
+
+SQL_QUERIES = [
+    "filter_project", "pricing_summary", "join_customer_orders", "three_way_join",
+    "broadcast_join_part", "semi_join_customers", "anti_join_customers",
+    "distinct_event_types", "topk_orders", "latest_event_per_user", "union_priority",
+    "json_props_sum", "hourly_event_window", "token_stats", "quality_score",
+    "langid", "doc_fingerprint", "exact_dedup", "ngram_jaccard_pairs",
+    "knn_bruteforce", "neardup_cosine", "label_stats",
+]
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_duckdb(ray_session, con, name):
+    spec = _registry()[name]
+    assert spec.sql is not None
+    ray_t = _to_table(spec.fn(SF_DIR))
+    sql_t = con.execute(spec.sql).fetch_arrow_table()
+    rn, rc, rv = _canon(ray_t)
+    sn, sc, sv = _canon(sql_t)
+    assert rn == sn, f"{name}: row count {rn} != {sn}"
+    if sn:  # empty results legitimately lose column info on the Ray side
+        assert rc == sc, f"{name}: columns {rc} != {sc}"
+        assert rv == sv, f"{name}: values differ; first ray={rv[:1]} sql={sv[:1]}"
+
+
+ROWS_ONLY = ["minhash_lsh_pairs", "simhash", "lsh_bucket_stats", "media_features", "extract_pages"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(ray_session, name):
+    spec = _registry()[name]
+    t = _to_table(spec.fn(SF_DIR))
+    if name in ("simhash", "media_features", "extract_pages"):
+        assert t.num_rows == 500  # one row per sf0.001 document
+    else:
+        assert t.num_rows >= 0
