@@ -19,6 +19,9 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
+    import gc
+
+    gc.collect()  # release any previous dataset's actor pool (see queries())
     from metareadability_ray.pipelines.docs2pages import pages_dataset
     from metareadability_ray.pipelines.flagship import extraction_chain
 
@@ -32,10 +35,25 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    """One entry per implemented operator/pipeline from SURVEY.md §2.
+
+    Each callable first runs gc.collect(): completed datasets leave actor-pool
+    worker handles in reference cycles, and each leaked worker pins a CPU —
+    collecting at query start releases the PREVIOUS query's pool before this
+    one asks for resources (keeps long single-session runs from starving).
+    """
     from metareadability_ray.qa import REGISTRY
 
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    def wrap(fn: Callable) -> Callable[[str], Any]:
+        def run(sf_dir: str):
+            import gc
+
+            gc.collect()
+            return fn(sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
