@@ -1,0 +1,246 @@
+"""Advanced relational / streaming-style operators: as-of join, running
+(window) aggregates, left-outer join, flat_map explode, deterministic
+sampling, min/max rollups, and an HLL distinct-count sketch.
+
+Partitioning assumptions are documented per operator — the as-of join and
+running sum require all rows of one key in one group (hash-shuffle on the
+key), exactly like their reference semantics would on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ----------------------------------------------------------------- left outer
+def q_left_outer_join(sf_dir: str) -> "ray.data.Dataset":
+    """orders LEFT OUTER JOIN rich customers (c_acctbal > 9000): unmatched
+    orders keep null c_name. Broadcast idiom — the right side is a filtered
+    dim table, so it ships once via ray.put and the big side never shuffles.
+    (Dataset.join(left_outer) chokes when a hash partition of the small side
+    is empty — schema-less empty blocks; broadcast also happens to be the
+    right plan at scale.)"""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
+    ct = ct.filter(pc.greater(ct.column("c_acctbal"), 9000.0))
+    name_map_ref = ray.put(
+        dict(zip(ct.column("c_custkey").to_pylist(), ct.column("c_name").to_pylist()))
+    )
+
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        m = ray.get(name_map_ref) if isinstance(name_map_ref, ray.ObjectRef) else name_map_ref
+        names = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("c_name", pa.array(names, pa.string()))
+
+    return orders.map_batches(add_name, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------ as-of join
+def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (custom operator — Ray Data has none): for every 'click'
+    event, the most recent 'view' by the same user at or before the click.
+
+    Partitioning assumption: all events of one user land in one group
+    (groupby(user_id) hash shuffle); within a group the match is a vectorized
+    numpy searchsorted over the user's time-sorted views. (user_id, ts) pairs
+    are unique in the data, so the as-of winner is well-defined."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"), value_set=pa.array(["click", "view"])))
+
+    def asof_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        types = np.asarray(g.column("event_type").to_pylist())
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = g.column("value").to_numpy(zero_copy_only=False)
+        eids = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id")[0].as_py()
+        is_click = types == "click"
+        is_view = types == "view"
+        click_ts, click_eid = ts[is_click], eids[is_click]
+        view_ts, view_vals = ts[is_view], vals[is_view]
+        pos = np.searchsorted(view_ts, click_ts, side="right") - 1
+        has = pos >= 0
+        out_view_ts = np.where(has, view_ts[np.clip(pos, 0, None)], 0)
+        out_view_val = np.where(has, view_vals[np.clip(pos, 0, None)], np.nan)
+        return pa.table(
+            {
+                "event_id": pa.array(click_eid, pa.int64()),
+                "user_id": pa.array([uid] * len(click_eid), pa.int64()),
+                "view_ts": pa.array(
+                    [int(t) if h else None for t, h in zip(out_view_ts, has)], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "view_value": pa.array(
+                    [float(v) if h else None for v, h in zip(out_view_val, has)], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(asof_group, batch_format="pyarrow")
+    )
+
+
+# ----------------------------------------------------------- running aggregate
+def q_window_cumsum(sf_dir: str) -> "ray.data.Dataset":
+    """Running per-user sum of `value` ordered by (ts, event_id) — the
+    window-function pattern as a grouped vectorized cumsum. Same partitioning
+    assumption as the as-of join (all of a user's rows in one group)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def cumsum_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        cs = np.cumsum(g.column("value").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "cum_value": pa.array([f"{v:.2f}" for v in cs], pa.string()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cumsum_group, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------- flat_map
+def q_explode_part_names(sf_dir: str) -> "ray.data.Dataset":
+    """flat_map/explode: one row per whitespace word of p_name."""
+    ds = ray.data.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_name"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, words = [], []
+        for k, name in zip(batch.column("p_partkey").to_pylist(), batch.column("p_name").to_pylist()):
+            for w in (name or "").split(" "):
+                keys.append(k)
+                words.append(w)
+        return pa.table(
+            {"p_partkey": pa.array(keys, pa.int64()), "word": pa.array(words, pa.string())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- MR-O3 sample
+def q_sample_deterministic(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic ~25% sample: keep rows whose md5(text) starts with
+    0x0-0x3. Content-hash sampling is reproducible across engines, block
+    orders, and cluster sizes — unlike RNG sampling."""
+    import hashlib
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        mask = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()[0] <= "3"
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.filter(pa.array(mask, pa.bool_())).select(["doc_id", "lang"])
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------ min/max agg
+def q_supplier_balance_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-nation supplier rollup with Min/Max (raw doubles are selected, not
+    computed, so they hash-match without rounding) + Sum (formatted)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"]
+    )
+    agg = ds.groupby("s_nationkey").aggregate(
+        Count(alias_name="n_suppliers"),
+        Min("s_acctbal", alias_name="min_bal"),
+        Max("s_acctbal", alias_name="max_bal"),
+        Sum("s_acctbal", alias_name="sum_bal"),
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_bal")
+        vals = [f"{v:.2f}" for v in batch.column("sum_bal").to_pylist()]
+        return batch.set_column(i, "sum_bal", pa.array(vals, pa.string()))
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------- HLL sketch
+_HLL_P = 12  # 4096 registers → ~1.6% relative error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial HLL registers per event_type (pre-aggregation before
+    the shuffle — at scale only 4 KiB of registers per (block, key) moves)."""
+    import hashlib
+
+    out_types, out_regs = [], []
+    types = np.asarray(batch.column("event_type").to_pylist())
+    uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+    for t in np.unique(types):
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        for u in uids[types == t]:
+            h = int.from_bytes(
+                hashlib.blake2b(int(u).to_bytes(8, "little"), digest_size=8).digest(), "little"
+            )
+            idx = h & (_HLL_M - 1)
+            w = h >> _HLL_P
+            rank = (52 - w.bit_length()) + 1 if w else 53
+            if rank > regs[idx]:
+                regs[idx] = rank
+        out_types.append(str(t))
+        out_regs.append(regs.tolist())
+    return pa.table(
+        {
+            "event_type": pa.array(out_types, pa.string()),
+            "regs": pa.array(out_regs, pa.list_(pa.uint8())),
+        }
+    )
+
+
+def _hll_merge(group: pa.Table) -> pa.Table:
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    for r in group.column("regs").to_pylist():
+        regs = np.maximum(regs, np.asarray(r, dtype=np.uint8))
+    # standard HLL estimator with small-range correction
+    est = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M / np.sum(2.0 ** -regs.astype(np.float64))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _HLL_M and zeros:
+        est = _HLL_M * np.log(_HLL_M / zeros)
+    return pa.table(
+        {
+            "event_type": pa.array([group.column("event_type")[0].as_py()], pa.string()),
+            "approx_distinct_users": pa.array([int(round(est))], pa.int64()),
+        }
+    )
+
+
+def q_hll_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """MR-G4: approximate distinct user_id per event_type via a partial+merge
+    HyperLogLog sketch (deterministic blake2 hashing → same estimate on any
+    cluster layout). Rows-only check; accuracy asserted in unit tests."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    return (
+        ds.map_batches(_hll_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(_hll_merge, batch_format="pyarrow")
+    )

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 from metareadability_ray.pipelines import relational as R
+from metareadability_ray.pipelines import relational2 as R2
 from metareadability_ray.pipelines import textops as T
 from metareadability_ray.pipelines import vectors as V
 
@@ -251,6 +252,60 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "MR-D4(ngram-jaccard)",
     ),
+    # --------------------------------------------------- advanced relational
+    "left_outer_join": QASpec(
+        R2.q_left_outer_join,
+        """
+        SELECT o_orderkey, o_custkey, c_name
+        FROM orders LEFT JOIN (
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+        ) c ON o_custkey = c.c_custkey
+        """,
+        "MR-J3(left-outer)",
+    ),
+    "asof_join": QASpec(
+        R2.q_asof_join,
+        """
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT clicks.event_id, clicks.user_id,
+               views.ts AS view_ts, views.value AS view_value
+        FROM clicks ASOF LEFT JOIN views
+          ON clicks.user_id = views.user_id AND clicks.ts >= views.ts
+        """,
+        "custom(as-of-join)",
+    ),
+    "window_cumsum": QASpec(
+        R2.q_window_cumsum,
+        """
+        SELECT event_id, user_id,
+               printf('%.2f', sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS cum_value
+        FROM events
+        """,
+        "custom(running-window-aggregate)",
+    ),
+    "explode_part_names": QASpec(
+        R2.q_explode_part_names,
+        "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part",
+        "flat_map/explode",
+    ),
+    "sample_deterministic": QASpec(
+        R2.q_sample_deterministic,
+        "SELECT doc_id, lang FROM documents WHERE substring(md5(text), 1, 1) <= '3'",
+        "MR-O3(deterministic-sample)",
+    ),
+    "supplier_balance_stats": QASpec(
+        R2.q_supplier_balance_stats,
+        """
+        SELECT s_nationkey, count(*) AS n_suppliers,
+               min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
+               printf('%.2f', sum(s_acctbal)) AS sum_bal
+        FROM supplier GROUP BY s_nationkey
+        """,
+        "MR-G2(min/max)",
+    ),
+    "hll_distinct_users": QASpec(R2.q_hll_distinct_users, None, "MR-G4(HLL-sketch)"),
     "minhash_lsh_pairs": QASpec(T.q_minhash_lsh_pairs, None, "MR-D4(minhash-lsh)"),
     "simhash": QASpec(T.q_simhash, None, "MR-D4(simhash)"),
     # -------------------------------------------------------------- vectors
@@ -317,5 +372,12 @@ def _q_extract_pages(sf_dir: str):
     return ds.select_columns(["url", "headline", "pubdate", "authors"])
 
 
+def _q_media_frames(sf_dir: str):
+    from metareadability_ray.stages.multimodal import media_frames
+
+    return media_frames(sf_dir)
+
+
 REGISTRY["media_features"] = QASpec(_q_media_features, None, "multimodal(decode-stub)")
+REGISTRY["media_frame_sample"] = QASpec(_q_media_frames, None, "multimodal(frame-sample,flat_map)")
 REGISTRY["extract_pages"] = QASpec(_q_extract_pages, None, "MR-X0(flagship)")

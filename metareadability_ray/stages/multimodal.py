@@ -116,6 +116,42 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def frame_sample_batch(batch: pa.Table) -> pa.Table:
+    """flat_map stage: video rows explode into ≤4 evenly-spaced frame rows
+    (deterministic fake frame descriptors); images/audio pass through as one
+    row. Output rows ≥ input rows — the flat_map/explode pattern."""
+    out_id, out_type, out_frame, out_desc = [], [], [], []
+    for mid, mtype, frames, feat in zip(
+        batch.column("media_id").to_pylist(),
+        batch.column("media_type").to_pylist(),
+        batch.column("n_frames").to_pylist(),
+        batch.column("feature").to_pylist(),
+    ):
+        n = max(1, min(4, frames))
+        step = max(1, frames // n) if frames else 1
+        for fi in range(0, n * step, step)[:n] if frames else [0]:
+            out_id.append(mid)
+            out_type.append(mtype)
+            out_frame.append(fi)
+            # per-frame descriptor: feature rotated by frame index (stub)
+            out_desc.append(feat[fi % len(feat):] + feat[: fi % len(feat)] if feat else [])
+    return pa.table(
+        {
+            "media_id": pa.array(out_id, pa.int64()),
+            "media_type": pa.array(out_type, pa.string()),
+            "frame_index": pa.array(out_frame, pa.int32()),
+            "frame_feature": pa.array(out_desc, pa.list_(pa.float32())),
+        }
+    )
+
+
+def media_frames(sf_dir: str) -> "ray.data.Dataset":
+    """QA pipeline: decode stub → frame sampling (flat_map explode)."""
+    return media_features(sf_dir).map_batches(
+        frame_sample_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def media_features(sf_dir: str) -> "ray.data.Dataset":
     """QA pipeline: synth media from documents → actor-pool decode stub."""
     import os

@@ -66,6 +66,8 @@ SQL_QUERIES = [
     "json_props_sum", "hourly_event_window", "token_stats", "quality_score",
     "langid", "doc_fingerprint", "exact_dedup", "ngram_jaccard_pairs",
     "knn_bruteforce", "neardup_cosine", "label_stats",
+    "left_outer_join", "asof_join", "window_cumsum", "explode_part_names",
+    "sample_deterministic", "supplier_balance_stats",
 ]
 
 
@@ -83,7 +85,10 @@ def test_query_matches_duckdb(ray_session, con, name):
         assert rv == sv, f"{name}: values differ; first ray={rv[:1]} sql={sv[:1]}"
 
 
-ROWS_ONLY = ["minhash_lsh_pairs", "simhash", "lsh_bucket_stats", "media_features", "extract_pages"]
+ROWS_ONLY = [
+    "minhash_lsh_pairs", "simhash", "lsh_bucket_stats", "media_features",
+    "media_frame_sample", "extract_pages", "hll_distinct_users",
+]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -94,3 +99,20 @@ def test_rows_only_queries_run(ray_session, name):
         assert t.num_rows == 500  # one row per sf0.001 document
     else:
         assert t.num_rows >= 0
+
+
+def test_hll_estimate_close_to_exact(ray_session, con):
+    """MR-G4 sketch accuracy: HLL estimate within 5% of the exact count."""
+    spec = _registry()["hll_distinct_users"]
+    est = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in _to_table(spec.fn(SF_DIR)).to_pylist()
+    }
+    exact = dict(
+        con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(2, 0.05 * e), (t, est[t], e)
