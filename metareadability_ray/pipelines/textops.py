@@ -272,6 +272,7 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
 
 # ------------------------------------------------------------------ MinHash+LSH
 _MERSENNE = (1 << 61) - 1
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
@@ -281,36 +282,78 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def _doc_minhash(tokens: list[str], a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
-    sh = _shingles(tokens, k)
-    if not sh:
+def _token_hash_array(tokens: list[str], cache: dict[str, int]) -> np.ndarray:
+    """Stable 64-bit token hashes (blake2b), memoised per actor — the token
+    vocabulary is tiny relative to the corpus, so the C-hash runs once per
+    distinct token instead of once per shingle occurrence."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    get = cache.get
+    for i, tok in enumerate(tokens):
+        h = get(tok)
+        if h is None:
+            h = struct.unpack(
+                "<Q", hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+            )[0]
+            if len(cache) < 2_000_000:
+                cache[tok] = h
+        out[i] = h
+    return out
+
+
+def _rot(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r % 64)
+    return (x << r) | (x >> (np.uint64(64) - r)) if r else x
+
+
+def _shingle_hashes(tokens: list[str], k: int, cache: dict[str, int]) -> np.ndarray:
+    """Distinct k-gram shingle hashes, fully vectorized: position-rotated
+    token hashes xor-combined per window, then np.unique for set semantics.
+    Same set size/dup behaviour as _shingles (hash collisions aside)."""
+    th = _token_hash_array(tokens, cache)
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0)
+        for j in range(n):
+            h ^= _rot(th[j : j + 1], 13 * j)[0]
+        return np.asarray([h * _MIX], dtype=np.uint64)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h ^= _rot(th[j : j + m], 13 * j)
+    return np.unique(h * _MIX)
+
+
+def _doc_minhash(
+    tokens: list[str],
+    a: np.ndarray,
+    b: np.ndarray,
+    k: int = 3,
+    cache: dict[str, int] | None = None,
+) -> np.ndarray:
+    hv = _shingle_hashes(tokens, k, cache if cache is not None else {})
+    if not len(hv):
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    # stable 64-bit shingle hashes via blake2b (no salted hash())
-    hv = np.fromiter(
-        (
-            struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
-            for s in sh
-        ),
-        dtype=np.uint64,
-        count=len(sh),
-    )
-    # (a*x + b) mod p, vectorized over perms × shingles
+    # (a*x + b) on uint64 (wraps mod 2^64 — deterministic mixing), then mod p
     prod = (a[:, None] * (hv[None, :] % _MERSENNE)) % _MERSENNE
     return ((prod + b[:, None]) % _MERSENNE).min(axis=1)
 
 
 class MinHasher:
-    """Actor-pool stage: permutation table built once per actor (MR-A1 style)."""
+    """Actor-pool stage: permutation table + token-hash cache built once per
+    actor (MR-A1 style)."""
 
     def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42):
         self.a, self.b = _minhash_params(num_perm, seed)
         self.k = k
         self.num_perm = num_perm
+        self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         sigs = [
-            _doc_minhash((t or "").split(), self.a, self.b, self.k)
+            _doc_minhash((t or "").split(), self.a, self.b, self.k, self._cache)
             for t in batch.column("text").to_pylist()
         ]
         return pa.table(
@@ -341,21 +384,34 @@ def minhash_lsh_pairs(
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        out_bucket, out_doc, out_sig = [], [], []
-        for doc_id, sig in zip(batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()):
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                key = hashlib.blake2b(
-                    struct.pack(f"<i{rows_per_band}q", band, *chunk), digest_size=8
-                ).hexdigest()
-                out_bucket.append(key)
-                out_doc.append(doc_id)
-                out_sig.append(sig)
+        """Vectorized banding: signatures → (bands × docs) int64 bucket keys
+        via rotate-xor mixing (band index folded in), no per-band hashing."""
+        ids = batch.column("doc_id").to_pylist()
+        sig_col = batch.column("sig")
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        S = np.asarray(
+            [s for s in sig_col.to_pylist()], dtype=np.uint64
+        ).reshape(n, bands, rows_per_band)
+        mix = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            mix ^= _rot(S[:, :, j] * _MIX, 13 * j)
+        mix ^= np.arange(bands, dtype=np.uint64)[None, :] * _MIX  # fold band idx in
+        bucket = mix.astype(np.int64).ravel()  # row-major: doc0 bands, doc1 bands …
+        doc_rep = np.repeat(np.asarray(ids, dtype=np.int64), bands)
+        sig_list = sig_col.to_pylist()
         return pa.table(
             {
-                "bucket": pa.array(out_bucket, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+                "bucket": pa.array(bucket, pa.int64()),
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "sig": pa.array([sig_list[i] for i in range(n) for _ in range(bands)], pa.list_(pa.int64())),
             }
         )
 
