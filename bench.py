@@ -49,9 +49,16 @@ BENCH_QUERIES = [
     "join_customer_orders",
     "three_way_join",
     "broadcast_join_part",
+    "left_outer_join",
     "hourly_event_window",
     "latest_event_per_user",
+    "asof_join",
+    "window_cumsum",
     "json_props_sum",
+    "explode_part_names",
+    "sample_deterministic",
+    "supplier_balance_stats",
+    "hll_distinct_users",
     "token_stats",
     "langid",
     "quality_score",
@@ -63,6 +70,7 @@ BENCH_QUERIES = [
     "neardup_cosine",
     "lsh_bucket_stats",
     "media_features",
+    "media_frame_sample",
 ]
 
 
