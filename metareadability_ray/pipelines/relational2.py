@@ -183,6 +183,76 @@ def q_supplier_balance_stats(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------------------------------- set ops
+def _users_of(sf_dir: str, event_type: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return (
+            batch.filter(pc.equal(batch.column("event_type"), event_type))
+            .select(["user_id"])
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
+def _users_of_pred(sf_dir: str, event_type: str, min_value: float) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch.column("event_type"), event_type),
+            pc.greater(batch.column("value"), min_value),
+        )
+        return batch.filter(mask).select(["user_id"])
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
+def q_intersect_users(sf_dir: str) -> "ray.data.Dataset":
+    """INTERSECT: users with both a 'purchase' and an 'error' event —
+    distinct per side, then inner-joined on the key (no row payload moves)."""
+    a = _users_of(sf_dir, "purchase")
+    b = _users_of(sf_dir, "error")
+    return a.join(b, join_type="inner", num_partitions=4, on=("user_id",)).select_columns(
+        ["user_id"]
+    )
+
+
+def q_except_users(sf_dir: str) -> "ray.data.Dataset":
+    """EXCEPT: users with a big (>300) purchase but no big error — broadcast
+    anti-join on the distinct big-error-user set (small side). The value
+    predicate keeps the sets from being universal (every user has every
+    event type in this data)."""
+    import pyarrow.parquet as pq
+
+    et = pq.read_table(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+    big_err = frozenset(
+        et.filter(
+            pc.and_(pc.equal(et.column("event_type"), "error"), pc.greater(et.column("value"), 300.0))
+        ).column("user_id").to_pylist()
+    )
+    bought_ref = ray.put(big_err)
+    viewers = _users_of_pred(sf_dir, "purchase", 300.0)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bought_ref) if isinstance(bought_ref, ray.ObjectRef) else bought_ref
+        mask = pa.array([u not in bs for u in batch.column("user_id").to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return viewers.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ----------------------------------------------------------------- HLL sketch
 _HLL_P = 12  # 4096 registers → ~1.6% relative error
 _HLL_M = 1 << _HLL_P

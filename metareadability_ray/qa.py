@@ -306,6 +306,24 @@ REGISTRY: dict[str, QASpec] = {
         "MR-G2(min/max)",
     ),
     "hll_distinct_users": QASpec(R2.q_hll_distinct_users, None, "MR-G4(HLL-sketch)"),
+    "intersect_users": QASpec(
+        R2.q_intersect_users,
+        """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "MR-D3(intersect)",
+    ),
+    "except_users": QASpec(
+        R2.q_except_users,
+        """
+        SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error' AND value > 300
+        """,
+        "MR-D3(except)",
+    ),
     "minhash_lsh_pairs": QASpec(T.q_minhash_lsh_pairs, None, "MR-D4(minhash-lsh)"),
     "simhash": QASpec(T.q_simhash, None, "MR-D4(simhash)"),
     # -------------------------------------------------------------- vectors

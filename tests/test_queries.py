@@ -67,7 +67,8 @@ SQL_QUERIES = [
     "langid", "doc_fingerprint", "exact_dedup", "ngram_jaccard_pairs",
     "knn_bruteforce", "neardup_cosine", "label_stats",
     "left_outer_join", "asof_join", "window_cumsum", "explode_part_names",
-    "sample_deterministic", "supplier_balance_stats",
+    "sample_deterministic", "supplier_balance_stats", "intersect_users",
+    "except_users",
 ]
 
 
