@@ -117,3 +117,16 @@ def test_hll_estimate_close_to_exact(ray_session, con):
     assert set(est) == set(exact)
     for t, e in exact.items():
         assert abs(est[t] - e) <= max(2, 0.05 * e), (t, est[t], e)
+
+
+def test_registry_fully_covered():
+    """Every registry entry is exercised by exactly one of the two param
+    lists above — a new operator can't silently skip the conformance gate."""
+    reg = set(_registry())
+    listed = set(SQL_QUERIES) | set(ROWS_ONLY)
+    assert reg == listed, reg ^ listed
+    # and the SQL/rows split matches the registry's own declaration
+    for name in SQL_QUERIES:
+        assert _registry()[name].sql is not None, name
+    for name in ROWS_ONLY:
+        assert _registry()[name].sql is None, name
