@@ -30,8 +30,22 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from metareadability_ray.util import distinct_keys_ref, keyset_mask, lookup_ref, lookup_take
+
 def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def fmt_fixed(col: pa.ChunkedArray | pa.Array, nd: int) -> pa.Array:
+    """Float column → fixed-decimal strings, vectorized via ``np.char.mod``
+    (C printf ``%.Nf``, identical rounding to Python's f-string and DuckDB's
+    ``printf``); nulls propagate."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    strs = np.char.mod(f"%.{nd}f", vals)
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    return pa.array(strs, pa.string(), mask=nulls)
 
 
 def _fmt_cols(ds: "ray.data.Dataset", spec: dict[str, int]) -> "ray.data.Dataset":
@@ -44,8 +58,7 @@ def _fmt_cols(ds: "ray.data.Dataset", spec: dict[str, int]) -> "ray.data.Dataset
     def do(batch: pa.Table) -> pa.Table:
         for col, nd in spec.items():
             i = batch.column_names.index(col)
-            vals = [None if v is None else f"{v:.{nd}f}" for v in batch.column(col).to_pylist()]
-            batch = batch.set_column(i, col, pa.array(vals, pa.string()))
+            batch = batch.set_column(i, col, fmt_fixed(batch.column(col), nd))
         return batch
 
     return ds.map_batches(do, batch_format="pyarrow", zero_copy_batch=True)
@@ -105,14 +118,13 @@ def q_three_way_join(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as pq
 
     n_tbl = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    n_map_ref = ray.put(dict(zip(n_tbl.column("n_nationkey").to_pylist(), n_tbl.column("n_name").to_pylist())))
+    n_ref = lookup_ref(n_tbl.column("n_nationkey"), n_tbl.column("n_name"))
 
     cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
 
-    def add_nation(batch: pa.Table, n_map_ref=n_map_ref) -> pa.Table:
-        n_map = ray.get(n_map_ref) if isinstance(n_map_ref, ray.ObjectRef) else n_map_ref
-        names = [n_map.get(k, "") for k in batch.column("c_nationkey").to_pylist()]
-        return batch.append_column("n_name", pa.array(names, pa.string()))
+    def add_nation(batch: pa.Table) -> pa.Table:
+        names = lookup_take(n_ref, batch.column("c_nationkey"), default="")
+        return batch.append_column("n_name", names)
 
     cust = cust.map_batches(add_nation, batch_format="pyarrow", zero_copy_batch=True)
     orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
@@ -133,14 +145,13 @@ def q_broadcast_join_part(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as pq
 
     small = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
-    brand_ref = ray.put(dict(zip(small.column("p_partkey").to_pylist(), small.column("p_brand").to_pylist())))
+    brand_ref = lookup_ref(small.column("p_partkey"), small.column("p_brand"))
 
     li = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
 
     def add_brand(batch: pa.Table) -> pa.Table:
-        brands = ray.get(brand_ref) if isinstance(brand_ref, ray.ObjectRef) else brand_ref
-        vals = [brands.get(k) for k in batch.column("l_partkey").to_pylist()]
-        return batch.append_column("p_brand", pa.array(vals, pa.string()))
+        # missing keys stay null (inner-join rows never are, in this data)
+        return batch.append_column("p_brand", lookup_take(brand_ref, batch.column("l_partkey")))
 
     with_brand = li.map_batches(add_brand, batch_format="pyarrow", zero_copy_batch=True)
     agg = with_brand.groupby("p_brand").aggregate(
@@ -151,38 +162,36 @@ def q_broadcast_join_part(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_semi_join_customers(sf_dir: str) -> "ray.data.Dataset":
-    """Semi-join via broadcast key-set: customers that have ≥1 order."""
-    import pyarrow.parquet as pq
+    """Semi-join: customers that have ≥1 order.
 
-    keys = frozenset(
-        pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"]).column("o_custkey").to_pylist()
-    )
-    keys_ref = ray.put(keys)
+    The order keys are DISTINCT-ed distributedly (groupby shuffle of the key
+    column only); the driver holds just the distinct set — bounded by
+    customer cardinality, never by the orders fact-table size. Membership is
+    ``pc.is_in`` (vectorized)."""
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    keys_ref = distinct_keys_ref(orders, "o_custkey")
     cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
 
     def semi(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        mask = pa.array([k in ks for k in batch.column("c_custkey").to_pylist()], pa.bool_())
-        return batch.filter(mask)
+        return batch.filter(keyset_mask(keys_ref, batch.column("c_custkey")))
 
     return cust.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_anti_join_customers(sf_dir: str) -> "ray.data.Dataset":
-    """Anti-join via broadcast key-set: customers with NO 'F'-status order."""
-    import pyarrow.parquet as pq
+    """Anti-join: customers with NO 'F'-status order. Same distributed-distinct
+    + broadcast plan as the semi join, with the membership mask inverted."""
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
 
-    ot = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
-    keys = frozenset(
-        ot.filter(pc.equal(ot.column("o_orderstatus"), "F")).column("o_custkey").to_pylist()
-    )
-    keys_ref = ray.put(keys)
+    def only_f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("o_orderstatus"), "F")).select(["o_custkey"])
+
+    f_orders = orders.map_batches(only_f, batch_format="pyarrow", zero_copy_batch=True)
+    keys_ref = distinct_keys_ref(f_orders, "o_custkey")
     cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
 
     def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        mask = pa.array([k not in ks for k in batch.column("c_custkey").to_pylist()], pa.bool_())
-        return batch.filter(mask)
+        return batch.filter(keyset_mask(keys_ref, batch.column("c_custkey"), negate=True))
 
     return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 

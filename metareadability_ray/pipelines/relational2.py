@@ -19,6 +19,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from metareadability_ray.util import distinct_keys_ref, keyset_mask, lookup_ref, lookup_take
+
 
 def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
@@ -36,16 +38,13 @@ def q_left_outer_join(sf_dir: str) -> "ray.data.Dataset":
 
     ct = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
     ct = ct.filter(pc.greater(ct.column("c_acctbal"), 9000.0))
-    name_map_ref = ray.put(
-        dict(zip(ct.column("c_custkey").to_pylist(), ct.column("c_name").to_pylist()))
-    )
+    name_ref = lookup_ref(ct.column("c_custkey"), ct.column("c_name"))
 
     orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
 
     def add_name(batch: pa.Table) -> pa.Table:
-        m = ray.get(name_map_ref) if isinstance(name_map_ref, ray.ObjectRef) else name_map_ref
-        names = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
-        return batch.append_column("c_name", pa.array(names, pa.string()))
+        # pc.index_in + take: unmatched keys stay null (LEFT JOIN semantics)
+        return batch.append_column("c_name", lookup_take(name_ref, batch.column("o_custkey")))
 
     return orders.map_batches(add_name, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -80,8 +79,13 @@ def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
         view_ts, view_vals = ts[is_view], vals[is_view]
         pos = np.searchsorted(view_ts, click_ts, side="right") - 1
         has = pos >= 0
-        out_view_ts = np.where(has, view_ts[np.clip(pos, 0, None)], 0)
-        out_view_val = np.where(has, view_vals[np.clip(pos, 0, None)], np.nan)
+        # LEFT-join semantics when the user has clicks but zero views: every
+        # match is null (np.where would eagerly index the empty view arrays).
+        out_view_ts = np.zeros(len(click_ts), dtype=np.int64)
+        out_view_val = np.full(len(click_ts), np.nan)
+        if len(view_ts):
+            out_view_ts[has] = view_ts[pos[has]]
+            out_view_val[has] = view_vals[pos[has]]
         return pa.table(
             {
                 "event_id": pa.array(click_eid, pa.int64()),
@@ -117,7 +121,7 @@ def q_window_cumsum(sf_dir: str) -> "ray.data.Dataset":
             {
                 "event_id": g.column("event_id"),
                 "user_id": g.column("user_id"),
-                "cum_value": pa.array([f"{v:.2f}" for v in cs], pa.string()),
+                "cum_value": pa.array(np.char.mod("%.2f", cs), pa.string()),
             }
         )
 
@@ -146,14 +150,15 @@ def q_explode_part_names(sf_dir: str) -> "ray.data.Dataset":
 def q_sample_deterministic(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic ~25% sample: keep rows whose md5(text) starts with
     0x0-0x3. Content-hash sampling is reproducible across engines, block
-    orders, and cluster sizes — unlike RNG sampling."""
+    orders, and cluster sizes — unlike RNG sampling. Null text never
+    samples (SQL: substring(md5(NULL),1,1) <= '3' is NULL → not kept)."""
     import hashlib
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
 
     def sample(batch: pa.Table) -> pa.Table:
         mask = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()[0] <= "3"
+            t is not None and hashlib.md5(t.encode("utf-8")).hexdigest()[0] <= "3"
             for t in batch.column("text").to_pylist()
         ]
         return batch.filter(pa.array(mask, pa.bool_())).select(["doc_id", "lang"])
@@ -176,9 +181,10 @@ def q_supplier_balance_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def fmt(batch: pa.Table) -> pa.Table:
+        from metareadability_ray.pipelines.relational import fmt_fixed
+
         i = batch.column_names.index("sum_bal")
-        vals = [f"{v:.2f}" for v in batch.column("sum_bal").to_pylist()]
-        return batch.set_column(i, "sum_bal", pa.array(vals, pa.string()))
+        return batch.set_column(i, "sum_bal", fmt_fixed(batch.column("sum_bal"), 2))
 
     return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -230,27 +236,21 @@ def q_intersect_users(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_except_users(sf_dir: str) -> "ray.data.Dataset":
-    """EXCEPT: users with a big (>300) purchase but no big error — broadcast
-    anti-join on the distinct big-error-user set (small side). The value
-    predicate keeps the sets from being universal (every user has every
-    event type in this data)."""
-    import pyarrow.parquet as pq
+    """EXCEPT: users with a big (>300) purchase but no big error.
 
-    et = pq.read_table(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
-    big_err = frozenset(
-        et.filter(
-            pc.and_(pc.equal(et.column("event_type"), "error"), pc.greater(et.column("value"), 300.0))
-        ).column("user_id").to_pylist()
-    )
-    bought_ref = ray.put(big_err)
-    viewers = _users_of_pred(sf_dir, "purchase", 300.0)
+    Both sides are DISTINCT-ed distributedly (groupby shuffle of the key
+    column only); only the distinct big-error-user set — bounded by user
+    cardinality, never by the events fact-table size — is broadcast, and the
+    anti filter is a vectorized ``pc.is_in`` inversion. The value predicate
+    keeps the sets from being universal (every user has every event type in
+    this data)."""
+    big_err_ref = distinct_keys_ref(_users_of_pred(sf_dir, "error", 300.0), "user_id")
+    buyers = _users_of_pred(sf_dir, "purchase", 300.0)
 
     def anti(batch: pa.Table) -> pa.Table:
-        bs = ray.get(bought_ref) if isinstance(bought_ref, ray.ObjectRef) else bought_ref
-        mask = pa.array([u not in bs for u in batch.column("user_id").to_pylist()], pa.bool_())
-        return batch.filter(mask)
+        return batch.filter(keyset_mask(big_err_ref, batch.column("user_id"), negate=True))
 
-    return viewers.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return buyers.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ----------------------------------------------------------------- HLL sketch
@@ -258,25 +258,33 @@ _HLL_P = 12  # 4096 registers → ~1.6% relative error
 _HLL_M = 1 << _HLL_P
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: deterministic 64-bit avalanche hash of
+    a uint64 array (public-domain constant set) — hashes a whole block at
+    numpy speed instead of one hashlib call per row."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _hll_partial(batch: pa.Table) -> pa.Table:
     """Per-batch partial HLL registers per event_type (pre-aggregation before
-    the shuffle — at scale only 4 KiB of registers per (block, key) moves)."""
-    import hashlib
-
+    the shuffle — at scale only 4 KiB of registers per (block, key) moves).
+    Fully vectorized: splitmix64 block hash, frexp bit-length, maximum.at
+    scatter into the registers."""
     out_types, out_regs = [], []
     types = np.asarray(batch.column("event_type").to_pylist())
-    uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+    uids = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    h_all = _splitmix64(uids)
+    idx_all = (h_all & np.uint64(_HLL_M - 1)).astype(np.int64)
+    w_all = h_all >> np.uint64(_HLL_P)  # 52 significant bits → float64-exact
+    _, exp = np.frexp(w_all.astype(np.float64))  # exp == bit_length for w>0
+    rank_all = np.where(w_all > 0, 52 - exp + 1, 53).astype(np.uint8)
     for t in np.unique(types):
+        sel = types == t
         regs = np.zeros(_HLL_M, dtype=np.uint8)
-        for u in uids[types == t]:
-            h = int.from_bytes(
-                hashlib.blake2b(int(u).to_bytes(8, "little"), digest_size=8).digest(), "little"
-            )
-            idx = h & (_HLL_M - 1)
-            w = h >> _HLL_P
-            rank = (52 - w.bit_length()) + 1 if w else 53
-            if rank > regs[idx]:
-                regs[idx] = rank
+        np.maximum.at(regs, idx_all[sel], rank_all[sel])
         out_types.append(str(t))
         out_regs.append(regs.tolist())
     return pa.table(

@@ -148,7 +148,8 @@ def q_doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        digs = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        # null text → null fingerprint (SQL: md5(NULL) IS NULL)
+        digs = [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
         toks = pc.cast(pc.count_substring_regex(batch.column("text"), _TOKEN_RE), pa.int64())
         return pa.table(
             {
@@ -162,25 +163,39 @@ def q_doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ------------------------------------------------------------------ exact dedup
+# sentinel for null text through the groupby shuffle: Ray's sort-based
+# groupby cannot order null keys, and md5 hex is always 32 chars of
+# [0-9a-f], so this cannot collide with a real hash.
+_NULL_HASH = "\x00null"
+
+
 def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Exact text dedup: hash-partition on md5(text), keep min doc_id per
-    group. Only (hash, doc_id) pairs shuffle — the text never moves."""
+    group. Only (hash, doc_id) pairs shuffle — the text never moves.
+    Null text groups as SQL NULL (md5(NULL) IS NULL, one group)."""
     ds = _docs(sf_dir)
 
     def to_hash(batch: pa.Table) -> pa.Table:
         digs = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            _NULL_HASH if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
             for t in batch.column("text").to_pylist()
         ]
         return pa.table(
             {"text_hash": pa.array(digs, pa.string()), "doc_id": batch.column("doc_id")}
         )
 
-    return (
+    agg = (
         ds.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
     )
+
+    def restore_null(batch: pa.Table) -> pa.Table:
+        col = batch.column("text_hash")
+        fixed = pc.if_else(pc.equal(col, _NULL_HASH), pa.scalar(None, pa.string()), col)
+        return batch.set_column(batch.column_names.index("text_hash"), "text_hash", fixed)
+
+    return agg.map_batches(restore_null, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------- n-gram Jaccard (exact)

@@ -1,6 +1,20 @@
-"""Shared helpers."""
+"""Shared helpers: actor-pool sizing + broadcast-join building blocks.
+
+The broadcast helpers implement the two scale-safe small-side join idioms:
+
+* :func:`distinct_keys_ref` — the key set of a FACT table is built
+  DISTRIBUTEDLY (groupby distinct); only the distinct key set — bounded by
+  key cardinality, never by fact-table row count — is materialised and
+  shipped once via ``ray.put``. The driver never holds a fact-table column.
+* :func:`lookup_ref` — a DIM table's (key, value) columns ship once via
+  ``ray.put`` as Arrow arrays; per-batch lookups run through
+  ``pc.index_in`` + ``pc.take`` (vectorized, no Python dict loop).
+"""
 
 from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def auto_actor_concurrency(frac: float = 0.5, minimum: int = 1, cap: int | None = None) -> int:
@@ -11,12 +25,86 @@ def auto_actor_concurrency(frac: float = 0.5, minimum: int = 1, cap: int | None 
     their CPU for the lifetime of the operator while upstream read tasks and
     downstream shuffle tasks wait for one. Half the CPUs (min 1) is safe at
     every size and measured fastest on this oversubscribed VM (bench.py).
+
+    Sized from ``ray.cluster_resources()`` (total capacity) — NOT
+    ``available_resources()``, whose instantaneous free-CPU count would make
+    pool sizes load-dependent (undersized to 1 mid-session on a busy
+    cluster).
     """
     try:
         import ray
 
-        cpus = int(ray.available_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:  # pragma: no cover - ray not importable
         cpus = 4
     c = max(minimum, int(cpus * frac))
     return min(c, cap) if cap is not None else c
+
+
+def _concat_column(batches: list[pa.Table], col: str) -> pa.Array:
+    chunks: list[pa.Array] = []
+    for b in batches:
+        c = b.column(col)
+        chunks.extend(c.chunks if isinstance(c, pa.ChunkedArray) else [c])
+    if not chunks:
+        return pa.array([], pa.null())
+    return pa.concat_arrays(chunks)
+
+
+def distinct_keys_ref(ds: "ray.data.Dataset", col: str):
+    """Distributed-distinct of ``ds[col]`` → ``ray.put`` of a ``pa.Array``.
+
+    The distinct runs as a Ray Data groupby (hash shuffle of the KEY column
+    only); the driver materialises just the distinct set, which for a
+    foreign-key column is bounded by the dim-side cardinality — never by the
+    fact table's row count. Use with ``pc.is_in`` inside ``map_batches`` for
+    semi/anti joins of a big table against a fact-derived key set.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    distinct = ds.groupby(col).aggregate(Count(alias_name="__n"))
+    batches = list(distinct.iter_batches(batch_format="pyarrow"))
+    return ray.put(_concat_column(batches, col))
+
+
+def lookup_ref(keys: pa.Array | pa.ChunkedArray, values: pa.Array | pa.ChunkedArray):
+    """Ship a small (key, value) lookup once via ``ray.put`` as Arrow arrays."""
+    import ray
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return ray.put((keys, values))
+
+
+def lookup_take(ref, key_col: pa.ChunkedArray | pa.Array, default=None) -> pa.Array:
+    """Vectorized broadcast lookup: ``pc.index_in`` + ``pc.take``.
+
+    Missing keys yield null (like ``dict.get`` → None); pass ``default`` to
+    fill them (e.g. ``""``). C-speed hash lookup, no Python per-row loop.
+    """
+    import ray
+
+    keys, values = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    idx = pc.index_in(key_col, value_set=keys)
+    out = pc.take(values, idx)
+    if default is not None:
+        out = pc.fill_null(out, default)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def keyset_mask(ref, key_col: pa.ChunkedArray | pa.Array, negate: bool = False) -> pa.Array:
+    """Vectorized membership mask against a broadcast key set (``pc.is_in``)."""
+    import ray
+
+    keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    mask = pc.is_in(key_col, value_set=keys)
+    if negate:
+        mask = pc.invert(mask)
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    return mask

@@ -1,0 +1,113 @@
+"""Regression tests for round-1 advisor findings (ADVICE.md):
+
+* as-of join must not crash — and must emit NULL matches — for a user with
+  clicks but zero views (ASOF LEFT JOIN semantics);
+* null text must propagate as SQL NULL through md5-based operators
+  (exact_dedup, doc_fingerprint, sample_deterministic), matching
+  ``md5(NULL) IS NULL``.
+"""
+
+import datetime as dt
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def mini_sf(tmp_path):
+    """A tiny sf_dir with events + documents exercising the edge cases."""
+    ts0 = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return ts0 + dt.timedelta(minutes=m)
+
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([t(0), t(5), t(10), t(1), t(2), t(7)], pa.timestamp("us")),
+            # user 1: view→click→click; user 2: clicks ONLY (no view);
+            # user 3: view only (no clicks)
+            "event_type": pa.array(
+                ["view", "click", "click", "click", "click", "view"], pa.string()
+            ),
+            "value": pa.array([10.0, 0.0, 0.0, 0.0, 0.0, 30.0], pa.float64()),
+        }
+    )
+    pq.write_table(events, os.path.join(tmp_path, "events.parquet"))
+
+    documents = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["alpha beta", None, "alpha beta", None], pa.string()),
+            "lang": pa.array(["en", "en", "en", "de"], pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([10, 0, 10, 0], pa.int64()),
+        }
+    )
+    pq.write_table(documents, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def _rows(ds):
+    t = ds if isinstance(ds, pa.Table) else pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")], promote_options="permissive"
+    )
+    cols = sorted(t.column_names)
+    return sorted(
+        (tuple(repr(r[c]) for c in cols) for r in t.select(cols).to_pylist()), key=repr
+    )
+
+
+def _duck(sf_dir: str, sql: str) -> pa.Table:
+    con = duckdb.connect()
+    for name in ("events", "documents"):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).fetch_arrow_table()
+
+
+def test_asof_join_user_with_no_views(ray_session, mini_sf):
+    """Clicks from a user with zero views get NULL matches, not a crash."""
+    from metareadability_ray.pipelines import relational2 as R2
+    from metareadability_ray.qa import REGISTRY
+
+    got = _rows(R2.q_asof_join(mini_sf))
+    want = _rows(_duck(mini_sf, REGISTRY["asof_join"].sql))
+    assert got == want
+    # sanity: user 2's clicks are present with null view_ts
+    t = pa.concat_tables(list(R2.q_asof_join(mini_sf).iter_batches(batch_format="pyarrow")))
+    u2 = t.filter(pa.compute.equal(t.column("user_id"), 2))
+    assert u2.num_rows == 2
+    assert all(v is None for v in u2.column("view_ts").to_pylist())
+
+
+def test_exact_dedup_null_text(ray_session, mini_sf):
+    from metareadability_ray.pipelines import textops as T
+    from metareadability_ray.qa import REGISTRY
+
+    got = _rows(T.q_exact_dedup(mini_sf))
+    want = _rows(_duck(mini_sf, REGISTRY["exact_dedup"].sql))
+    assert got == want
+
+
+def test_doc_fingerprint_null_text(ray_session, mini_sf):
+    from metareadability_ray.pipelines import textops as T
+    from metareadability_ray.qa import REGISTRY
+
+    got = _rows(T.q_doc_fingerprint(mini_sf))
+    want = _rows(_duck(mini_sf, REGISTRY["doc_fingerprint"].sql))
+    assert got == want
+
+
+def test_sample_deterministic_null_text(ray_session, mini_sf):
+    from metareadability_ray.pipelines import relational2 as R2
+    from metareadability_ray.qa import REGISTRY
+
+    got = _rows(R2.q_sample_deterministic(mini_sf))
+    want = _rows(_duck(mini_sf, REGISTRY["sample_deterministic"].sql))
+    assert got == want
