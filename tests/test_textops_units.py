@@ -115,3 +115,38 @@ def test_media_decode_actor_schema_and_error_counting():
     assert actor.decoded == 2 and actor.failed == 1  # empty text → empty payload
     # failed row is zeroed, not dropped
     assert out.column("width").to_pylist()[1] == 0
+
+
+def test_ngram_df_cut_drops_hot_posting_lists(ray_session, tmp_path):
+    """df_cut bounds the quadratic hot-shingle pair emission: true near-dup
+    pairs (sharing non-hot shingles) survive; pairs that existed ONLY through
+    the dropped hot shingle are gone."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines.textops import ngram_jaccard_pairs
+
+    texts = ["dup one two three four five", "dup one two three four five"]
+    # 6 docs that share ONLY the hot shingle "x y z"
+    texts += [f"x y z tail{i} word{i} more{i}" for i in range(6)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+
+    def pairs(ds):
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        return set(zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()))
+
+    exact = pairs(ngram_jaccard_pairs(str(tmp_path), k=3, thresh_num=1, thresh_den=5))
+    capped = pairs(
+        ngram_jaccard_pairs(str(tmp_path), k=3, thresh_num=1, thresh_den=5, df_cut=4)
+    )
+    assert (0, 1) in exact and (0, 1) in capped  # true dup survives the cut
+    assert capped <= exact
+    # the hot-shingle-only pairs exceeded the cut and were dropped
+    assert all(not (a >= 2 and b >= 2) for a, b in capped)
