@@ -31,7 +31,7 @@ def entry() -> Any:
         pages_dataset(SF_SMOKE_DIR), num_partitions=8,
         concurrency=auto_actor_concurrency(),
     )
-    return ds.select_columns(["url", "headline", "pubdate", "authors"])
+    return ds.select_columns(["url", "headline", "pubdate", "authors", "text"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

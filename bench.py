@@ -93,7 +93,8 @@ def _init_ray(num_cpus: int) -> None:
 def ensure_corpus(n_rows: int, seed: int = 42, shards: int = 32) -> str:
     """Deterministic bench `pages` corpus, generated in parallel Ray tasks
     (one seeded fixtures.gen shard each), cached under /tmp."""
-    out_dir = f"/tmp/mr_bench_pages_{n_rows}_{seed}"
+    # _v2: fixture pages gained content-container/boilerplate markup (A.6)
+    out_dir = f"/tmp/mr_bench_pages_v2_{n_rows}_{seed}"
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir

@@ -191,10 +191,41 @@ def _compose(rng: random.Random, headline: str, authors: list[str], pub: dt.date
     if rng.random() < 0.3:
         noise_bits.append(f"<p>Tension&nbsp;rises &amp; {rng.choice(_WORDS)}&#233;</p>")
 
-    paras = "".join(
+    para_list = [
         f"<p>{' '.join(rng.choice(_WORDS) for _ in range(rng.randint(15, 40)))}.</p>"
         for _ in range(rng.randint(3, 10))
-    )
+    ]
+
+    # -- content-layout axis (A.6 main-text extraction)
+    layout = rng.randrange(4)
+    if layout == 0:
+        body_content = "".join(para_list)  # flat: paragraphs directly in body
+    elif layout == 1:
+        body_content = f'<div class="article-body">{"".join(para_list)}</div>'
+    elif layout == 2:
+        # per-paragraph wrapper divs inside an article container
+        body_content = (
+            '<div id="main-content">'
+            + "".join(f"<div>{p}</div>" for p in para_list)
+            + "</div>"
+        )
+    else:
+        body_content = f'<article>{"".join(para_list)}</article>'
+
+    # -- boilerplate axis: long-but-negative subtrees the strip must drop
+    boiler = []
+    if rng.random() < 0.5:
+        items = "".join(
+            f'<li><a href="/{rng.choice(_WORDS)}">{" ".join(rng.choice(_WORDS) for _ in range(6))}</a></li>'
+            for _ in range(rng.randint(3, 6))
+        )
+        boiler.append(f'<div class="sidebar related"><ul>{items}</ul></div>')
+    if rng.random() < 0.4:
+        boiler.append(
+            '<div class="comments"><p>'
+            + " ".join(rng.choice(_WORDS) for _ in range(rng.randint(20, 40)))
+            + "</p></div>"
+        )
 
     html = (
         "<!DOCTYPE html><html><head>"
@@ -203,7 +234,8 @@ def _compose(rng: random.Random, headline: str, authors: list[str], pub: dt.date
         f"{noise_bits[0] if noise_bits else ''}"
         f"{hl_html}{auth_html}"
         f"{date_html if not date_html.startswith('<meta') else ''}"
-        f"{paras}"
+        f"{body_content}"
+        f"{''.join(boiler)}"
         f"{''.join(noise_bits[1:])}"
         "<footer><a href='/about'>About</a><a href='/contact'>Contact</a></footer>"
         "</body></html>"
@@ -325,7 +357,7 @@ def generate(
             cur = winner.get(url)
             if cur is None or (ts, _neg_lex(h)) > (cur[0], _neg_lex(cur[1])):
                 winner[url] = (ts, h, raw)
-        e_urls, e_heads, e_dates, e_auths = [], [], [], []
+        e_urls, e_heads, e_dates, e_auths, e_texts = [], [], [], [], []
         for url in sorted(winner):
             ts, _, raw = winner[url]
             r = extract(raw, url, ts)
@@ -333,12 +365,14 @@ def generate(
             e_heads.append(r.headline)
             e_dates.append(r.pubdate)
             e_auths.append(r.authors)
+            e_texts.append(r.text)
         exp = pa.table(
             {
                 "url": e_urls,
                 "headline": e_heads,
                 "pubdate": e_dates,
                 "authors": e_auths,
+                "text": e_texts,
             },
             schema=pa.schema(
                 [
@@ -346,6 +380,7 @@ def generate(
                     ("headline", pa.string()),
                     ("pubdate", pa.string()),
                     ("authors", pa.list_(pa.string())),
+                    ("text", pa.string()),
                 ]
             ),
         )

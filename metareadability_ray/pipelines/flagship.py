@@ -59,7 +59,7 @@ def _make_write_partition(out_dir: str, input_files: list[str]):
         # MR-D1 dedup on the small extracted rows, which also yields the
         # deterministic url sort order (MR-O1) for free.
         g = dedup_extracted(group)
-        out = g.select(["url", "headline", "pubdate", "authors"])
+        out = g.select(["url", "headline", "pubdate", "authors", "text"])
 
         # attempt tracking: a start marker survives a mid-write crash
         os.makedirs(os.path.join(out_dir, mf.MANIFEST_DIR), exist_ok=True)
@@ -103,6 +103,7 @@ def _make_write_partition(out_dir: str, input_files: list[str]):
             "last_url": urls[n - 1].as_py() if n else "",
             "n_headline": _count_nonempty("headline"),
             "n_pubdate": _count_nonempty("pubdate"),
+            "n_text": _count_nonempty("text"),
             "n_authors": int(pc.sum(pc.cast(pc.greater(pc.list_value_length(g.column("authors")), 0), pa.int64())).as_py() or 0),
             "n_parse_err": int(pc.sum(g.column("parse_err")).as_py() or 0),
             "n_enc_fallback": int(pc.sum(g.column("enc_fallback")).as_py() or 0),

@@ -387,7 +387,7 @@ def _q_extract_pages(sf_dir: str):
     ds = extraction_chain(
         pages_dataset(sf_dir), num_partitions=16, concurrency=auto_actor_concurrency()
     )
-    return ds.select_columns(["url", "headline", "pubdate", "authors"])
+    return ds.select_columns(["url", "headline", "pubdate", "authors", "text"])
 
 
 def _q_media_frames(sf_dir: str):

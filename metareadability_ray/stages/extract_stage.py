@@ -27,6 +27,7 @@ OUTPUT_SCHEMA = pa.schema(
         ("headline", pa.string()),
         ("pubdate", pa.string()),
         ("authors", pa.list_(pa.string())),
+        ("text", pa.string()),  # A.6 boilerplate-stripped main text
         ("parse_err", pa.int8()),
         ("enc_fallback", pa.int8()),
         ("oversize", pa.int8()),
@@ -59,6 +60,7 @@ class ExtractActor:
         heads: list[str] = [""] * n
         dates: list[str] = [""] * n
         auths: list[list[str]] = [[] for _ in range(n)]
+        texts: list[str] = [""] * n
         md5s: list[str] = [""] * n
         perr = [0] * n
         efb = [0] * n
@@ -74,6 +76,7 @@ class ExtractActor:
             heads[i] = r.headline
             dates[i] = r.pubdate
             auths[i] = r.authors
+            texts[i] = r.text
             perr[i] = 1 if r.parse_err else 0
             efb[i] = 1 if r.enc_fallback else 0
             ovs[i] = 1 if r.oversize else 0
@@ -88,6 +91,7 @@ class ExtractActor:
                 "headline": pa.array(heads, pa.string()),
                 "pubdate": pa.array(dates, pa.string()),
                 "authors": pa.array(auths, pa.list_(pa.string())),
+                "text": pa.array(texts, pa.string()),
                 "parse_err": pa.array(perr, pa.int8()),
                 "enc_fallback": pa.array(efb, pa.int8()),
                 "oversize": pa.array(ovs, pa.int8()),

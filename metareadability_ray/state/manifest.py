@@ -93,6 +93,7 @@ def rebuild_sidecars(out_dir: str, stage_versions: dict[str, str]) -> None:
             "n_docs": pa.array([r["row_count"] for r in rows], pa.int64()),
             "n_headline": pa.array([r.get("n_headline", 0) for r in rows], pa.int64()),
             "n_pubdate": pa.array([r.get("n_pubdate", 0) for r in rows], pa.int64()),
+            "n_text": pa.array([r.get("n_text", 0) for r in rows], pa.int64()),
             "n_authors": pa.array([r.get("n_authors", 0) for r in rows], pa.int64()),
             "n_parse_err": pa.array([r.get("n_parse_err", 0) for r in rows], pa.int64()),
             "n_enc_fallback": pa.array([r.get("n_enc_fallback", 0) for r in rows], pa.int64()),

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 from oracle import signals
 from oracle.byline import extract_authors
+from oracle.content import extract_main_text
 from oracle.dom import parse
 from oracle.encoding import decode_html
 from oracle.headline import extract_headline
@@ -33,6 +34,7 @@ class ExtractResult:
     headline: str = ""
     pubdate: str = ""        # canonical ISO rendering (A.5), "" if none
     authors: list[str] = field(default_factory=list)
+    text: str = ""           # A.6 boilerplate-stripped main text, "" if none
     parse_err: bool = False
     enc_fallback: bool = False
     oversize: bool = False
@@ -54,9 +56,11 @@ def extract(html: bytes | str | None, url: str, warc_ts: _dt.datetime | None = N
     headline, hl_node = extract_headline(root, url)
     pubdate = extract_pubdate(root, url, warc_ts)
     authors = extract_authors(root, hl_node)
+    main_text = extract_main_text(root)
     return ExtractResult(
         headline=headline,
         pubdate=pubdate,
         authors=authors,
+        text=main_text,
         enc_fallback=enc_fallback,
     )

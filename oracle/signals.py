@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-SIGNALS_VERSION = "1.0.0"
+SIGNALS_VERSION = "1.1.0"  # 1.1.0: + A.6 main-content extraction tables
 
 # --------------------------------------------------------------------------
 # A.2 Headline (MR-X3)
@@ -128,6 +128,42 @@ AUTHOR_MIN_SCORE = 1.0        # winner must score >= this, else authors = []
 # Byline candidates sourced from a bare "by"-prefix text match must be short
 # (normative pin; whole-article divs are not bylines).
 AUTHOR_MAX_TEXT_LEN = 150
+
+# --------------------------------------------------------------------------
+# A.6 Main content / boilerplate strip (MR-X11)
+# --------------------------------------------------------------------------
+
+# Text-unit tags: block-level elements whose rendered text forms one output
+# line. A block nested inside another block (p in blockquote, li in li) is
+# NOT a unit — the outermost block is.
+CONTENT_BLOCK_TAGS = frozenset({"p", "li", "blockquote", "pre", "h2", "h3", "h4"})
+
+# Container tags: candidates for "the main content element".
+CONTENT_CONTAINER_TAGS = frozenset({"article", "main", "section", "div", "body", "td"})
+
+# Unit acceptance (the per-block boilerplate filter).
+CONTENT_MIN_UNIT_CHARS = 25       # rendered text shorter than this is chrome
+CONTENT_MAX_LINK_DENSITY = 0.5    # link-dominated blocks are navigation
+
+# Container class/id modifiers (readability-style, public knowledge).
+CONTENT_POSITIVE = re.compile(
+    r"(article|body|content|entry|main|page|post|text|blog|story)", re.IGNORECASE
+)
+CONTENT_NEGATIVE = re.compile(
+    r"(combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta"
+    r"|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping"
+    r"|tags|tool|widget|nav|menu|social|share|ad-)",
+    re.IGNORECASE,
+)
+CONTENT_POSITIVE_FACTOR = 2.0
+CONTENT_NEGATIVE_FACTOR = 0.25
+
+# Ancestor-chain credit: the nearest container gets the unit's full length,
+# the next gets 1/2, then 1/4; deeper ancestors get nothing.
+CONTENT_CHAIN_WEIGHTS = (1.0, 0.5, 0.25)
+
+# Winner must accumulate at least one minimal unit's worth of score.
+CONTENT_MIN_SCORE = float(CONTENT_MIN_UNIT_CHARS)
 
 # --------------------------------------------------------------------------
 # Document-level limits (MR-X0)

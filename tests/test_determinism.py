@@ -32,7 +32,7 @@ def _extract_table(ray_session, pages, concurrency, num_partitions=5, blocks=Non
 
     tabs = [ray.get(r) for r in ds.to_arrow_refs()]
     t = pa.concat_tables([x for x in tabs if x.num_rows])
-    return t.select(["url", "headline", "pubdate", "authors"]).sort_by("url")
+    return t.select(["url", "headline", "pubdate", "authors", "text"]).sort_by("url")
 
 
 def test_identical_across_concurrency_and_blocks(ray_session, small_corpus):

@@ -38,7 +38,7 @@ def test_parity_byte_identical(flagship_out):
     got = _read_all(out).sort_by("url")
     assert exp.num_rows == got.num_rows
     assert exp.column("url").to_pylist() == got.column("url").to_pylist()
-    for col in ("headline", "pubdate", "authors"):
+    for col in ("headline", "pubdate", "authors", "text"):
         e = exp.column(col).to_pylist()
         g = got.column(col).to_pylist()
         bad = [(u, a, b) for u, a, b in zip(exp.column("url").to_pylist(), e, g) if a != b]
