@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 from metareadability_ray.util import auto_actor_concurrency
 
 _ROUND = {"round_mode": "half_towards_infinity"}
@@ -115,12 +115,13 @@ def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
 
 
 def neardup_cosine_pairs(sf_dir: str, threshold: float = 0.45) -> "ray.data.Dataset":
-    """Embedding near-dup: all pairs with cosine ≥ threshold.
+    """Embedding near-dup: all pairs with cosine ≥ threshold — the EXACT
+    small-scale oracle.
 
-    Small-side broadcast of the full normalized matrix (OK while it fits the
-    object store — at 100 TB you LSH-bucket first, see
-    :func:`lsh_bucket_stats`); each batch scores its rows against the
-    broadcast matrix and emits only pairs (a < b) above threshold."""
+    Broadcasts the full normalized matrix, so it is bounded by object-store
+    size; the 100 TB path is :func:`lsh_neardup_pairs` (multi-table
+    hyperplane buckets → within-bucket exact pairs, recall pinned by
+    tests/test_vectors_ann.py against THIS function's results)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"])
@@ -187,6 +188,136 @@ def q_lsh_bucket_stats(sf_dir: str) -> "ray.data.Dataset":
         .groupby("bucket")
         .aggregate(Count(alias_name="n_vectors"))
     )
+
+
+class MultiTableLSH:
+    """Actor-pool stage: multi-table random-hyperplane bucketing for in-bucket
+    ANN pair search. ``n_tables`` independent plane sets (drawn once per actor
+    from a fixed seed → identical across actors/retries); each vector emits
+    one (bucket, vec_id, embedding) row per table, with the table id folded
+    into the bucket key so tables never mix."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 4, n_tables: int = 16, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.H = rng.standard_normal((n_tables, n_planes, dim))
+        self.pw = 1 << np.arange(n_planes, dtype=np.int64)
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        n = M.shape[0]
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        # one matmul for ALL tables: (n, n_tables*n_planes) → (n, T, p)
+        proj = (M @ self.H.reshape(-1, M.shape[1]).T).reshape(n, self.n_tables, self.n_planes)
+        buckets = ((proj > 0).astype(np.int64) * self.pw).sum(axis=2)  # (n, T)
+        buckets += np.arange(self.n_tables, dtype=np.int64)[None, :] << self.n_planes
+        idx = np.repeat(np.arange(n), self.n_tables)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, self.n_tables), pa.int64()),
+                "embedding": emb.take(pa.array(idx, pa.int64())),
+            }
+        )
+
+
+def lsh_neardup_pairs(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Bucketed ANN near-dup pairs — the 100 TB scale path for
+    :func:`neardup_cosine_pairs` (which broadcasts the whole matrix and is
+    kept as the small-scale exactness oracle).
+
+    Plan: multi-table hyperplane LSH (MultiTableLSH actor pool, one matmul
+    per batch for all tables) → groupby(bucket) → exact within-bucket cosine
+    pairs ≥ threshold → groupby(vec_a, vec_b) dedup across buckets/tables.
+
+    Scale/recall trade-offs (documented, tested):
+      * shuffle volume = n_tables × (id + embedding) per vector — each
+        vector is replicated once per table, never all-to-all;
+      * in-bucket work is quadratic in bucket size; buckets shrink as
+        n_planes grows, recall recovers via n_tables. With θ≈60°
+        (cos 0.45 — a deliberately HARD regime; true near-dup thresholds
+        ≥0.8 collide far more) p_table = (1−θ/π)^n_planes ≈ 0.2, so 16
+        tables give expected recall ≈ 0.97 (pinned by the sf0.01 recall
+        test in tests/test_vectors_ann.py);
+      * exact verification inside the bucket → NO false positives, only
+        (bounded-probability) false negatives.
+    """
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        MultiTableLSH,
+        fn_constructor_kwargs={"n_planes": n_planes, "n_tables": n_tables, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=auto_actor_concurrency(cap=4),
+        max_restarts=0,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        # a vector can reach one bucket via several plane-sign coincidences
+        _, first = np.unique(ids, return_index=True)
+        g = group.take(pa.array(np.sort(first)))
+        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "score_raw": pa.array([], pa.float64()),
+                }
+            )
+        M = _emb_matrix(g)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        keep = a2 != b2
+        return pa.table(
+            {
+                "vec_a": pa.array(a2[keep], pa.int64()),
+                "vec_b": pa.array(b2[keep], pa.int64()),
+                "score_raw": pa.array(S[ai, bi][keep], pa.float64()),
+            }
+        )
+
+    agg = (
+        bucketed.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("score_raw", alias_name="score_raw"))
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        score = pa.array(
+            np.char.mod("%.4f", batch.column("score_raw").to_numpy(zero_copy_only=False)),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "vec_a": batch.column("vec_a"),
+                "vec_b": batch.column("vec_b"),
+                "score": score,
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lsh_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return lsh_neardup_pairs(sf_dir, threshold=0.45)
 
 
 def q_label_stats(sf_dir: str) -> "ray.data.Dataset":

@@ -1,0 +1,64 @@
+"""ANN correctness: the LSH in-bucket pair search vs the exact cosine oracle.
+
+The bucketed path can only miss pairs (exact in-bucket verification → no
+false positives); recall is probabilistic over the FIXED seeded plane sets,
+hence deterministic here and pinned as a hard bound.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+THRESHOLD = 0.45
+
+
+def _exact_pairs() -> dict[tuple[int, int], float]:
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ai, bi = np.nonzero(np.triu(S >= THRESHOLD, k=1))
+    out = {}
+    for i, j in zip(ai, bi):
+        a, b = sorted((int(ids[i]), int(ids[j])))
+        out[(a, b)] = float(S[i, j])
+    return out
+
+
+def _lsh_pairs(ray_session) -> dict[tuple[int, int], str]:
+    from metareadability_ray.pipelines.vectors import lsh_neardup_pairs
+
+    ds = lsh_neardup_pairs(SF, threshold=THRESHOLD)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return {
+        (a, b): s
+        for a, b, s in zip(
+            t.column("vec_a").to_pylist(),
+            t.column("vec_b").to_pylist(),
+            t.column("score").to_pylist(),
+        )
+    }
+
+
+def test_lsh_neardup_no_false_positives_and_recall(ray_session):
+    exact = _exact_pairs()
+    got = _lsh_pairs(ray_session)
+    assert len(exact) > 0  # the testdata plants near-dups
+
+    # no false positives: every reported pair is a true pair w/ exact score
+    for (a, b), s in got.items():
+        assert (a, b) in exact, f"false positive pair ({a},{b})"
+        assert s == f"{exact[(a, b)]:.4f}"
+
+    # recall ≥ 0.8 at a deliberately hard θ≈60° regime (expected ≈0.97 with
+    # 4 planes × 16 tables; deterministic because the plane seed is fixed)
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_lsh_neardup_deterministic(ray_session):
+    a = _lsh_pairs(ray_session)
+    b = _lsh_pairs(ray_session)
+    assert a == b
