@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+from metareadability_ray.pipelines import clustering as C
 from metareadability_ray.pipelines import relational as R
 from metareadability_ray.pipelines import relational2 as R2
 from metareadability_ray.pipelines import textops as T
@@ -28,6 +29,30 @@ class QASpec:
     fn: Callable
     sql: Optional[str]
     spec_id: str  # MR-* operator id(s) from SURVEY.md §2
+
+
+# k=3 shingle-set CTEs over `documents`, shared by ngram_jaccard_pairs and
+# the dup_clusters recursive-closure oracle (same edge definition on both).
+_NGRAM_CTES = r"""toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN []
+                        WHEN length(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(generate_series(1, length(t) - 2),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   END AS shingles
+            FROM toks
+        ), ds AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        ), sz AS (
+            SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id
+        ), inter_t AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )"""
 
 
 REGISTRY: dict[str, QASpec] = {
@@ -223,26 +248,7 @@ REGISTRY: dict[str, QASpec] = {
     "ngram_jaccard_pairs": QASpec(
         T.q_ngram_jaccard_pairs,
         r"""
-        WITH toks AS (
-            SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   CASE WHEN length(t) = 0 THEN []
-                        WHEN length(t) < 3 THEN [array_to_string(t, ' ')]
-                        ELSE list_transform(generate_series(1, length(t) - 2),
-                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                   END AS shingles
-            FROM toks
-        ), ds AS (
-            SELECT DISTINCT doc_id, shingle
-            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
-        ), sz AS (
-            SELECT doc_id, count(*) AS set_size FROM ds GROUP BY doc_id
-        ), inter_t AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
+        WITH """ + _NGRAM_CTES + r"""
         SELECT doc_a, doc_b, inter,
                (sa.set_size + sb.set_size - inter) AS union_size
         FROM inter_t
@@ -251,6 +257,32 @@ REGISTRY: dict[str, QASpec] = {
         WHERE inter * 5 >= 1 * (sa.set_size + sb.set_size - inter)
         """,
         "MR-D4(ngram-jaccard)",
+    ),
+    "dup_clusters": QASpec(
+        C.q_dup_clusters,
+        r"""
+        WITH RECURSIVE """ + _NGRAM_CTES + r""",
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter_t
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter * 5 >= 1 * (sa.set_size + sb.set_size - inter)
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+        """,
+        "dedup(connected-components)",
     ),
     # --------------------------------------------------- advanced relational
     "left_outer_join": QASpec(

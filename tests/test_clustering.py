@@ -1,0 +1,42 @@
+"""Connected-components clustering over dup pairs (pipelines/clustering.py)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cc(ray_session, pair_rows):
+    import ray.data
+
+    from metareadability_ray.pipelines.clustering import connected_components
+
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in pair_rows], pa.int64()),
+                "doc_b": pa.array([b for _, b in pair_rows], pa.int64()),
+            }
+        )
+    )
+    t = pa.concat_tables(
+        list(connected_components(pairs).iter_batches(batch_format="pyarrow"))
+    )
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
+
+
+def test_transitive_chain_collapses(ray_session):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    got = _cc(ray_session, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(ray_session):
+    # path of 9 nodes — exercises several propagation rounds + early stop
+    edges = [(i, i + 1) for i in range(20, 28)]
+    got = _cc(ray_session, edges)
+    assert set(got.values()) == {20}
+    assert sorted(got) == list(range(20, 29))
+
+
+def test_survivor_is_min_doc_id(ray_session):
+    got = _cc(ray_session, [(7, 5), (5, 9)])
+    assert got == {5: 5, 7: 5, 9: 5}
