@@ -1,0 +1,63 @@
+"""Generate pinned expected-output Parquet for rows-only queries.
+
+The driver's gate can only row-count queries with no SQL oracle; these
+committed snapshots pin their full VALUES at sf0.001 so any semantic drift
+fails tests/test_expected_snapshots.py. All four pipelines are deterministic
+(seeded planes/permutations, blake2/md5 hashing, no RNG), so a snapshot is a
+legitimate oracle. Regenerate ONLY on an intentional semantic change::
+
+    python scripts/gen_expected.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SNAPSHOT_QUERIES = ["simhash", "minhash_lsh_pairs", "media_features", "media_frame_sample"]
+SF_DIR = "/root/testdata/sf0.001"
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "expected")
+
+
+def canonical(t):
+    """Sort columns by name and rows by their repr for order-free equality."""
+    import pyarrow as pa
+
+    t = t.select(sorted(t.column_names))
+    rows = t.to_pylist()
+    rows.sort(key=repr)
+    return pa.Table.from_pylist(rows, schema=t.schema) if rows else t
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.qa import REGISTRY
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name in SNAPSHOT_QUERIES:
+        ds = REGISTRY[name].fn(SF_DIR)
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        t = canonical(t)
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        pq.write_table(t, path)
+        print(f"wrote {path}: {t.num_rows} rows, cols={t.column_names}")
+        import gc
+
+        gc.collect()
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
