@@ -431,6 +431,13 @@ def _q_media_frames(sf_dir: str):
     return media_frames(sf_dir)
 
 
+def _q_pdf_layout(sf_dir: str):
+    from metareadability_ray.stages.pdf_layout import pdf_layout_spans
+
+    return pdf_layout_spans(sf_dir)
+
+
 REGISTRY["media_features"] = QASpec(_q_media_features, None, "multimodal(decode-stub)")
 REGISTRY["media_frame_sample"] = QASpec(_q_media_frames, None, "multimodal(frame-sample,flat_map)")
+REGISTRY["pdf_layout_spans"] = QASpec(_q_pdf_layout, None, "pdf-layout(parse-stub,flat_map)")
 REGISTRY["extract_pages"] = QASpec(_q_extract_pages, None, "MR-X0(flagship)")

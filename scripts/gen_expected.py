@@ -16,7 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SNAPSHOT_QUERIES = ["simhash", "minhash_lsh_pairs", "media_features", "media_frame_sample"]
+SNAPSHOT_QUERIES = [
+    "simhash", "minhash_lsh_pairs", "media_features", "media_frame_sample",
+    "pdf_layout_spans",
+]
 SF_DIR = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "expected")
 

@@ -150,3 +150,42 @@ def test_ngram_df_cut_drops_hot_posting_lists(ray_session, tmp_path):
     assert capped <= exact
     # the hot-shingle-only pairs exceeded the cut and were dropped
     assert all(not (a >= 2 and b >= 2) for a, b in capped)
+
+
+def test_pdf_layout_stub_spans():
+    """PDF layout-parse plumbing: magic check, pagination, span schema,
+    failure accounting (the parse kernel is a documented deterministic stub)."""
+    import pyarrow as pa
+
+    from metareadability_ray.stages.pdf_layout import (
+        PDF_SCHEMA,
+        SPAN_SCHEMA,
+        PdfLayoutActor,
+        synth_pdf_batch,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["word " * 400, "short body text", ""],
+        }
+    )
+    pdfs = synth_pdf_batch(docs)
+    assert pdfs.schema == PDF_SCHEMA
+    assert all(p.startswith(b"%PDF") for p in pdfs.column("pdf").to_pylist())
+
+    # corrupt one payload: the actor must count it failed, not raise
+    broken = pdfs.set_column(1, "pdf", pa.array(
+        [pdfs.column("pdf")[0].as_py(), b"not a pdf", pdfs.column("pdf")[2].as_py()],
+        pa.binary(),
+    ))
+    actor = PdfLayoutActor()
+    out = actor(broken)
+    assert out.schema == SPAN_SCHEMA
+    assert actor.parsed == 2 and actor.failed == 1
+    d0 = out.filter(pa.compute.equal(out.column("doc_id"), 0))
+    assert d0.num_rows > 2  # multi-page doc explodes to many spans
+    assert set(d0.column("kind").to_pylist()) == {"heading", "body"}
+    assert max(d0.column("page").to_pylist()) >= 1  # paginated
+    # doc 1 was corrupted → no spans; doc 2 empty text → no spans
+    assert out.filter(pa.compute.equal(out.column("doc_id"), 1)).num_rows == 0
