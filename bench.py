@@ -90,11 +90,14 @@ def _init_ray(num_cpus: int) -> None:
     ctx.enable_progress_bars = False
 
 
-def ensure_corpus(n_rows: int, seed: int = 42, shards: int = 32) -> str:
+def ensure_corpus(n_rows: int, seed: int = 42, shards: int = 32, min_page_bytes: int = 0) -> str:
     """Deterministic bench `pages` corpus, generated in parallel Ray tasks
-    (one seeded fixtures.gen shard each), cached under /tmp."""
+    (one seeded fixtures.gen shard each), cached under /tmp.
+
+    ``min_page_bytes`` pads each page's body to a realistic size (~50 KiB
+    for the page-size-annotated baseline row in BASELINE.md)."""
     # _v2: fixture pages gained content-container/boilerplate markup (A.6)
-    out_dir = f"/tmp/mr_bench_pages_v2_{n_rows}_{seed}"
+    out_dir = f"/tmp/mr_bench_pages_v2_{n_rows}_{seed}_{min_page_bytes}"
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
@@ -116,6 +119,7 @@ def ensure_corpus(n_rows: int, seed: int = 42, shards: int = 32) -> str:
             seed=seed * 1000 + i,
             rows_per_file=10**9,
             with_expected=False,
+            min_page_bytes=min_page_bytes,
         )
         return paths["pages"]
 
@@ -125,16 +129,16 @@ def ensure_corpus(n_rows: int, seed: int = 42, shards: int = 32) -> str:
     return out_dir
 
 
-def bench_extract(num_cpus: int, n_rows: int, seed: int = 42) -> dict:
+def bench_extract(num_cpus: int, n_rows: int, seed: int = 42, min_page_bytes: int = 0) -> dict:
     """Time the flagship extraction over the cached corpus (fresh output)."""
     import glob
     import shutil
 
     from metareadability_ray.pipelines.flagship import run_extraction
 
-    corpus = ensure_corpus(n_rows, seed)
+    corpus = ensure_corpus(n_rows, seed, min_page_bytes=min_page_bytes)
     files = sorted(glob.glob(os.path.join(corpus, "shard=*", "pages.parquet")))
-    out = f"/tmp/mr_bench_out_{num_cpus}"
+    out = f"/tmp/mr_bench_out_{num_cpus}_{min_page_bytes}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
     res = run_extraction(
@@ -191,13 +195,16 @@ def main() -> None:
 
         ray.shutdown()
         base = int(os.environ.get("MR_SCALE_BASE", "2"))
-        reps = int(os.environ.get("MR_SCALE_REPS", "2"))
-        # Best-of-N per level: this VM has noisy-neighbor interference that
-        # only ever SLOWS a run (hypervisor steal), so the max over repeats is
-        # the least-biased estimate of each level's true throughput.
-        levels = {}
+        reps = int(os.environ.get("MR_SCALE_REPS", "3"))
+        # MEDIAN-of-N per level (round-1 verdict: best-of-N was a convenient
+        # protocol); every raw shot is reported so the claim is auditable.
+        # Hypervisor steal only ever slows a shot, so the median is a
+        # conservative estimate of true throughput.
+        import statistics
+
+        shots: dict[int, list[float]] = {}
         for cpus in (base, base * 4):
-            best = None
+            shots[cpus] = []
             for _ in range(reps):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
                 out = subprocess.run(
@@ -209,12 +216,9 @@ def main() -> None:
                     timeout=3600,
                 )
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-                res = json.loads(line)
-                if best is None or res["docs_per_sec"] > best["docs_per_sec"]:
-                    best = res
-            levels[cpus] = best
-        thr_n = levels[base]["docs_per_sec"]
-        thr_4n = levels[base * 4]["docs_per_sec"]
+                shots[cpus].append(json.loads(line)["docs_per_sec"])
+        thr_n = statistics.median(shots[base])
+        thr_4n = statistics.median(shots[base * 4])
         eff = (thr_4n / thr_n) / 4
         print(
             json.dumps(
@@ -224,8 +228,11 @@ def main() -> None:
                     "unit": "ratio",
                     "sf": "synthetic_pages",
                     "n_pages": args.n_pages,
+                    "protocol": f"median_of_{reps}",
                     f"throughput_{base}cpu_docs_per_sec": thr_n,
                     f"throughput_{base * 4}cpu_docs_per_sec": thr_4n,
+                    f"shots_{base}cpu": shots[base],
+                    f"shots_{base * 4}cpu": shots[base * 4],
                     "pass": eff >= 0.8,
                 }
             )
@@ -244,6 +251,15 @@ def main() -> None:
         "docs_per_sec": ext["docs_per_sec"],
     }
     if not args.extract_only:
+        # page-size-annotated baseline (round-1 verdict #10): the headline
+        # corpus has ~2 KiB synthetic pages; this row measures real ~50 KiB
+        # article pages so docs/s is comparable to the SURVEY §6 envelope.
+        real = bench_extract(
+            num_cpus,
+            int(os.environ.get("MR_BENCH_REAL_PAGES", "16000")),
+            min_page_bytes=50_000,
+        )
+        result["realistic_50k_pages"] = real
         result["queries"] = bench_queries(sf_dir)
     print(json.dumps(result))
     import ray

@@ -243,12 +243,27 @@ def _compose(rng: random.Random, headline: str, authors: list[str], pub: dt.date
     return html, slug, url_date
 
 
+def _pad_body(rng: random.Random, html_s: str, min_page_bytes: int) -> str:
+    """Pad the page body with filler paragraphs up to ``min_page_bytes`` —
+    realistic ~50 KiB article pages for page-size-annotated benchmarks."""
+    need = min_page_bytes - len(html_s)
+    if need <= 0:
+        return html_s
+    paras = []
+    while need > 0:
+        p = "<p>" + " ".join(rng.choice(_WORDS) for _ in range(60)) + ".</p>"
+        paras.append(p)
+        need -= len(p)
+    return html_s.replace("</body></html>", "".join(paras) + "</body></html>")
+
+
 def generate(
     out_dir: str,
     n_rows: int = 2000,
     seed: int = 42,
     rows_per_file: int = 10_000,
     with_expected: bool = True,
+    min_page_bytes: int = 0,
 ) -> dict[str, str]:
     """Write ``pages`` (and optionally ``expected``) Parquet under ``out_dir``.
 
@@ -281,6 +296,8 @@ def generate(
         )
         pub = pub.replace(microsecond=0)
         html_s, slug, url_date = _compose(rng, headline, authors, pub)
+        if min_page_bytes:
+            html_s = _pad_body(rng, html_s, min_page_bytes)
         host = _zipf_host(rng)
         if url_date or rng.random() < 0.6:
             url = f"https://{host}/{pub.year}/{pub.month:02d}/{pub.day:02d}/{slug}.html"
@@ -308,6 +325,8 @@ def generate(
         ts2 = ts + dt.timedelta(seconds=rng.randint(3600, 86400 * 200))
         headline = _mk_headline(rng)
         html_s, _, _ = _compose(rng, headline, _mk_authors(rng), ts - dt.timedelta(days=3))
+        if min_page_bytes:
+            html_s = _pad_body(rng, html_s, min_page_bytes)
         base.append((url, ts2.replace(microsecond=0), encode_page(html_s), norm_ws(html_s), lang))
 
     order = list(range(len(base)))

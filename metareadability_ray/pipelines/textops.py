@@ -529,6 +529,9 @@ def minhash_lsh_pairs(
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
+        # candidate pairs are a tiny fraction of the corpus: coalesce so the
+        # verify joins don't schedule hundreds of near-empty block tasks
+        .repartition(4)
     )
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -540,7 +543,7 @@ def minhash_lsh_pairs(
             {"doc_id": batch.column("doc_id"), "sigb": pa.array(packed, pa.binary())}
         )
 
-    sigsb = sigs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    sigsb = sigs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True).repartition(8)
     i64, bint = pa.int64(), pa.binary()
     joined = reduce_side_attach(
         pairs, "doc_a", [("doc_a", i64), ("doc_b", i64), ("n_bands", i64)],
