@@ -69,8 +69,10 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "neardup_cosine",
     "lsh_bucket_stats",
+    "lsh_neardup_pairs",
     "media_features",
     "media_frame_sample",
+    "pdf_layout_spans",
 ]
 
 

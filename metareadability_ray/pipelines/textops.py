@@ -155,6 +155,31 @@ def q_quality_score(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# GPT-2-family pretokenizer shape, simplified to the RE2 subset (no
+# lookahead) so pyarrow.compute and DuckDB count identically: a token is an
+# optional leading space + a letter run / digit run / symbol run.
+
+
+def q_bpe_token_stats(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish subword-pretoken counting per doc (vectorized regex) — the
+    'how many tokens will the tokenizer see' estimator of a training-data
+    pipeline, next to the whitespace count."""
+    ds = _docs(sf_dir)
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()),
+                "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, _BPE_RE), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ language ID
 _LANG_MARKERS = [
     # (lang, marker regex) — checked in this fixed priority order for ties

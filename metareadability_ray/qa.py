@@ -226,6 +226,16 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "language-ID",
     ),
+    "bpe_token_stats": QASpec(
+        T.q_bpe_token_stats,
+        r"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+               CAST(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+        """,
+        "token-counting(bpe-ish)",
+    ),
     "doc_fingerprint": QASpec(
         T.q_doc_fingerprint,
         r"""

@@ -65,6 +65,7 @@ SQL_QUERIES = [
     "distinct_event_types", "topk_orders", "latest_event_per_user", "union_priority",
     "json_props_sum", "hourly_event_window", "token_stats", "quality_score",
     "langid", "doc_fingerprint", "exact_dedup", "ngram_jaccard_pairs",
+    "bpe_token_stats",
     "knn_bruteforce", "neardup_cosine", "label_stats",
     "left_outer_join", "asof_join", "window_cumsum", "explode_part_names",
     "sample_deterministic", "supplier_balance_stats", "intersect_users",
