@@ -25,7 +25,7 @@ occurrence kept).
 from __future__ import annotations
 
 from oracle import signals
-from oracle.dom import Node, dom_distance
+from oracle.dom import Node, doc_nodes, dom_distance
 from oracle.textnorm import norm_ws, render_text
 
 _BY_TEXT_RAW_MAX = 400
@@ -47,6 +47,32 @@ def _raw_lengths(root: Node) -> dict[int, int]:
 
     walk(root)
     return out
+
+
+def _starts_by_raw(n: Node) -> bool:
+    """Conservative pre-filter for the bare by-prefix candidacy: True iff the
+    first two non-whitespace RAW characters are 'b','y' (ci). Rendering only
+    inserts/collapses whitespace and NFC never manufactures new ASCII 'b'/'y'
+    base pairs, so a False here implies BY_PREFIX cannot match the rendered
+    text — the expensive render is skipped for the vast majority of nodes.
+    (A True still goes through the exact rendered-text check: e.g. 'Byline…'
+    passes the prefilter but fails the \\b boundary.)"""
+    chars: list[str] = []
+
+    def walk(nd: Node) -> bool:
+        for ch in nd.children:
+            if isinstance(ch, str):
+                for c in ch:
+                    if not c.isspace():
+                        chars.append(c)
+                        if len(chars) >= 2:
+                            return True
+            elif walk(ch):
+                return True
+        return False
+
+    walk(n)
+    return len(chars) >= 2 and chars[0] in "bB" and chars[1] in "yY"
 
 
 def _role_word_only(part: str) -> bool:
@@ -75,7 +101,7 @@ def extract_authors(root: Node, headline_node: Node | None) -> list[str]:
     best_score = None
     best_text = ""
 
-    for n in root.iter():
+    for n in doc_nodes(root):
         classid = n.class_id
         classid_hit = bool(classid) and signals.AUTHOR_CLASSID.search(classid) is not None
         rel_hit = "author" in n.get("rel").split()
@@ -88,6 +114,8 @@ def extract_authors(root: Node, headline_node: Node | None) -> list[str]:
             if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:
                 by_hit = signals.BY_PREFIX.match(text) is not None
         elif 0 < raw_len[id(n)] <= _BY_TEXT_RAW_MAX:
+            if not _starts_by_raw(n):  # sound skip: BY_PREFIX can't match
+                continue
             text = render_text(n)
             if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:
                 by_hit = signals.BY_PREFIX.match(text) is not None

@@ -34,9 +34,13 @@ _AUTO_CLOSE_SELF = frozenset({"p", "li", "option", "tr", "td", "th"})
 
 
 class Node:
-    """One element. ``children`` holds Nodes and raw-text ``str`` chunks."""
+    """One element. ``children`` holds Nodes and raw-text ``str`` chunks.
 
-    __slots__ = ("tag", "attrs", "children", "parent", "index")
+    ``nodes`` is set ONLY on the root by :func:`parse`: the flat pre-order
+    node list, cached because every extractor iterates the whole document
+    and the recursive generator costs a Python frame per yield."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "index", "nodes")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
         self.tag = tag
@@ -163,9 +167,18 @@ def parse(text: str) -> Node:
     tb = _TreeBuilder()
     tb.feed(text)
     tb.close()
-    for i, node in enumerate(tb.root.iter()):
+    nodes = list(tb.root.iter())
+    for i, node in enumerate(nodes):
         node.index = i
+    tb.root.nodes = nodes  # cached document-order list (same order as iter())
     return tb.root
+
+
+def doc_nodes(root: Node) -> "list[Node]":
+    """Document-order node list: the cache set by :func:`parse`, or a fresh
+    walk for hand-built trees."""
+    cached = getattr(root, "nodes", None)
+    return cached if cached is not None else list(root.iter())
 
 
 def dom_distance(a: Node, b: Node, limit: int = 16) -> int:

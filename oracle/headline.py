@@ -19,7 +19,7 @@ from __future__ import annotations
 from urllib.parse import urlsplit
 
 from oracle import signals
-from oracle.dom import Node
+from oracle.dom import Node, doc_nodes
 from oracle.textnorm import norm_ws, render_text
 
 
@@ -100,7 +100,7 @@ def slug_words(url: str) -> list[str]:
 
 
 def _doc_title(root: Node) -> str:
-    for n in root.iter():
+    for n in doc_nodes(root):
         if n.tag == "title":
             return render_text(n)
     return ""
@@ -115,7 +115,7 @@ def extract_headline(root: Node, url: str) -> tuple[str, Node | None]:
     best_node: Node | None = None
     best_text = ""
 
-    for n in root.iter():
+    for n in doc_nodes(root):
         tag_w = signals.HEADLINE_TAGS.get(n.tag)
         classid = n.class_id
         classid_hit = bool(classid) and signals.HEADLINE_CLASSID.search(classid) is not None

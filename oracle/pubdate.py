@@ -25,7 +25,7 @@ from __future__ import annotations
 import datetime as _dt
 
 from oracle import signals
-from oracle.dom import Node
+from oracle.dom import Node, doc_nodes
 from oracle.fuzzydate import FuzzyDate, parse_fuzzy_date
 from oracle.textnorm import render_text
 
@@ -55,7 +55,7 @@ def extract_pubdate(root: Node, url: str, warc_ts: _dt.datetime | None) -> str:
     if u is not None:
         candidates.append((signals.SCORE_URL, 2, -1, u, None))
 
-    for n in root.iter():
+    for n in doc_nodes(root):
         if n.tag == "meta":
             key = (n.get("name") or n.get("property")).lower()
             if key in signals.PUBDATE_META_NAMES:
