@@ -142,7 +142,10 @@ def extraction_chain(
     if concurrency is None:
         import ray
 
-        concurrency = max(1, int(ray.available_resources().get("CPU", 8)) - 2)
+        # production pool policy: n − ⌈n/8⌉ actors (capacity-based, not the
+        # instantaneous free count) — read/shuffle/write keep ⌈n/8⌉ CPUs
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(1, n - max(1, (n + 7) // 8))
     ds = ds.map_batches(
         assign_partition,
         fn_kwargs={"num_partitions": num_partitions},
