@@ -128,6 +128,35 @@ def q_window_cumsum(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("user_id").map_groups(cumsum_group, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------- sessionization
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, µs
+
+
+def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Gap-based sessionization (the classic event-time window op): a new
+    session starts at a user's first event or after a >30 min silence;
+    session_id is 1-based per user. Partitioning assumption: all of a
+    user's events in one group (hash shuffle on user_id); within a group
+    the boundary detection is a vectorized diff + cumsum."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def sess(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        boundary = np.ones(len(ts), dtype=np.int64)
+        boundary[1:] = (np.diff(ts) > _SESSION_GAP_US).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "session_id": pa.array(np.cumsum(boundary), pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------------- flat_map
 def q_explode_part_names(sf_dir: str) -> "ray.data.Dataset":
     """flat_map/explode: one row per whitespace word of p_name."""

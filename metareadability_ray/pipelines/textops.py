@@ -241,6 +241,54 @@ def q_doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --------------------------------------------------------- winnowing fingerprint
+def q_winnow_fingerprint(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's public
+    rolling-hash scheme): hash every k-gram of the token SEQUENCE, slide a
+    window of ``w`` hashes, keep each window's minimum; the distinct minima
+    are the doc's fingerprints. md5-hex with lexicographic min so the
+    DuckDB oracle computes the identical selection. Docs with < k tokens
+    emit no row (no k-gram exists). Per-doc, fully parallel — no shuffle."""
+    ds = _docs(sf_dir)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_min = [], [], []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            toks = (t or "").split()
+            if len(toks) < k:
+                continue
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            hs = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
+            # O(n) sliding-window min via monotonic deque (strings have no
+            # numpy ufunc loop); window = min(w, n) so short docs emit the
+            # single whole-sequence window
+            from collections import deque
+
+            W = min(w, len(hs))
+            dq: deque[int] = deque()
+            mins: set[str] = set()
+            for i, h in enumerate(hs):
+                while dq and hs[dq[-1]] >= h:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - W:
+                    dq.popleft()
+                if i >= W - 1:
+                    mins.add(hs[dq[0]])
+            out_id.append(doc_id)
+            out_n.append(len(mins))
+            out_min.append(min(mins))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_fingerprints": pa.array(out_n, pa.int64()),
+                "min_fingerprint": pa.array(out_min, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ exact dedup
 # sentinel for null text through the groupby shuffle: Ray's sort-based
 # groupby cannot order null keys, and md5 hex is always 32 chars of

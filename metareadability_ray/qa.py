@@ -347,6 +347,46 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "MR-G2(min/max)",
     ),
+    "sessionize": QASpec(
+        R2.q_sessionize,
+        """
+        SELECT event_id, user_id,
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+        """,
+        "custom(gap-sessionization)",
+    ),
+    "winnow_fingerprint": QASpec(
+        T.q_winnow_fingerprint,
+        r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        ), gl AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, length(t) - 2),
+                                  i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs
+            FROM toks WHERE length(t) >= 3
+        ), grams AS (
+            SELECT doc_id, unnest(generate_series(1, length(hs))) AS i, unnest(hs) AS h
+            FROM gl
+        ), wm AS (
+            SELECT doc_id, i,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM grams
+        )
+        SELECT doc_id, CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+               min(wmin) AS min_fingerprint
+        FROM wm WHERE i <= greatest(n - 3, 1) GROUP BY doc_id
+        """,
+        "fingerprinting(winnowing-rolling-hash)",
+    ),
     "hll_distinct_users": QASpec(R2.q_hll_distinct_users, None, "MR-G4(HLL-sketch)"),
     "intersect_users": QASpec(
         R2.q_intersect_users,

@@ -69,7 +69,7 @@ SQL_QUERIES = [
     "knn_bruteforce", "neardup_cosine", "label_stats",
     "left_outer_join", "asof_join", "window_cumsum", "explode_part_names",
     "sample_deterministic", "supplier_balance_stats", "intersect_users",
-    "except_users", "dup_clusters",
+    "except_users", "dup_clusters", "sessionize", "winnow_fingerprint",
 ]
 
 
