@@ -5,12 +5,13 @@ lsh_neardup_pairs) emit PAIRS; an actual dedup needs components: every doc in
 a transitively-connected dup group maps to one cluster, whose survivor is the
 smallest doc_id (= the cluster_id).
 
-Algorithm: iterative min-label propagation, all Ray Data —
-  labels₀(v) = v; labelsᵢ₊₁(v) = min(labelsᵢ(v), min over neighbours u of
-  labelsᵢ(u)) — converges to the component minimum in ≤ diameter rounds
-  (dup clusters are near-cliques, so 2–3 rounds in practice; ``max_iters``
-  bounds the worst case and convergence is detected by the label-sum fixed
-  point, valid because labels only ever decrease).
+Algorithm: iterative min-label propagation with pointer doubling, all Ray
+Data — labels₀(v) = v; labelsᵢ₊₁(v) = min(labelsᵢ(v), min over neighbours
+u of labelsᵢ(u), labelsᵢ(labelsᵢ(v))). The label-of-label shortcut halves
+label chains each round, so convergence is O(log diameter) (dup clusters
+are near-cliques: 2–3 rounds in practice). The loop runs to the label-sum
+fixed point — valid because labels only ever decrease, and a full round
+with no change is by definition converged.
 
 Scale shape: per round, one reduce-side attach (labels onto edge sources,
 union + groupby — robust to empty partitions) and one groupby-min; the
@@ -34,10 +35,16 @@ I64 = pa.int64()
 
 
 def connected_components(
-    pairs: "ray.data.Dataset", max_iters: int = 8
+    pairs: "ray.data.Dataset", max_iters: int | None = None, num_partitions: int = 8
 ) -> "ray.data.Dataset":
     """(doc_a, doc_b) pair Dataset → (doc_id, cluster_id) with cluster_id =
-    min doc_id of the connected component."""
+    min doc_id of the connected component.
+
+    Runs until the label-sum fixed point (labels only decrease, so an
+    unchanged round proves convergence — reached in ≤ graph-diameter
+    rounds; a fixed ``max_iters`` can silently under-merge long paths, as a
+    property test demonstrated). ``max_iters`` remains as an optional hard
+    safety cap only."""
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a")
@@ -56,38 +63,79 @@ def connected_components(
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("src"), "label": batch.column("src")})
 
-    labels = (
+    def snapshot(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Execute and HARD-CUT lineage: rebuild from the result block refs.
+
+        ``materialize()`` caches blocks but keeps the logical plan, and each
+        round here references the previous labels table five times — with
+        plan-carrying datasets the per-round plan grows ~5× (measured:
+        2.9 s, 2.0 s, 5.5 s, 33 s, 187 s rounds and a 6 GB driver-memory
+        estimate by round 4). from_arrow_refs starts a fresh O(1) plan; the
+        blocks stay in the object store, never on the driver."""
+        # repartition first: each round unions 3 branches, and without a
+        # bound the block count grows ~4× per round (measured 5→21→85→341
+        # blocks, per-block fixed cost → exponential rounds)
+        refs = [r for r in ds.repartition(num_partitions).to_arrow_refs()]
+        return ray.data.from_arrow_refs(refs)
+
+    labels = snapshot(
         edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("doc_id")
         .aggregate(Min("label", alias_name="label"))
-        .materialize()
     )
 
     def label_sum(ds: "ray.data.Dataset") -> int:
-        res = ds.aggregate(Sum("label", alias_name="s"))
-        return int(res["s"]) if res and res.get("s") is not None else 0
+        # ds is always materialized here: summing its blocks launches no new
+        # job (one extra Ray job per round would double the loop's cost)
+        total = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            s = pc.sum(b.column("label")).as_py()
+            total += int(s) if s is not None else 0
+        return total
+
+    def msg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("dst"), "label": batch.column("label")})
+
+    def own_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"), "label": batch.column("label")})
+
+    def shortcut_rows(batch: pa.Table) -> pa.Table:
+        # v inherits label(label(v)) — the pointer-doubling message
+        return pa.table({"doc_id": batch.column("doc_id"), "label": batch.column("label2")})
 
     prev_sum = label_sum(labels)
-    for _ in range(max_iters):
-        # message pass: every edge ships its source's current label to dst
+    it = 0
+    while max_iters is None or it < max_iters:
+        it += 1
+        # edge pass: every edge ships its source's current label to dst
         msgs = reduce_side_attach(
             edges, "src", [("src", I64), ("dst", I64)],
             labels, "doc_id", "label", "label", I64,
         )
-
-        def msg_rows(batch: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": batch.column("dst"), "label": batch.column("label")})
-
-        def own_rows(batch: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": batch.column("doc_id"), "label": batch.column("label")})
-
-        labels = (
-            labels.map_batches(own_rows, batch_format="pyarrow", zero_copy_batch=True)
-            .union(msgs.map_batches(msg_rows, batch_format="pyarrow", zero_copy_batch=True))
-            .groupby("doc_id")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
+        merged = labels.map_batches(own_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+            msgs.map_batches(msg_rows, batch_format="pyarrow", zero_copy_batch=True)
         )
+        if it >= 3:
+            # pointer doubling: label(label(v)) → v halves label chains per
+            # round → O(log diameter) overall. Deferred to round 3 because
+            # dup clusters are near-cliques that converge in 1–2 edge-only
+            # rounds — the extra attach would just double the common cost.
+            shortcut = reduce_side_attach(
+                labels, "label", [("doc_id", I64), ("label", I64)],
+                labels, "doc_id", "label", "label2", I64,
+            )
+            merged = merged.union(
+                shortcut.map_batches(shortcut_rows, batch_format="pyarrow", zero_copy_batch=True)
+            )
+        labels = snapshot(
+            merged.groupby("doc_id").aggregate(Min("label", alias_name="label"))
+        )
+        # break the completed round's dataset reference cycles NOW — leaked
+        # shuffle workers pin CPUs and starve the next round (the repo-wide
+        # Ray 2.49 workaround, see README)
+        import gc
+
+        gc.collect()
         cur = label_sum(labels)
         if cur == prev_sum:  # labels only decrease → fixed point reached
             break
