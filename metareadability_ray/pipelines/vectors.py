@@ -51,9 +51,11 @@ def knn_bruteforce(
     per-batch matmul → per-batch local top-k → exact global top-k per query."""
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(_p(sf_dir), columns=["vec_id", "embedding"])
-    qmask = pc.less(qt.column("vec_id"), num_queries)
-    qt = qt.filter(qmask)
+    # predicate pushdown: only the query rows' row groups leave storage —
+    # the driver never reads the full embeddings fact table
+    qt = pq.read_table(
+        _p(sf_dir), columns=["vec_id", "embedding"], filters=[("vec_id", "<", num_queries)]
+    )
     q_ids = qt.column("vec_id").to_pylist()
     Q = _emb_matrix(qt)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
