@@ -227,10 +227,13 @@ def main() -> None:
         # conservative estimate of true throughput.
         import statistics
 
-        shots: dict[int, list[float]] = {}
-        for cpus in (base, base * 4):
-            shots[cpus] = []
-            for _ in range(reps):
+        shots: dict[int, list[float]] = {base: [], base * 4: []}
+        # INTERLEAVED shot order (N, 4N, N, 4N, …): the VM's steal bursts
+        # last minutes, so a per-level sequential order can put one level
+        # entirely inside a burst (observed: 8-CPU shots 4722/2326/3064
+        # while 2-CPU ran calm) — alternating exposes both levels equally.
+        for _ in range(reps):
+            for cpus in (base, base * 4):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--extract-only",
