@@ -155,3 +155,33 @@ def q_dup_clusters(sf_dir: str) -> "ray.data.Dataset":
     Output: one row per doc in ≥1 dup pair; cluster_id = surviving doc."""
     pairs = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5)
     return connected_components(pairs)
+
+
+def q_dedup_survivors(sf_dir: str) -> "ray.data.Dataset":
+    """The end of the dedup story: the corpus with non-survivor duplicates
+    REMOVED. Non-survivors (cluster members with cluster_id ≠ doc_id — a
+    tiny set, bounded by the dup count) are distinct-ed distributedly and
+    broadcast; documents stream through a vectorized anti filter."""
+    import os
+
+    import ray.data
+
+    from metareadability_ray.util import distinct_keys_ref, keyset_mask
+
+    clusters = q_dup_clusters(sf_dir)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch.column("doc_id"), batch.column("cluster_id")))
+        return batch.filter(keep).select(["doc_id"])
+
+    loser_ds = clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
+    loser_ref = distinct_keys_ref(loser_ds, "doc_id")
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
+
+    return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)

@@ -241,6 +241,39 @@ def q_doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ----------------------------------------------------------------- PII redaction
+# RE2-safe patterns (no lookaround) so pyarrow.compute and DuckDB's
+# regexp_replace produce byte-identical redactions.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+
+
+def q_redact_pii(sf_dir: str) -> "ray.data.Dataset":
+    """Training-data cleaning: redact emails then URLs (fixed order — an
+    email inside a URL is already gone) with typed placeholder tokens;
+    emit the cleaned text + per-doc redaction counts. Fully vectorized
+    (pc.replace_substring_regex / count_substring_regex), per-doc map, no
+    shuffle."""
+    ds = _docs(sf_dir)
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_email = pc.cast(pc.count_substring_regex(text, _PII_EMAIL), pa.int64())
+        cleaned = pc.replace_substring_regex(text, _PII_EMAIL, "<EMAIL>")
+        n_url = pc.cast(pc.count_substring_regex(cleaned, _PII_URL), pa.int64())
+        cleaned = pc.replace_substring_regex(cleaned, _PII_URL, "<URL>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_clean": cleaned,
+                "n_emails": n_email,
+                "n_urls": n_url,
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------- winnowing fingerprint
 def q_winnow_fingerprint(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Dataset":
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's public

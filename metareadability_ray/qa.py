@@ -294,6 +294,37 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "dedup(connected-components)",
     ),
+    "dedup_survivors": QASpec(
+        C.q_dedup_survivors,
+        r"""
+        WITH RECURSIVE """ + _NGRAM_CTES + r""",
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter_t
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter * 5 >= 1 * (sa.set_size + sb.set_size - inter)
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        )
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                          WHERE c.doc_id = d.doc_id AND c.cluster_id <> d.doc_id)
+        """,
+        "dedup(survivor-filter)",
+    ),
     # --------------------------------------------------- advanced relational
     "left_outer_join": QASpec(
         R2.q_left_outer_join,
@@ -386,6 +417,22 @@ REGISTRY: dict[str, QASpec] = {
         FROM wm WHERE i <= greatest(n - 3, 1) GROUP BY doc_id
         """,
         "fingerprinting(winnowing-rolling-hash)",
+    ),
+    "redact_pii": QASpec(
+        T.q_redact_pii,
+        r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g') AS text_clean,
+               CAST(length(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(length(regexp_extract_all(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+')) AS BIGINT) AS n_urls
+        FROM documents
+        """,
+        "cleaning(pii-redaction)",
     ),
     "hll_distinct_users": QASpec(R2.q_hll_distinct_users, None, "MR-G4(HLL-sketch)"),
     "intersect_users": QASpec(

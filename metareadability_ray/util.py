@@ -102,7 +102,10 @@ def keyset_mask(ref, key_col: pa.ChunkedArray | pa.Array, negate: bool = False) 
     import ray
 
     keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-    mask = pc.is_in(key_col, value_set=keys)
+    if len(keys) == 0:  # empty/typeless key set → nothing is a member
+        mask = pa.array([False] * len(key_col), pa.bool_())
+    else:
+        mask = pc.is_in(key_col, value_set=keys)
     if negate:
         mask = pc.invert(mask)
     if isinstance(mask, pa.ChunkedArray):

@@ -70,6 +70,7 @@ SQL_QUERIES = [
     "left_outer_join", "asof_join", "window_cumsum", "explode_part_names",
     "sample_deterministic", "supplier_balance_stats", "intersect_users",
     "except_users", "dup_clusters", "sessionize", "winnow_fingerprint",
+    "redact_pii", "dedup_survivors",
 ]
 
 

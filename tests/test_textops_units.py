@@ -189,3 +189,33 @@ def test_pdf_layout_stub_spans():
     assert max(d0.column("page").to_pylist()) >= 1  # paginated
     # doc 1 was corrupted → no spans; doc 2 empty text → no spans
     assert out.filter(pa.compute.equal(out.column("doc_id"), 1)).num_rows == 0
+
+
+def test_redact_pii_crafted_text(ray_session, tmp_path):
+    """Emails redact before URLs (an address inside a URL query never
+    survives); counts match the replacements made."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines.textops import q_redact_pii
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "contact bob@example.com or see https://ex.com/a?x=1 now",
+                "no pii here at all",
+                "two mails a@b.co c@d.org and http://plain.example",
+            ],
+        }
+    )
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+    t = pa.concat_tables(list(q_redact_pii(str(tmp_path)).iter_batches(batch_format="pyarrow")))
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert rows[0]["text_clean"] == "contact <EMAIL> or see <URL> now"
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_urls"] == 1
+    assert rows[1]["text_clean"] == "no pii here at all"
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_urls"] == 0
+    assert rows[2]["text_clean"] == "two mails <EMAIL> <EMAIL> and <URL>"
+    assert rows[2]["n_emails"] == 2 and rows[2]["n_urls"] == 1
