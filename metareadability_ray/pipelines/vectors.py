@@ -322,6 +322,160 @@ def q_lsh_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":
     return lsh_neardup_pairs(sf_dir, threshold=0.45)
 
 
+def train_ivf_centroids(
+    sf_dir: str, n_clusters: int = 16, iters: int = 5
+) -> np.ndarray:
+    """Deterministic spherical k-means for the IVF index: init = the first
+    ``n_clusters`` vectors by vec_id (no RNG), then Lloyd iterations where
+    each batch emits per-cluster partial (sum, count) rows and a
+    groupby(cluster) reduce yields the k×d update — the driver only ever
+    holds k×d floats. Assignment ties break to the lowest cluster index
+    (argmax keeps the first maximum)."""
+    import pyarrow.parquet as pq
+
+    seed_t = pq.read_table(
+        _p(sf_dir), columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_clusters)]
+    ).sort_by("vec_id")
+    C = _emb_matrix(seed_t)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["embedding"])
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+            M = _emb_matrix(batch)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            a = (M @ Cm.T).argmax(axis=1)
+            sums = np.zeros_like(Cm)
+            np.add.at(sums, a, M)
+            counts = np.bincount(a, minlength=Cm.shape[0])
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "cluster": pa.array(nz, pa.int32()),
+                    "vsum": pa.array([sums[c].tolist() for c in nz], pa.list_(pa.float64())),
+                    "n": pa.array(counts[nz], pa.int64()),
+                }
+            )
+
+        def reduce_cluster(group: pa.Table) -> pa.Table:
+            vs = np.asarray(group.column("vsum").to_pylist(), dtype=np.float64).sum(axis=0)
+            return pa.table(
+                {
+                    "cluster": pa.array([group.column("cluster")[0].as_py()], pa.int32()),
+                    "vsum": pa.array([vs.tolist()], pa.list_(pa.float64())),
+                    "n": pa.array([int(pc.sum(group.column("n")).as_py())], pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cluster")
+            .map_groups(reduce_cluster, batch_format="pyarrow")
+            .take_all()  # ≤ n_clusters tiny rows
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            v = np.asarray(r["vsum"]) / max(r["n"], 1)
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                newC[r["cluster"]] = v / nrm
+        C = newC
+    return C
+
+
+def ivf_topk(
+    sf_dir: str,
+    num_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k — the second ANN scale path next to
+    :func:`lsh_neardup_pairs`: spherical-k-means coarse quantizer, each
+    query probes its ``nprobe`` nearest centroids, and batches score only
+    rows assigned to a probed cluster (at real scale the corpus is
+    PARTITIONED by cluster id so non-probed partitions are never read;
+    here the probe mask is applied in-batch). Exact recall bound pinned by
+    tests/test_vectors_ann.py against the brute-force oracle."""
+    import pyarrow.parquet as pq
+
+    C = train_ivf_centroids(sf_dir, n_clusters=n_clusters, iters=iters)
+
+    qt = pq.read_table(
+        _p(sf_dir), columns=["vec_id", "embedding"], filters=[("vec_id", "<", num_queries)]
+    )
+    q_ids = qt.column("vec_id").to_pylist()
+    Q = _emb_matrix(qt)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # per-query probed clusters: nprobe nearest centroids (deterministic
+    # tie-break via stable argsort on (-score, cluster))
+    qsim = Q @ C.T
+    probes = np.argsort(-qsim, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    state_ref = ray.put((q_ids, Q, C, probes))
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids_l, Qm, Cm, probes_l = (
+            ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        )
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        M = _emb_matrix(batch)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        assign = (M @ Cm.T).argmax(axis=1)  # coarse cluster of each row
+        S = Qm @ M.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids_l):
+            probe_mask = np.isin(assign, probes_l[qi])
+            valid = probe_mask & (ids != qid)
+            vi = np.nonzero(valid)[0]
+            if len(vi) == 0:
+                continue
+            kk = min(k, len(vi))
+            order = vi[np.lexsort((ids[vi], -S[qi][vi]))][:kk]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_s.extend(S[qi][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("score_raw", "descending"), ("neighbor_id", "ascending")]
+        )
+        top = group.take(idx[:k])
+        score = pa.array(
+            np.char.mod("%.4f", top.column("score_raw").to_numpy(zero_copy_only=False)),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "query_id": top.column("query_id"),
+                "neighbor_id": top.column("neighbor_id"),
+                "score": score,
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pyarrow")
+    )
+
+
+def q_ivf_topk(sf_dir: str) -> "ray.data.Dataset":
+    return ivf_topk(sf_dir)
+
+
 def q_label_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-label rollup: count + mean squared-norm (rounded, hash-stable)."""
     ds = ray.data.read_parquet(_p(sf_dir), columns=["label", "embedding"])

@@ -487,9 +487,10 @@ REGISTRY: dict[str, QASpec] = {
         "MR-D4(embedding-cosine)",
     ),
     "lsh_bucket_stats": QASpec(V.q_lsh_bucket_stats, None, "ANN(lsh-buckets)"),
-    # recall-bounded ANN (plane-set dependent) — rows-only for the driver;
-    # recall vs the exact oracle pinned in tests/test_vectors_ann.py
+    # recall-bounded ANN — rows-only for the driver; recall vs the exact
+    # oracle pinned in tests/test_vectors_ann.py
     "lsh_neardup_pairs": QASpec(V.q_lsh_neardup_pairs, None, "ANN(lsh-in-bucket-pairs)"),
+    "ivf_topk": QASpec(V.q_ivf_topk, None, "ANN(ivf-coarse-quantizer)"),
     "label_stats": QASpec(
         V.q_label_stats,
         """

@@ -91,7 +91,7 @@ def test_query_matches_duckdb(ray_session, con, name):
 ROWS_ONLY = [
     "minhash_lsh_pairs", "simhash", "lsh_bucket_stats", "media_features",
     "media_frame_sample", "extract_pages", "hll_distinct_users",
-    "lsh_neardup_pairs", "pdf_layout_spans",
+    "lsh_neardup_pairs", "pdf_layout_spans", "ivf_topk",
 ]
 
 
