@@ -68,10 +68,15 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "simhash",
     "minhash_lsh_pairs",
+    "sessionize",
+    "winnow_fingerprint",
+    "redact_pii",
+    "bpe_token_stats",
     "knn_bruteforce",
     "neardup_cosine",
     "lsh_bucket_stats",
     "lsh_neardup_pairs",
+    "ivf_topk",
     "media_features",
     "media_frame_sample",
     "pdf_layout_spans",

@@ -323,7 +323,7 @@ def q_lsh_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":
 
 
 def train_ivf_centroids(
-    sf_dir: str, n_clusters: int = 16, iters: int = 5
+    sf_dir: str, n_clusters: int = 16, iters: int = 3
 ) -> np.ndarray:
     """Deterministic spherical k-means for the IVF index: init = the first
     ``n_clusters`` vectors by vec_id (no RNG), then Lloyd iterations where
@@ -392,7 +392,7 @@ def ivf_topk(
     k: int = 10,
     n_clusters: int = 16,
     nprobe: int = 4,
-    iters: int = 5,
+    iters: int = 3,
 ) -> "ray.data.Dataset":
     """IVF approximate top-k — the second ANN scale path next to
     :func:`lsh_neardup_pairs`: spherical-k-means coarse quantizer, each
