@@ -22,12 +22,11 @@ re-execution of the whole chain each iteration.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min
 
 from metareadability_ray.pipelines.textops import ngram_jaccard_pairs, reduce_side_attach
 

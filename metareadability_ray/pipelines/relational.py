@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 from metareadability_ray.util import distinct_keys_ref, keyset_mask, lookup_ref, lookup_take
 

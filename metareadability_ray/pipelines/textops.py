@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 from metareadability_ray.util import auto_actor_concurrency
 
 _TOKEN_RE = r"\S+"

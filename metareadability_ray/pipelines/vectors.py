@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Sum
 from metareadability_ray.util import auto_actor_concurrency
 
 _ROUND = {"round_mode": "half_towards_infinity"}
