@@ -63,7 +63,12 @@ def reduce_side_attach(
     holds one attach row (the key's payload) plus that key's data rows; the
     payload is broadcast within the group. Keys missing from ``attach``
     drop their rows (inner semantics); shuffle volume = both streams keyed
-    once — the standard reduce-side-join cost."""
+    once — the standard reduce-side-join cost.
+
+    CONTRACT: ``attach`` must have UNIQUE keys (true for every caller —
+    per-doc sizes/signatures, per-node labels). With duplicates the
+    selected payload would depend on intra-group row order, which the
+    shuffle does not pin."""
     names = [c for c, _ in row_cols]
 
     def row_side(batch: pa.Table) -> pa.Table:
