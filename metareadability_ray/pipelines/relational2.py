@@ -157,6 +157,37 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
 
 
+# -------------------------------------------------------- rolling window avg
+def q_rolling_avg_events(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user moving average of `value` over the current + 2 preceding
+    events (by ts, event_id) — the bounded-frame window-function pattern,
+    vectorized via shifted partial sums inside the per-user group."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def roll(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        n = len(v)
+        # frame sums in DuckDB's frame order (oldest→newest): v[i-2]+v[i-1]+v[i]
+        s = v.copy()
+        if n > 1:
+            s[1:] = v[:-1] + v[1:]
+        if n > 2:
+            s[2:] = v[:-2] + v[1:-1] + v[2:]
+        cnt = np.minimum(np.arange(n) + 1, 3)
+        avg = s / cnt
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "avg3": pa.array(np.char.mod("%.2f", avg), pa.string()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------------- flat_map
 def q_explode_part_names(sf_dir: str) -> "ray.data.Dataset":
     """flat_map/explode: one row per whitespace word of p_name."""

@@ -246,6 +246,71 @@ def q_doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------------------- stratified sampling
+def q_stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic stratified sampling — the training-data MIXING op:
+    keep 1/16 of 'en' docs and 8/16 of everything else, decided by the
+    first hex digit of md5(text) (content-hash rates are reproducible
+    across engines, block orders, and cluster sizes; null text never
+    samples). Rates are per-stratum multiples of 1/16 so the SQL oracle is
+    a single substring comparison."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    )
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = []
+        for lang, t in zip(batch.column("lang").to_pylist(), batch.column("text").to_pylist()):
+            if t is None:
+                keep.append(False)
+                continue
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()[0]
+            keep.append(h == "0" if lang == "en" else h <= "7")
+        return batch.filter(pa.array(keep, pa.bool_())).select(["doc_id", "lang"])
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------- grouped top-k
+def q_topk_docs_per_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Group-wise top-k (MR-O2 grouped variant): the 5 longest docs per
+    lang, ties broken on doc_id. Partitioning: one lang per group."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def top5(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return group.take(idx[:5])
+
+    return ds.groupby("lang").map_groups(top5, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- median aggregate
+def q_median_doc_length(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-lang median of n_chars (even counts average the middle
+    two, matching SQL ``median``). Whole-group computation inside
+    map_groups — the exact-quantile pattern; at 100 TB you'd switch to a
+    t-digest sketch the way HLL replaces exact distinct."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def med(group: pa.Table) -> pa.Table:
+        v = group.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": pa.array([group.column("lang")[0].as_py()], pa.string()),
+                "median_chars": pa.array([f"{float(np.median(v)):.1f}"], pa.string()),
+                "n_docs": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("lang").map_groups(med, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- PII redaction
 # RE2-safe patterns (no lookaround) so pyarrow.compute and DuckDB's
 # regexp_replace produce byte-identical redactions.

@@ -418,6 +418,44 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "fingerprinting(winnowing-rolling-hash)",
     ),
+    "stratified_sample": QASpec(
+        T.q_stratified_sample,
+        """
+        SELECT doc_id, lang FROM documents
+        WHERE CASE WHEN lang = 'en' THEN substring(md5(text), 1, 1) = '0'
+                   ELSE substring(md5(text), 1, 1) <= '7' END
+        """,
+        "sampling(stratified-data-mixing)",
+    ),
+    "topk_docs_per_lang": QASpec(
+        T.q_topk_docs_per_lang,
+        """
+        SELECT doc_id, lang, n_chars FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
+        """,
+        "MR-O2(grouped-topk)",
+    ),
+    "median_doc_length": QASpec(
+        T.q_median_doc_length,
+        """
+        SELECT lang, printf('%.1f', median(n_chars)) AS median_chars,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+        """,
+        "MR-G2(exact-median)",
+    ),
+    "rolling_avg_events": QASpec(
+        R2.q_rolling_avg_events,
+        """
+        SELECT event_id, user_id,
+               printf('%.2f', avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS avg3
+        FROM events
+        """,
+        "custom(bounded-frame-window)",
+    ),
     "redact_pii": QASpec(
         T.q_redact_pii,
         r"""

@@ -70,7 +70,8 @@ SQL_QUERIES = [
     "left_outer_join", "asof_join", "window_cumsum", "explode_part_names",
     "sample_deterministic", "supplier_balance_stats", "intersect_users",
     "except_users", "dup_clusters", "sessionize", "winnow_fingerprint",
-    "redact_pii", "dedup_survivors",
+    "redact_pii", "dedup_survivors", "stratified_sample", "topk_docs_per_lang",
+    "median_doc_length", "rolling_avg_events",
 ]
 
 
