@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "winnow_fingerprint",
     "redact_pii",
     "bpe_token_stats",
+    "stratified_sample",
+    "topk_docs_per_lang",
+    "median_doc_length",
+    "rolling_avg_events",
     "knn_bruteforce",
     "neardup_cosine",
     "lsh_bucket_stats",
