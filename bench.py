@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "topk_docs_per_lang",
     "median_doc_length",
     "rolling_avg_events",
+    "rollup_orders",
+    "funnel_stages",
     "knn_bruteforce",
     "neardup_cosine",
     "lsh_bucket_stats",

@@ -249,6 +249,109 @@ def q_supplier_balance_stats(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ----------------------------------------------------------------- OLAP rollup
+def q_rollup_orders(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(status, priority): detail rows + per-status subtotals
+    + grand total, as three groupbys unioned with null-filled key columns —
+    the standard distributed ROLLUP plan (each level is its own partial
+    aggregation; no level shuffles more than its own key)."""
+    base = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"]
+    )
+
+    detail = base.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="n")
+    )
+
+    def drop_prio(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "n": batch.column("n"),
+            }
+        )
+
+    def total_level(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": batch.column("n")})
+
+    per_status = (
+        detail.map_batches(drop_prio, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    grand = per_status.map_batches(
+        total_level, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def widen(status: bool, prio: bool):
+        def do(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "o_orderstatus": batch.column("o_orderstatus")
+                    if status
+                    else pa.nulls(n, pa.string()),
+                    "o_orderpriority": batch.column("o_orderpriority")
+                    if prio
+                    else pa.nulls(n, pa.string()),
+                    "n": batch.column("n").cast(pa.int64()),
+                }
+            )
+
+        return do
+
+    grand_t = pa.table(
+        {
+            "o_orderstatus": pa.nulls(1, pa.string()),
+            "o_orderpriority": pa.nulls(1, pa.string()),
+            "n": pa.array([int(grand["n"])], pa.int64()),
+        }
+    )
+    return (
+        detail.map_batches(widen(True, True), batch_format="pyarrow", zero_copy_batch=True)
+        .union(per_status.map_batches(widen(True, False), batch_format="pyarrow", zero_copy_batch=True))
+        .union(ray.data.from_arrow(grand_t))
+    )
+
+
+# ------------------------------------------------------------------ funnel
+_FUNNEL = ("view", "click", "purchase")
+
+
+def q_funnel_stages(sf_dir: str) -> "ray.data.Dataset":
+    """Sequential funnel: a user reaches stage k when each event type in
+    (view → click → purchase) occurs STRICTLY AFTER the previous stage's
+    first occurrence. Output: users per furthest stage (0 = no view).
+    Partitioning: all of a user's events in one group; the in-group pass
+    is a vectorized min-ts chain."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+
+    def stage_of(group: pa.Table) -> pa.Table:
+        types = np.asarray(group.column("event_type").to_pylist())
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        prev_t = -(1 << 62)
+        stage = 0
+        for step in _FUNNEL:
+            sel = (types == step) & (ts > prev_t)
+            if not sel.any():
+                break
+            prev_t = ts[sel].min()
+            stage += 1
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "stage": pa.array([stage], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(stage_of, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
 # ------------------------------------------------------------------- set ops
 def _users_of(sf_dir: str, event_type: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])

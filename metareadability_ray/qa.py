@@ -378,6 +378,43 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "MR-G2(min/max)",
     ),
+    "rollup_orders": QASpec(
+        R2.q_rollup_orders,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "MR-G2(rollup)",
+    ),
+    "funnel_stages": QASpec(
+        R2.q_funnel_stages,
+        """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        ), stages AS (
+            SELECT u.user_id,
+                   CASE WHEN p.user_id IS NOT NULL THEN 3
+                        WHEN c.user_id IS NOT NULL THEN 2
+                        WHEN v.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
+        )
+        SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+        """,
+        "custom(sequential-funnel)",
+    ),
     "sessionize": QASpec(
         R2.q_sessionize,
         """

@@ -111,3 +111,50 @@ def test_sample_deterministic_null_text(ray_session, mini_sf):
     got = _rows(R2.q_sample_deterministic(mini_sf))
     want = _rows(_duck(mini_sf, REGISTRY["sample_deterministic"].sql))
     assert got == want
+
+
+def test_funnel_stages_crafted(ray_session, tmp_path):
+    """All four stages + the strictly-after ordering rule: a purchase
+    BEFORE the first qualifying click must not advance the funnel."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines import relational2 as R2
+    from metareadability_ray.qa import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view -> click -> purchase (stage 3)
+        (1, 1, t(0), "view"), (2, 1, t(1), "click"), (3, 1, t(2), "purchase"),
+        # user 2: purchase BEFORE view/click chain -> stops at stage 2
+        (4, 2, t(0), "purchase"), (5, 2, t(1), "view"), (6, 2, t(2), "click"),
+        # user 3: view only (stage 1)
+        (7, 3, t(0), "view"),
+        # user 4: click/purchase but never a view (stage 0)
+        (8, 4, t(0), "click"), (9, 4, t(1), "purchase"),
+        # user 5: click at the SAME ts as first view -> strictly-after fails (stage 1)
+        (10, 5, t(0), "view"), (11, 5, t(0), "click"),
+    ]
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(events, os.path.join(tmp_path, "documents.parquet").replace("documents", "events"))
+
+    got = _rows(R2.q_funnel_stages(str(tmp_path)))
+    want = _rows(_duck(str(tmp_path), REGISTRY["funnel_stages"].sql))
+    assert got == want
+    # direct expectation: stage->count = {3:1, 2:1, 1:2, 0:1}
+    t = pa.concat_tables(list(R2.q_funnel_stages(str(tmp_path)).iter_batches(batch_format="pyarrow")))
+    m = dict(zip(t.column("stage").to_pylist(), t.column("n_users").to_pylist()))
+    assert m == {3: 1, 2: 1, 1: 2, 0: 1}

@@ -71,7 +71,7 @@ SQL_QUERIES = [
     "sample_deterministic", "supplier_balance_stats", "intersect_users",
     "except_users", "dup_clusters", "sessionize", "winnow_fingerprint",
     "redact_pii", "dedup_survivors", "stratified_sample", "topk_docs_per_lang",
-    "median_doc_length", "rolling_avg_events",
+    "median_doc_length", "rolling_avg_events", "rollup_orders", "funnel_stages",
 ]
 
 
