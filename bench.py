@@ -78,6 +78,18 @@ BENCH_QUERIES = [
     "rolling_avg_events",
     "rollup_orders",
     "funnel_stages",
+    "count_distinct_users",
+    "pivot_event_sums",
+    "corr_lineitem",
+    "lag_value_delta",
+    "range_join_bands",
+    "mode_priority",
+    "cube_orders",
+    "first_last_value",
+    "collect_set_priorities",
+    "quantile_sketch_value",
+    "word_count_topk",
+    "tfidf_top_terms",
     "knn_bruteforce",
     "neardup_cosine",
     "lsh_bucket_stats",

@@ -1,0 +1,466 @@
+"""Third relational batch: exact count-distinct, pivot, two-pass grouped
+correlation, lag/lead windows, banded range join, per-group mode, OLAP CUBE,
+first/last-value (argmin/argmax with a per-batch combiner), collect-set, and
+a mergeable quantile sketch.
+
+Scale notes are per operator; the shared theme is: pre-aggregate inside
+``map_batches`` so the only thing that shuffles is a key plus a few
+fixed-size statistics — never the fact rows themselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from metareadability_ray.pipelines.relational import fmt_fixed
+from metareadability_ray.util import lookup_ref, lookup_take
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# --------------------------------------------------------- exact count-distinct
+def q_count_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact twin of the
+    HLL sketch (relational2.q_hll_distinct_users). Two-level aggregation:
+    level 1 dedups (event_type, user_id) pairs distributedly (the shuffle
+    carries key pairs only, never event payloads), level 2 counts the
+    surviving pairs per type. At 100 TB the level-1 shuffle is bounded by
+    distinct-pair cardinality after in-block combining, not event count."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    pairs = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+# ------------------------------------------------------------------------ pivot
+_PIVOT_TYPES = ("view", "click", "purchase")
+
+
+def q_pivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT event_type into per-user sum columns (sum_view / sum_click /
+    sum_purchase) + total event count. The pivot happens BEFORE the shuffle:
+    each batch appends masked value columns (``pc.if_else``), so one
+    groupby(user_id) with plain Sums produces the wide row — no per-type
+    shuffle, no second pass."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        et, val = batch.column("event_type"), batch.column("value")
+        zero = pa.scalar(0.0, pa.float64())
+        for t in _PIVOT_TYPES:
+            batch = batch.append_column(
+                f"sum_{t}", pc.if_else(pc.equal(et, t), val, zero)
+            )
+        return batch.drop_columns(["event_type", "value"])
+
+    agg = (
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"sum_{t}", alias_name=f"sum_{t}") for t in _PIVOT_TYPES],
+            Count(alias_name="n_events"),
+        )
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        for t in _PIVOT_TYPES:
+            i = batch.column_names.index(f"sum_{t}")
+            batch = batch.set_column(i, f"sum_{t}", fmt_fixed(batch.column(f"sum_{t}"), 2))
+        return batch
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------ two-pass grouped corr
+def q_corr_lineitem(sf_dir: str) -> "ray.data.Dataset":
+    """Pearson corr(l_quantity, l_extendedprice) per l_returnflag via the
+    numerically-stable TWO-PASS plan: pass 1 aggregates per-group means
+    (sum/count — tiny result, broadcast via ray.put); pass 2 sums CENTERED
+    cross-products per batch (arrow group_by combiner) before one small
+    groupby. Centering first avoids the catastrophic cancellation of the
+    naive E[xy]-E[x]E[y] formula at large n, so the 4-decimal compare is
+    stable. Both passes stream; only (flag, 3 doubles) rows shuffle."""
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=cols)
+
+    means_t = pa.concat_tables(
+        [
+            b
+            for b in ds.groupby("l_returnflag")
+            .aggregate(
+                Sum("l_quantity", alias_name="sx"),
+                Sum("l_extendedprice", alias_name="sy"),
+                Count(alias_name="n"),
+            )
+            .iter_batches(batch_format="pyarrow")
+        ]
+    )
+    n_arr = means_t.column("n").cast(pa.float64())
+    mx_ref = lookup_ref(
+        means_t.column("l_returnflag"), pc.divide(means_t.column("sx"), n_arr)
+    )
+    my_ref = lookup_ref(
+        means_t.column("l_returnflag"), pc.divide(means_t.column("sy"), n_arr)
+    )
+
+    def centered_partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag")
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dx = x - np.asarray(lookup_take(mx_ref, flag))
+        dy = y - np.asarray(lookup_take(my_ref, flag))
+        part = pa.table(
+            {
+                "l_returnflag": flag,
+                "dxx": pa.array(dx * dx, pa.float64()),
+                "dyy": pa.array(dy * dy, pa.float64()),
+                "dxy": pa.array(dx * dy, pa.float64()),
+            }
+        )
+        g = part.group_by("l_returnflag").aggregate(
+            [("dxx", "sum"), ("dyy", "sum"), ("dxy", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "dxx", "dyy", "dxy"])
+
+    agg = (
+        ds.map_batches(centered_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("dxx", alias_name="dxx"),
+            Sum("dyy", alias_name="dyy"),
+            Sum("dxy", alias_name="dxy"),
+        )
+    )
+    n_ref = lookup_ref(means_t.column("l_returnflag"), means_t.column("n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dxx = batch.column("dxx").to_numpy(zero_copy_only=False)
+        dyy = batch.column("dyy").to_numpy(zero_copy_only=False)
+        dxy = batch.column("dxy").to_numpy(zero_copy_only=False)
+        corr = dxy / np.sqrt(dxx * dyy)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "corr_qp": fmt_fixed(pa.array(corr, pa.float64()), 4),
+                "n": lookup_take(n_ref, batch.column("l_returnflag")).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------------- lag window
+def q_lag_value_delta(sf_dir: str) -> "ray.data.Dataset":
+    """value − lag(value) per user ordered by (ts, event_id) — the LAG/LEAD
+    window pattern. Partitioning assumption: all of a user's events in one
+    group (hash shuffle on user_id); in-group the delta is a vectorized
+    shifted subtraction. First event per user → null delta (printf(NULL) is
+    NULL on the SQL side; fmt_fixed propagates nulls here)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def lag_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        delta = np.empty_like(v)
+        delta[0] = np.nan
+        delta[1:] = v[1:] - v[:-1]
+        mask = np.zeros(len(v), dtype=bool)
+        mask[0] = True
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "delta": fmt_fixed(pa.array(delta, pa.float64(), mask=mask), 2),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ banded range join
+_BAND_EDGES = np.array([0.0, 100_000.0, 200_000.0, 300_000.0, 1e9])
+_BAND_NAMES = ("low", "mid", "high", "top")
+
+
+def q_range_join_bands(sf_dir: str) -> "ray.data.Dataset":
+    """Range (interval) join of orders onto static price bands
+    [lo, hi) — the broadcast-band idiom: the tiny band table ships as sorted
+    edges, each batch bins o_totalprice with one ``np.searchsorted`` (no
+    per-row predicate evaluation, no cross join), then a 4-key groupby
+    aggregates. The general banded range join at 100 TB follows exactly this
+    plan whenever one side is small enough to broadcast sorted."""
+    ds = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_totalprice"])
+    names = pa.array(_BAND_NAMES, pa.string())
+
+    def bin_prices(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(_BAND_EDGES, price, side="right") - 1
+        return pa.table(
+            {
+                "band": pc.take(names, pa.array(idx, pa.int64())),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bin_prices, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price"))
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_price")
+        return batch.set_column(i, "sum_price", fmt_fixed(batch.column("sum_price"), 2))
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------------- per-group mode
+def q_mode_priority(sf_dir: str) -> "ray.data.Dataset":
+    """MODE(o_orderpriority) per o_orderstatus with deterministic tie-break
+    (highest count, then lexicographically smallest priority). Plan: one
+    two-key groupby counts (combiner crushes the skew), then a per-status
+    argmax over at most |priorities| rows — the second stage shuffles only
+    the tiny count table."""
+    ds = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
+    counts = ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(Count(alias_name="n"))
+
+    def pick(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("n", "descending"), ("o_orderpriority", "ascending")]
+        )
+        g = group.take(idx).slice(0, 1)
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "mode_priority": g.column("o_orderpriority"),
+                "n": g.column("n").cast(pa.int64()),
+            }
+        )
+
+    return counts.groupby("o_orderstatus").map_groups(pick, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------- OLAP cube
+def q_cube_orders(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY CUBE(status, priority): all four grouping levels. Like the
+    ROLLUP plan (relational2.q_rollup_orders) plus the priority-only level —
+    every coarser level re-aggregates the detail counts, so the base table
+    is scanned once and no level shuffles more than its own keys."""
+    base = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
+    detail = base.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(Count(alias_name="n"))
+
+    def keep(cols: list[str]):
+        def do(batch: pa.Table) -> pa.Table:
+            return batch.select(cols + ["n"])
+
+        return do
+
+    per_status = (
+        detail.map_batches(keep(["o_orderstatus"]), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    per_prio = (
+        detail.map_batches(keep(["o_orderpriority"]), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    grand_n = int(
+        per_status.map_batches(keep([]), batch_format="pyarrow", zero_copy_batch=True).aggregate(
+            Sum("n", alias_name="n")
+        )["n"]
+    )
+
+    def widen(status: bool, prio: bool):
+        def do(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "o_orderstatus": batch.column("o_orderstatus")
+                    if status
+                    else pa.nulls(n, pa.string()),
+                    "o_orderpriority": batch.column("o_orderpriority")
+                    if prio
+                    else pa.nulls(n, pa.string()),
+                    "n": batch.column("n").cast(pa.int64()),
+                }
+            )
+
+        return do
+
+    grand_t = pa.table(
+        {
+            "o_orderstatus": pa.nulls(1, pa.string()),
+            "o_orderpriority": pa.nulls(1, pa.string()),
+            "n": pa.array([grand_n], pa.int64()),
+        }
+    )
+    return (
+        detail.map_batches(widen(True, True), batch_format="pyarrow", zero_copy_batch=True)
+        .union(per_status.map_batches(widen(True, False), batch_format="pyarrow", zero_copy_batch=True))
+        .union(per_prio.map_batches(widen(False, True), batch_format="pyarrow", zero_copy_batch=True))
+        .union(ray.data.from_arrow(grand_t))
+    )
+
+
+# ------------------------------------------------- first/last value (combiner)
+def _first_last_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch argmin/argmax combiner: one (min_ts, first_value, max_ts,
+    last_value, n) row per user per batch — at scale the shuffle carries a
+    fixed-size partial per (block, user), never the event rows."""
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    val = batch.column("value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, uid))
+    u, t, v = uid[order], ts[order], val[order]
+    starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+    ends = np.r_[starts[1:], len(u)] - 1
+    return pa.table(
+        {
+            "user_id": pa.array(u[starts], pa.int64()),
+            "min_ts": pa.array(t[starts], pa.int64()),
+            "first_value": pa.array(v[starts], pa.float64()),
+            "max_ts": pa.array(t[ends], pa.int64()),
+            "last_value": pa.array(v[ends], pa.float64()),
+            "n": pa.array(ends - starts + 1, pa.int64()),
+        }
+    )
+
+
+def q_first_last_value(sf_dir: str) -> "ray.data.Dataset":
+    """FIRST_VALUE/LAST_VALUE by event time per user (min_by/max_by): the
+    distributed argmin/argmax pattern — vectorized per-batch partials
+    (_first_last_partial), then a per-user merge of the partials. (user_id,
+    ts) is unique in this data, so both picks are well-defined."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        min_ts = group.column("min_ts").to_numpy(zero_copy_only=False)
+        max_ts = group.column("max_ts").to_numpy(zero_copy_only=False)
+        first = group.column("first_value").to_numpy(zero_copy_only=False)
+        last = group.column("last_value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "first_value": fmt_fixed(
+                    pa.array([first[np.argmin(min_ts)]], pa.float64()), 2
+                ),
+                "last_value": fmt_fixed(
+                    pa.array([last[np.argmax(max_ts)]], pa.float64()), 2
+                ),
+                "n_events": pa.array([int(pc.sum(group.column("n")).as_py())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_first_last_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------------ collect-set
+def q_collect_set_priorities(sf_dir: str) -> "ray.data.Dataset":
+    """COLLECT_SET / list(DISTINCT) per group, rendered as a sorted
+    comma-joined string (deterministic regardless of block order). The
+    distinct happens in the two-key groupby; the per-status set is bounded
+    by priority cardinality, so the map_groups output row is tiny."""
+    ds = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
+    counts = ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(Count(alias_name="n"))
+
+    def collect(group: pa.Table) -> pa.Table:
+        prios = sorted(group.column("o_orderpriority").to_pylist())
+        n = int(pc.sum(group.column("n")).as_py())
+        return pa.table(
+            {
+                "o_orderstatus": group.column("o_orderstatus").slice(0, 1),
+                "priorities": pa.array([",".join(prios)], pa.string()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    return counts.groupby("o_orderstatus").map_groups(collect, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- quantile sketch
+_QSK_SAMPLES_PER_BATCH = 512
+
+
+def _quantile_partial(batch: pa.Table) -> pa.Table:
+    """Uniform-stride quantile sketch partial: per (batch, event_type), keep
+    every k-th order statistic of `value` with weight k (k sized so ≤512
+    samples leave the batch). Rank error per partial ≤ k, so the merged
+    estimate's rank error is bounded by (#partials × k)/2 ≪ n. Mergeable by
+    concatenation — the shuffle carries samples, not rows."""
+    types = np.asarray(batch.column("event_type").to_pylist())
+    vals = batch.column("value").to_numpy(zero_copy_only=False)
+    out_t: list[str] = []
+    out_v: list[float] = []
+    out_w: list[int] = []
+    for t in np.unique(types):
+        v = np.sort(vals[types == t])
+        k = max(1, int(np.ceil(len(v) / _QSK_SAMPLES_PER_BATCH)))
+        idx = np.arange(len(v) // k) * k + (k - 1)  # last element of each stride
+        out_t.extend([str(t)] * (len(idx) + (1 if len(v) % k else 0)))
+        out_v.extend(v[idx].tolist())
+        out_w.extend([k] * len(idx))
+        rem = len(v) % k
+        if rem:
+            out_v.append(float(v[-1]))
+            out_w.append(rem)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "value": pa.array(out_v, pa.float64()),
+            "weight": pa.array(out_w, pa.int64()),
+        }
+    )
+
+
+def q_quantile_sketch_value(sf_dir: str) -> "ray.data.Dataset":
+    """Approximate p50/p90/p99 of `value` per event_type via a mergeable
+    uniform-stride sketch (the quantile twin of the HLL distinct sketch:
+    partial per batch, merge per key). Rows-only for the driver; rank
+    accuracy vs the exact quantile is pinned in tests."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        w = group.column("weight").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        picks = [v[np.searchsorted(cum, q * total, side="left")] for q in (0.5, 0.9, 0.99)]
+        return pa.table(
+            {
+                "event_type": group.column("event_type").slice(0, 1),
+                "n": pa.array([int(total)], pa.int64()),
+                "p50": pa.array([picks[0]], pa.float64()),
+                "p90": pa.array([picks[1]], pa.float64()),
+                "p99": pa.array([picks[2]], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_quantile_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )

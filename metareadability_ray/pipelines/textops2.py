@@ -1,0 +1,143 @@
+"""Corpus-statistics text operators: heavy-hitter word counts and TF-IDF
+top-terms over the `documents` table.
+
+Both follow the same scale discipline as textops.py: each document's text
+lives in exactly one row, so all per-document work (tokenize, tf, top-k)
+happens inside ``map_batches`` with zero shuffle; the only thing that ever
+shuffles is the (token, count) vocabulary stream — which the per-batch
+combiner has already collapsed to one row per distinct token per batch, so
+hot tokens ("the") cost one row per block, not one row per occurrence.
+That combiner IS the skew defence: no salting needed because the shuffle
+key's multiplicity is bounded by block count.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from metareadability_ray.util import lookup_ref, lookup_take
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _batch_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """All (doc_id, token) occurrences of a batch as parallel numpy arrays.
+    ``str.split()`` splits on any whitespace run — identical token stream to
+    the ``\\S+`` regex used by every other textops kernel and the SQL
+    oracles' ``regexp_extract_all(text, '\\S+')``."""
+    doc_ids: list[int] = []
+    toks: list[str] = []
+    for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        if not t:
+            continue
+        parts = t.split()
+        doc_ids.extend([did] * len(parts))
+        toks.extend(parts)
+    return np.asarray(doc_ids, dtype=np.int64), np.asarray(toks, dtype=object)
+
+
+# -------------------------------------------------------------- heavy hitters
+def q_word_count_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Top-k most frequent tokens corpus-wide (the canonical map-reduce word
+    count, with the in-batch combiner that makes it scale): per batch,
+    ``np.unique`` collapses the token stream to (token, count) partials;
+    one groupby(token) sums them; the final sort runs over the
+    vocabulary-sized aggregate only — never the corpus. Ties at the cut
+    are broken lexicographically so the selected set is deterministic."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, toks = _batch_tokens(batch)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        u, c = np.unique(toks.astype(str), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(key=["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------- TF-IDF
+def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-document top-k TF-IDF terms with linear idf (score = tf · N/df).
+
+    Two streaming passes over `documents`:
+
+    1. document frequency: per batch emit each (token, doc) ONCE (the
+       combiner), groupby(token) counts → a vocabulary-sized (token, df)
+       table, shipped once via ``ray.put`` (bounded by vocabulary size —
+       the classic broadcast small side).
+    2. scoring: each doc's tf is computed wholly inside its batch (a doc is
+       one row), df looked up vectorized (``pc.index_in``), and the per-doc
+       top-k selected by one ``np.lexsort`` over (doc, −score, token).
+
+    Ranking by tf·N/df is order-equivalent to ranking by tf/df; IEEE-754
+    division is exactly rounded, so DuckDB and numpy order identically and
+    ties fall to the lexicographic token tie-break. Output carries the
+    integer (tf, df) pair — no float crosses the compare boundary."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _batch_tokens(batch)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        # distinct (doc, token) within the batch, then count per token
+        pairs = np.unique(np.rec.fromarrays([doc_ids, toks.astype(str)]))
+        u, c = np.unique(pairs.f1, return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()), "df": pa.array(c, pa.int64())})
+
+    df_t = pa.concat_tables(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    df_ref = lookup_ref(df_t.column("token"), df_t.column("df"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _batch_tokens(batch)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        toks = toks.astype(str)
+        pairs, tf = np.unique(np.rec.fromarrays([doc_ids, toks]), return_counts=True)
+        d, t = pairs.f0, pairs.f1
+        df = np.asarray(lookup_take(df_ref, pa.array(t, pa.string()))).astype(np.int64)
+        score = tf.astype(np.float64) / df  # IEEE division: engine-identical
+        order = np.lexsort((t, -score, d))
+        ds_, tf_, t_, df_ = d[order], tf[order], t[order], df[order]
+        starts = np.r_[0, np.flatnonzero(ds_[1:] != ds_[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(ds_)])
+        rank = np.arange(len(ds_)) - np.repeat(starts, sizes)
+        keep = rank < k
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[keep], pa.int64()),
+                "token": pa.array(t_[keep], pa.string()),
+                "tf": pa.array(tf_[keep], pa.int64()),
+                "df": pa.array(df_[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -20,7 +20,9 @@ from typing import Callable, Optional
 from metareadability_ray.pipelines import clustering as C
 from metareadability_ray.pipelines import relational as R
 from metareadability_ray.pipelines import relational2 as R2
+from metareadability_ray.pipelines import relational3 as R3
 from metareadability_ray.pipelines import textops as T
+from metareadability_ray.pipelines import textops2 as T2
 from metareadability_ray.pipelines import vectors as V
 
 
@@ -508,6 +510,123 @@ REGISTRY: dict[str, QASpec] = {
         FROM documents
         """,
         "cleaning(pii-redaction)",
+    ),
+    # ------------------------------------------------------- relational batch 3
+    "count_distinct_users": QASpec(
+        R3.q_count_distinct_users,
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+        "MR-G2(exact-count-distinct)",
+    ),
+    "pivot_event_sums": QASpec(
+        R3.q_pivot_event_sums,
+        """
+        SELECT user_id,
+               printf('%.2f', coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0)) AS sum_view,
+               printf('%.2f', coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0)) AS sum_click,
+               printf('%.2f', coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0)) AS sum_purchase,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+        """,
+        "custom(pivot)",
+    ),
+    "corr_lineitem": QASpec(
+        R3.q_corr_lineitem,
+        """
+        SELECT l_returnflag, printf('%.4f', corr(l_quantity, l_extendedprice)) AS corr_qp,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "MR-G2(two-pass-corr)",
+    ),
+    "lag_value_delta": QASpec(
+        R3.q_lag_value_delta,
+        """
+        SELECT event_id, user_id,
+               printf('%.2f', value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS delta
+        FROM events
+        """,
+        "custom(lag-window)",
+    ),
+    "range_join_bands": QASpec(
+        R3.q_range_join_bands,
+        """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('low', 0.0, 100000.0), ('mid', 100000.0, 200000.0),
+            ('high', 200000.0, 300000.0), ('top', 300000.0, 1e9))
+        SELECT band, count(*) AS n_orders, printf('%.2f', sum(o_totalprice)) AS sum_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+        """,
+        "custom(banded-range-join)",
+    ),
+    "mode_priority": QASpec(
+        R3.q_mode_priority,
+        """
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1, 2)
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) = 1
+        """,
+        "MR-G2(mode)",
+    ),
+    "cube_orders": QASpec(
+        R3.q_cube_orders,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "MR-G2(cube)",
+    ),
+    "first_last_value": QASpec(
+        R3.q_first_last_value,
+        """
+        SELECT user_id, printf('%.2f', min_by(value, ts)) AS first_value,
+               printf('%.2f', max_by(value, ts)) AS last_value,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+        """,
+        "custom(first/last-value,argmin-combiner)",
+    ),
+    "collect_set_priorities": QASpec(
+        R3.q_collect_set_priorities,
+        """
+        SELECT o_orderstatus,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        """,
+        "MR-G2(collect-set)",
+    ),
+    "quantile_sketch_value": QASpec(
+        R3.q_quantile_sketch_value, None, "MR-G4(quantile-sketch)"
+    ),
+    # ------------------------------------------------------- corpus statistics
+    "word_count_topk": QASpec(
+        T2.q_word_count_topk,
+        r"""
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "custom(heavy-hitters-wordcount)",
+    ),
+    "tfidf_top_terms": QASpec(
+        T2.q_tfidf_top_terms,
+        r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        )
+        SELECT doc_id, token, tf, df FROM tf JOIN df USING (token)
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, token) <= 3
+        """,
+        "custom(tfidf-top-terms)",
     ),
     "hll_distinct_users": QASpec(R2.q_hll_distinct_users, None, "MR-G4(HLL-sketch)"),
     "intersect_users": QASpec(

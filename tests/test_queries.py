@@ -72,6 +72,9 @@ SQL_QUERIES = [
     "except_users", "dup_clusters", "sessionize", "winnow_fingerprint",
     "redact_pii", "dedup_survivors", "stratified_sample", "topk_docs_per_lang",
     "median_doc_length", "rolling_avg_events", "rollup_orders", "funnel_stages",
+    "count_distinct_users", "pivot_event_sums", "corr_lineitem", "lag_value_delta",
+    "range_join_bands", "mode_priority", "cube_orders", "first_last_value",
+    "collect_set_priorities", "word_count_topk", "tfidf_top_terms",
 ]
 
 
@@ -92,7 +95,7 @@ def test_query_matches_duckdb(ray_session, con, name):
 ROWS_ONLY = [
     "minhash_lsh_pairs", "simhash", "lsh_bucket_stats", "media_features",
     "media_frame_sample", "extract_pages", "hll_distinct_users",
-    "lsh_neardup_pairs", "pdf_layout_spans", "ivf_topk",
+    "lsh_neardup_pairs", "pdf_layout_spans", "ivf_topk", "quantile_sketch_value",
 ]
 
 
@@ -121,6 +124,28 @@ def test_hll_estimate_close_to_exact(ray_session, con):
     assert set(est) == set(exact)
     for t, e in exact.items():
         assert abs(est[t] - e) <= max(2, 0.05 * e), (t, est[t], e)
+
+
+def test_quantile_sketch_rank_accuracy(ray_session, con):
+    """MR-G4 quantile sketch: each approximate quantile's TRUE rank must sit
+    within ±2% of its target rank (the sketch's stride bound at this batch
+    size is far tighter; 2% keeps the test robust to block-split changes)."""
+    spec = _registry()["quantile_sketch_value"]
+    approx = {r["event_type"]: r for r in _to_table(spec.fn(SF_DIR)).to_pylist()}
+    for et, row in approx.items():
+        vals = [
+            v
+            for (v,) in con.execute(
+                "SELECT value FROM events WHERE event_type = ? ORDER BY value", [et]
+            ).fetchall()
+        ]
+        n = len(vals)
+        assert row["n"] == n, (et, row["n"], n)
+        import bisect
+
+        for q, key in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = bisect.bisect_left(vals, row[key]) / n
+            assert abs(rank - q) <= 0.02 + 1.0 / n, (et, key, rank, q)
 
 
 def test_registry_fully_covered():
