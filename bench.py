@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "quantile_sketch_value",
     "word_count_topk",
     "tfidf_top_terms",
+    "hopping_window",
+    "views_before_click",
+    "bloom_semi_join",
+    "bottomk_sample",
+    "approx_heavy_hitters",
     "knn_bruteforce",
     "neardup_cosine",
     "lsh_bucket_stats",

@@ -399,6 +399,159 @@ def q_collect_set_priorities(sf_dir: str) -> "ray.data.Dataset":
     return counts.groupby("o_orderstatus").map_groups(collect, batch_format="pyarrow")
 
 
+# -------------------------------------------------------------- hopping window
+_HOP_US = 30 * 60 * 1_000_000  # hop 30 min; window length = 2 hops (1 h)
+
+
+def q_hopping_window(sf_dir: str) -> "ray.data.Dataset":
+    """Hopping (sliding) event-time window: 1-hour windows every 30 minutes,
+    per-window count + value sum. Each event belongs to exactly 2 windows,
+    assigned by integer µs arithmetic inside ``map_batches`` (a bounded
+    flat_map — the doubled stream is the cost of hopping windows everywhere);
+    then ONE groupby aggregates all windows. No per-window scan, no range
+    join: window assignment is O(rows × windows/event)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        w1 = (ts // _HOP_US) * _HOP_US
+        starts = np.concatenate([w1, w1 - _HOP_US])
+        return pa.table(
+            {
+                "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(np.concatenate([val, val]), pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(i, "sum_value", fmt_fixed(batch.column("sum_value"), 2))
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------- time-window self-join
+_LOOKBACK_US = 60 * 60 * 1_000_000  # 1 h
+
+
+def q_views_before_click(sf_dir: str) -> "ray.data.Dataset":
+    """Windowed range self-join: for every click, the number of views by the
+    same user in the preceding hour [ts−1h, ts). Partitioning assumption:
+    all of a user's events in one group; in-group the interval count is two
+    ``np.searchsorted`` probes over the user's sorted view timestamps — the
+    standard two-pointer plan, never a per-pair comparison."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("event_type"), value_set=pa.array(["click", "view"]))
+        )
+
+    def window_count(group: pa.Table) -> pa.Table:
+        types = np.asarray(group.column("event_type").to_pylist())
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        is_click = types == "click"
+        click_ts, click_eid = ts[is_click], eids[is_click]
+        view_ts = np.sort(ts[types == "view"])
+        lo = np.searchsorted(view_ts, click_ts - _LOOKBACK_US, side="left")
+        hi = np.searchsorted(view_ts, click_ts, side="left")
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(click_eid, pa.int64()),
+                "user_id": pa.array([uid] * len(click_eid), pa.int64()),
+                "n_views": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(window_count, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------- bloom semi-join
+_BLOOM_BITS = 1 << 20  # 128 KiB bitmap; fp ≈ (keys/2^20)² per 2-hash probe
+_BLOOM_SEED2 = np.uint64(0xA076_1D64_78BD_642F)  # second hash: seeded splitmix
+
+
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    from metareadability_ray.pipelines.relational2 import _splitmix64
+
+    h1 = _splitmix64(keys.astype(np.uint64))
+    h2 = _splitmix64(keys.astype(np.uint64) + _BLOOM_SEED2)
+    m = np.uint64(_BLOOM_BITS - 1)
+    return (h1 & m).astype(np.int64), (h2 & m).astype(np.int64)
+
+
+def q_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-join via a distributed BLOOM FILTER + exact verification — the
+    100 TB plan when the build side's distinct key set is too big to
+    broadcast exactly but a fixed-size bitmap is not: each build block emits
+    a partial 128 KiB bitmap (map_batches combiner), the driver ORs the
+    partials (bounded by block count × bitmap size, never by rows), the
+    probe side tests 2 hash bits per row vectorized, and only the few
+    false-positive-inflated survivors reach the exact membership check.
+    Here: lineitem rows whose order is 1-URGENT."""
+    import pyarrow.parquet as pq
+
+    urgent = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        keys = batch.filter(mask).column("o_orderkey").to_numpy(zero_copy_only=False)
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        if len(keys):
+            i1, i2 = _bloom_hashes(keys)
+            for idx in (i1, i2):
+                np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tolist()], pa.list_(pa.uint8()))})
+
+    partials = urgent.map_batches(build_partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for row in b.column("bits").to_pylist():
+            merged |= np.asarray(row, dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    # exact verify set: distinct urgent keys (dim-bounded; at true scale this
+    # would be a shuffled hash-join of the bloom survivors instead)
+    ot = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    exact = pa.compute.unique(
+        ot.filter(pc.equal(ot.column("o_orderpriority"), "1-URGENT")).column("o_orderkey")
+    )
+    exact_ref = ray.put(exact)
+
+    items = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        i1, i2 = _bloom_hashes(keys)
+        hit = (
+            ((bits[i1 >> 3] >> (i1 & 7)) & 1) & ((bits[i2 >> 3] >> (i2 & 7)) & 1)
+        ).astype(bool)
+        survivors = batch.filter(pa.array(hit))
+        # exact pass over the (tiny) bloom-positive stream
+        verified = pc.is_in(survivors.column("l_orderkey"), value_set=ray.get(exact_ref))
+        return survivors.filter(verified)
+
+    return items.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------- quantile sketch
 _QSK_SAMPLES_PER_BATCH = 512
 

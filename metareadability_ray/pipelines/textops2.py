@@ -72,7 +72,78 @@ def q_word_count_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     )
 
 
-# ------------------------------------------------------------------- TF-IDF
+# ----------------------------------------------------------- bottom-k sample
+def q_bottomk_sample(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
+    """Deterministic fixed-size sample: the k documents with the smallest
+    md5(doc_id) — bottom-k / priority sampling, the mergeable form of
+    reservoir sampling (same result on any cluster layout, any block order,
+    and under retries, unlike RNG reservoirs). Each block prunes to its
+    LOCAL bottom-k first, so the global sort runs over ≤ k·blocks rows, not
+    the corpus."""
+    import hashlib
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pri = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        batch = batch.append_column("__pri", pa.array(pri, pa.string()))
+        idx = pc.sort_indices(
+            batch, sort_keys=[("__pri", "ascending"), ("doc_id", "ascending")]
+        )
+        return batch.take(idx[: min(k, len(idx))])
+
+    return (
+        ds.map_batches(local_bottomk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["__pri", "doc_id"])
+        .limit(k)
+        .drop_columns(["__pri"])
+    )
+
+
+# ------------------------------------------------- Misra-Gries heavy hitters
+_MG_CAPACITY = 256
+
+
+def _mg_prune(tokens: np.ndarray, counts: np.ndarray, cap: int):
+    """Misra-Gries reduction: subtract the (cap+1)-th largest count from all
+    counters and keep the positive ones (≤ cap survive). Underestimates
+    only; per-prune error ≤ n_pruned/(cap+1)."""
+    if len(tokens) <= cap:
+        return tokens, counts
+    kth = np.partition(counts, len(counts) - cap - 1)[len(counts) - cap - 1]
+    keep = counts > kth
+    return tokens[keep], counts[keep] - kth
+
+
+def q_approx_heavy_hitters(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Approximate top-k tokens via MERGEABLE Misra-Gries summaries — the
+    scale twin of q_word_count_topk for when even the vocabulary-sized
+    aggregate is too wide: each batch keeps ≤256 counters (everything else
+    pruned with bounded undercount), the merge is a token-sum groupby over
+    ≤256·blocks rows, and the final prune restores the ≤256 bound. The
+    summed estimate only ever UNDERCOUNTS, by at most n/(capacity+1)
+    (Agarwal et al., "Mergeable Summaries", PODS'12) — so every token with
+    frequency above that bound is guaranteed present. Rows-only for the
+    driver; the guarantee is pinned in tests."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, toks = _batch_tokens(batch)
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "est_n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(toks.astype(str), return_counts=True)
+        u, c = _mg_prune(u, c, _MG_CAPACITY)
+        return pa.table({"token": pa.array(u, pa.string()), "est_n": pa.array(c, pa.int64())})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("est_n", alias_name="est_n"))
+    )
+    return merged.sort(key=["est_n", "token"], descending=[True, False]).limit(k)
 def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document top-k TF-IDF terms with linear idf (score = tf · N/df).
 

@@ -602,6 +602,42 @@ REGISTRY: dict[str, QASpec] = {
     "quantile_sketch_value": QASpec(
         R3.q_quantile_sketch_value, None, "MR-G4(quantile-sketch)"
     ),
+    "hopping_window": QASpec(
+        R3.q_hopping_window,
+        """
+        SELECT window_start, count(*) AS n, printf('%.2f', sum(value)) AS sum_value
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                       AS window_start,
+                   value
+            FROM events)
+        GROUP BY window_start
+        """,
+        "custom(hopping-window)",
+    ),
+    "views_before_click": QASpec(
+        R3.q_views_before_click,
+        """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, count(v.ts) AS n_views
+        FROM c LEFT JOIN v
+          ON v.user_id = c.user_id
+         AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts < c.ts
+        GROUP BY c.event_id, c.user_id
+        """,
+        "custom(time-window-range-self-join)",
+    ),
+    "bloom_semi_join": QASpec(
+        R3.q_bloom_semi_join,
+        """
+        SELECT l_orderkey, l_quantity FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        """,
+        "MR-J2(bloom-semi-join)",
+    ),
     # ------------------------------------------------------- corpus statistics
     "word_count_topk": QASpec(
         T2.q_word_count_topk,
@@ -611,6 +647,17 @@ REGISTRY: dict[str, QASpec] = {
         GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "custom(heavy-hitters-wordcount)",
+    ),
+    "bottomk_sample": QASpec(
+        T2.q_bottomk_sample,
+        """
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+        """,
+        "MR-O3(bottom-k-priority-sample)",
+    ),
+    "approx_heavy_hitters": QASpec(
+        T2.q_approx_heavy_hitters, None, "custom(misra-gries-sketch)"
     ),
     "tfidf_top_terms": QASpec(
         T2.q_tfidf_top_terms,

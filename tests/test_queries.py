@@ -75,6 +75,7 @@ SQL_QUERIES = [
     "count_distinct_users", "pivot_event_sums", "corr_lineitem", "lag_value_delta",
     "range_join_bands", "mode_priority", "cube_orders", "first_last_value",
     "collect_set_priorities", "word_count_topk", "tfidf_top_terms",
+    "hopping_window", "views_before_click", "bloom_semi_join", "bottomk_sample",
 ]
 
 
@@ -96,6 +97,7 @@ ROWS_ONLY = [
     "minhash_lsh_pairs", "simhash", "lsh_bucket_stats", "media_features",
     "media_frame_sample", "extract_pages", "hll_distinct_users",
     "lsh_neardup_pairs", "pdf_layout_spans", "ivf_topk", "quantile_sketch_value",
+    "approx_heavy_hitters",
 ]
 
 
@@ -146,6 +148,39 @@ def test_quantile_sketch_rank_accuracy(ray_session, con):
         for q, key in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             rank = bisect.bisect_left(vals, row[key]) / n
             assert abs(rank - q) <= 0.02 + 1.0 / n, (et, key, rank, q)
+
+
+def test_misra_gries_guarantee(ray_session, con):
+    """Misra-Gries summary: estimates never overcount, undercount by at most
+    n/(cap+1), and every token whose true frequency clears 4·n/(cap+1) is
+    present in the top-k output (cap=256, k=20 at this corpus size)."""
+    est = {
+        r["token"]: r["est_n"]
+        for r in _to_table(_registry()["approx_heavy_hitters"].fn(SF_DIR)).to_pylist()
+    }
+    true = dict(
+        con.execute(
+            r"""SELECT token, count(*) FROM (
+                    SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+                GROUP BY token ORDER BY 2 DESC, 1 LIMIT 20"""
+        ).fetchall()
+    )
+    n_total = con.execute(
+        r"SELECT sum(length(regexp_extract_all(text, '\S+'))) FROM documents"
+    ).fetchone()[0]
+    bound = n_total / 257
+    for tok, e in est.items():
+        t = con.execute(
+            r"""SELECT count(*) FROM (
+                    SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+                WHERE token = ?""",
+            [tok],
+        ).fetchone()[0]
+        assert e <= t, (tok, e, t)
+        assert t - e <= bound, (tok, e, t, bound)
+    for tok, t in true.items():
+        if t >= 4 * bound:
+            assert tok in est, (tok, t, bound)
 
 
 def test_registry_fully_covered():
