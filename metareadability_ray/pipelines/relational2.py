@@ -252,66 +252,24 @@ def q_supplier_balance_stats(sf_dir: str) -> "ray.data.Dataset":
 # ----------------------------------------------------------------- OLAP rollup
 def q_rollup_orders(sf_dir: str) -> "ray.data.Dataset":
     """GROUP BY ROLLUP(status, priority): detail rows + per-status subtotals
-    + grand total, as three groupbys unioned with null-filled key columns —
-    the standard distributed ROLLUP plan (each level is its own partial
-    aggregation; no level shuffles more than its own key)."""
+    + grand total. ONE distributed groupby produces the detail aggregate;
+    the coarser levels are derived driver-side from that cardinality-sized
+    table (relational3.grouping_levels) — no extra shuffles, no lineage
+    re-execution per level."""
+    from metareadability_ray.pipelines.relational3 import grouping_levels
+
     base = ray.data.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"]
     )
-
-    detail = base.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Count(alias_name="n")
+    detail = pa.concat_tables(
+        base.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
     )
-
-    def drop_prio(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderstatus": batch.column("o_orderstatus"),
-                "n": batch.column("n"),
-            }
-        )
-
-    def total_level(batch: pa.Table) -> pa.Table:
-        return pa.table({"n": batch.column("n")})
-
-    per_status = (
-        detail.map_batches(drop_prio, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderstatus")
-        .aggregate(Sum("n", alias_name="n"))
+    rollup = grouping_levels(
+        detail, ["o_orderstatus", "o_orderpriority"], "n", [(True, False), (False, False)]
     )
-    grand = per_status.map_batches(
-        total_level, batch_format="pyarrow", zero_copy_batch=True
-    ).aggregate(Sum("n", alias_name="n"))
-
-    def widen(status: bool, prio: bool):
-        def do(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "o_orderstatus": batch.column("o_orderstatus")
-                    if status
-                    else pa.nulls(n, pa.string()),
-                    "o_orderpriority": batch.column("o_orderpriority")
-                    if prio
-                    else pa.nulls(n, pa.string()),
-                    "n": batch.column("n").cast(pa.int64()),
-                }
-            )
-
-        return do
-
-    grand_t = pa.table(
-        {
-            "o_orderstatus": pa.nulls(1, pa.string()),
-            "o_orderpriority": pa.nulls(1, pa.string()),
-            "n": pa.array([int(grand["n"])], pa.int64()),
-        }
-    )
-    return (
-        detail.map_batches(widen(True, True), batch_format="pyarrow", zero_copy_batch=True)
-        .union(per_status.map_batches(widen(True, False), batch_format="pyarrow", zero_copy_batch=True))
-        .union(ray.data.from_arrow(grand_t))
-    )
+    return ray.data.from_arrow(rollup)
 
 
 # ------------------------------------------------------------------ funnel

@@ -37,8 +37,16 @@ def q_count_distinct_users(sf_dir: str) -> "ray.data.Dataset":
     surviving pairs per type. At 100 TB the level-1 shuffle is bounded by
     distinct-pair cardinality after in-block combining, not event count."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        # in-batch combiner: each (type, user) pair crosses the shuffle once
+        # per block at most, regardless of how hot the pair is
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g.select(["event_type", "user_id"])
+
     pairs = (
-        ds.groupby(["event_type", "user_id"])
+        ds.map_batches(dedup_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
         .aggregate(Count(alias_name="__n"))
         .drop_columns(["__n"])
     )
@@ -258,66 +266,52 @@ def q_mode_priority(sf_dir: str) -> "ray.data.Dataset":
 
 
 # -------------------------------------------------------------------- OLAP cube
+def grouping_levels(
+    detail: pa.Table, dims: list[str], measure: str, levels: list[tuple[bool, ...]]
+) -> pa.Table:
+    """Derive coarser grouping levels (ROLLUP/CUBE) from a DETAIL aggregate.
+
+    The detail table is the output of the one distributed groupby over all
+    dims — its size is grouping-key CARDINALITY, not fact rows, so deriving
+    every coarser level from it locally (pa.group_by re-sums) costs zero
+    extra shuffles. Absent dims become null columns (SQL CUBE semantics).
+    """
+    parts = [detail.select(dims + [measure])]
+    for keep_mask in levels:
+        keep = [d for d, k in zip(dims, keep_mask) if k]
+        if keep:
+            lvl = detail.group_by(keep).aggregate([(measure, "sum")])
+            lvl = lvl.rename_columns(keep + [measure])
+        else:
+            lvl = pa.table({measure: pa.array([pc.sum(detail.column(measure)).as_py()])})
+        for d in dims:
+            if d not in keep:
+                lvl = lvl.append_column(d, pa.nulls(lvl.num_rows, detail.schema.field(d).type))
+        parts.append(lvl.select(dims + [measure]))
+    out = pa.concat_tables(parts)
+    return out.set_column(
+        out.column_names.index(measure), measure, out.column(measure).cast(pa.int64())
+    )
+
+
 def q_cube_orders(sf_dir: str) -> "ray.data.Dataset":
-    """GROUP BY CUBE(status, priority): all four grouping levels. Like the
-    ROLLUP plan (relational2.q_rollup_orders) plus the priority-only level —
-    every coarser level re-aggregates the detail counts, so the base table
-    is scanned once and no level shuffles more than its own keys."""
+    """GROUP BY CUBE(status, priority): all four grouping levels from ONE
+    distributed detail groupby; the three coarser levels are derived
+    driver-side from the cardinality-sized detail table (grouping_levels) —
+    no extra shuffles, no lineage re-execution per level."""
     base = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority"])
-    detail = base.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(Count(alias_name="n"))
-
-    def keep(cols: list[str]):
-        def do(batch: pa.Table) -> pa.Table:
-            return batch.select(cols + ["n"])
-
-        return do
-
-    per_status = (
-        detail.map_batches(keep(["o_orderstatus"]), batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderstatus")
-        .aggregate(Sum("n", alias_name="n"))
+    detail = pa.concat_tables(
+        base.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
     )
-    per_prio = (
-        detail.map_batches(keep(["o_orderpriority"]), batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n", alias_name="n"))
+    cube = grouping_levels(
+        detail,
+        ["o_orderstatus", "o_orderpriority"],
+        "n",
+        [(True, False), (False, True), (False, False)],
     )
-    grand_n = int(
-        per_status.map_batches(keep([]), batch_format="pyarrow", zero_copy_batch=True).aggregate(
-            Sum("n", alias_name="n")
-        )["n"]
-    )
-
-    def widen(status: bool, prio: bool):
-        def do(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "o_orderstatus": batch.column("o_orderstatus")
-                    if status
-                    else pa.nulls(n, pa.string()),
-                    "o_orderpriority": batch.column("o_orderpriority")
-                    if prio
-                    else pa.nulls(n, pa.string()),
-                    "n": batch.column("n").cast(pa.int64()),
-                }
-            )
-
-        return do
-
-    grand_t = pa.table(
-        {
-            "o_orderstatus": pa.nulls(1, pa.string()),
-            "o_orderpriority": pa.nulls(1, pa.string()),
-            "n": pa.array([grand_n], pa.int64()),
-        }
-    )
-    return (
-        detail.map_batches(widen(True, True), batch_format="pyarrow", zero_copy_batch=True)
-        .union(per_status.map_batches(widen(True, False), batch_format="pyarrow", zero_copy_batch=True))
-        .union(per_prio.map_batches(widen(False, True), batch_format="pyarrow", zero_copy_batch=True))
-        .union(ray.data.from_arrow(grand_t))
-    )
+    return ray.data.from_arrow(cube)
 
 
 # ------------------------------------------------- first/last value (combiner)
