@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "hopping_window",
     "views_before_click",
+    "full_outer_join",
+    "unpivot_event_sums",
     "bloom_semi_join",
     "bottomk_sample",
     "approx_heavy_hitters",

@@ -94,6 +94,91 @@ def q_pivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------------------------ full outer join
+def q_full_outer_join(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER JOIN of two per-user aggregates (big purchases vs big
+    errors): users on either side appear once, the missing side null.
+    Reduce-side plan (Ray's Dataset.join chokes on schema-less empty hash
+    partitions): the two pre-aggregated sides union with null-padded
+    columns, one groupby(user_id) merges — each group holds ≤1 row per
+    side, so the merge is a null-skipping max. Only (user, count) rows
+    shuffle; the events fact table never does."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # in-batch combiner: BOTH sides counted in one pass (conditional
+        # 0/1 columns + arrow group_by), so the single shuffle carries one
+        # (user, p, e) row per block per qualifying user
+        big = pc.greater(batch.column("value"), 150.0)
+        et = batch.column("event_type")
+        is_p = pc.and_(big, pc.equal(et, "purchase")).cast(pa.int64())
+        is_e = pc.and_(big, pc.equal(et, "error")).cast(pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "p": is_p, "e": is_e})
+        g = t.group_by("user_id").aggregate([("p", "sum"), ("e", "sum")])
+        g = g.rename_columns(["user_id", "p", "e"])
+        keep = pc.or_(pc.greater(g.column("p"), 0), pc.greater(g.column("e"), 0))
+        return g.filter(keep)
+
+    def merge(group: pa.Table) -> pa.Table:
+        p = int(pc.sum(group.column("p")).as_py() or 0)
+        e = int(pc.sum(group.column("e")).as_py() or 0)
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                # FULL JOIN semantics: a side with zero qualifying events is
+                # NULL (that user had no row on that side), never 0
+                "n_purch": pa.array([p if p else None], pa.int64()),
+                "n_err": pa.array([e if e else None], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------- unpivot/melt
+def q_unpivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT (melt): the per-user pivoted sums back to long-form
+    (user_id, kind, sum_value) rows — the inverse of q_pivot_event_sums,
+    as a vectorized in-batch explode (arrays concatenated once per batch;
+    3× the aggregate's rows, zero extra shuffle)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        et, val = batch.column("event_type"), batch.column("value")
+        zero = pa.scalar(0.0, pa.float64())
+        for t in _PIVOT_TYPES:
+            batch = batch.append_column(f"sum_{t}", pc.if_else(pc.equal(et, t), val, zero))
+        return batch.drop_columns(["event_type", "value"])
+
+    agg = (
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*[Sum(f"sum_{t}", alias_name=f"sum_{t}") for t in _PIVOT_TYPES])
+    )
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        uid = batch.column("user_id")
+        uids, kinds, vals = [], [], []
+        for t in _PIVOT_TYPES:
+            uids.append(uid.combine_chunks() if isinstance(uid, pa.ChunkedArray) else uid)
+            kinds.append(pa.array([f"sum_{t}"] * n, pa.string()))
+            vals.append(fmt_fixed(batch.column(f"sum_{t}"), 2))
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays(uids),
+                "kind": pa.concat_arrays(kinds),
+                "sum_value": pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals]),
+            }
+        )
+
+    return agg.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------ two-pass grouped corr
 def q_corr_lineitem(sf_dir: str) -> "ray.data.Dataset":
     """Pearson corr(l_quantity, l_extendedprice) per l_returnflag via the

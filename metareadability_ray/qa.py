@@ -629,6 +629,31 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "custom(time-window-range-self-join)",
     ),
+    "full_outer_join": QASpec(
+        R3.q_full_outer_join,
+        """
+        WITH p AS (SELECT user_id, count(*) AS n_purch FROM events
+                   WHERE event_type = 'purchase' AND value > 150 GROUP BY user_id),
+             e AS (SELECT user_id, count(*) AS n_err FROM events
+                   WHERE event_type = 'error' AND value > 150 GROUP BY user_id)
+        SELECT user_id, n_purch, n_err FROM p FULL JOIN e USING (user_id)
+        """,
+        "MR-J3(full-outer)",
+    ),
+    "unpivot_event_sums": QASpec(
+        R3.q_unpivot_event_sums,
+        """
+        WITH w AS (
+            SELECT user_id,
+                   coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0) AS sum_view,
+                   coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0) AS sum_click,
+                   coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0) AS sum_purchase
+            FROM events GROUP BY user_id)
+        SELECT user_id, kind, printf('%.2f', v) AS sum_value
+        FROM w UNPIVOT (v FOR kind IN (sum_view, sum_click, sum_purchase))
+        """,
+        "custom(unpivot-melt)",
+    ),
     "bloom_semi_join": QASpec(
         R3.q_bloom_semi_join,
         """
