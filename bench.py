@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "views_before_click",
     "full_outer_join",
     "unpivot_event_sums",
+    "zscore_events",
+    "train_test_split",
+    "label_centroids",
     "bloom_semi_join",
     "bottomk_sample",
     "approx_heavy_hitters",

@@ -631,6 +631,65 @@ def q_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
     return items.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# -------------------------------------------------------- z-score standardize
+def q_zscore_events(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group z-score standardization (feature scaling): z = (value − μ_g)
+    / σ_g per event_type. Same numerically-stable TWO-PASS plan as
+    q_corr_lineitem: pass 1 broadcasts per-group means, pass 2 sums centered
+    squares per batch before one tiny groupby, then the final map looks up
+    (μ, σ) vectorized — the fact table streams twice and never shuffles."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    means_t = pa.concat_tables(
+        ds.groupby("event_type")
+        .aggregate(Sum("value", alias_name="s"), Count(alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    n_f = means_t.column("n").cast(pa.float64())
+    mean_ref = lookup_ref(means_t.column("event_type"), pc.divide(means_t.column("s"), n_f))
+
+    def centered_sq(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        d = v - np.asarray(lookup_take(mean_ref, batch.column("event_type")))
+        part = pa.table({"event_type": batch.column("event_type"), "dsq": pa.array(d * d, pa.float64())})
+        g = part.group_by("event_type").aggregate([("dsq", "sum")])
+        return g.rename_columns(["event_type", "dsq"])
+
+    var_t = pa.concat_tables(
+        ds.map_batches(centered_sq, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("dsq", alias_name="dsq"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    # sample stddev (n−1), matching SQL stddev_samp
+    nm1 = {
+        t: n - 1
+        for t, n in zip(means_t.column("event_type").to_pylist(), means_t.column("n").to_pylist())
+    }
+    std = pa.array(
+        [
+            float(np.sqrt(d / nm1[t]))
+            for t, d in zip(var_t.column("event_type").to_pylist(), var_t.column("dsq").to_pylist())
+        ],
+        pa.float64(),
+    )
+    std_ref = lookup_ref(var_t.column("event_type"), std)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        mu = np.asarray(lookup_take(mean_ref, batch.column("event_type")))
+        sd = np.asarray(lookup_take(std_ref, batch.column("event_type")))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "z": fmt_fixed(pa.array((v - mu) / sd, pa.float64()), 4),
+            }
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------- quantile sketch
 _QSK_SAMPLES_PER_BATCH = 512
 

@@ -101,6 +101,35 @@ def q_bottomk_sample(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
     )
 
 
+# -------------------------------------------------------- train/val/test split
+def q_train_test_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 75/12.5/12.5 train/val/test split by content-stable
+    hash (first md5 hex digit of doc_id: 0-b → train, c-d → val, e-f →
+    test), reported as per-(split, lang) counts. Hash splits are the only
+    splits that survive re-runs, retries, and cluster-layout changes —
+    the same property as the stratified/bottom-k samplers."""
+    import hashlib
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for i in batch.column("doc_id").to_pylist():
+            h = hashlib.md5(str(i).encode()).hexdigest()[0]
+            splits.append("train" if h < "c" else ("val" if h < "e" else "test"))
+        return pa.table(
+            {"split": pa.array(splits, pa.string()), "lang": batch.column("lang")}
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["split", "lang"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 # ------------------------------------------------- Misra-Gries heavy hitters
 _MG_CAPACITY = 256
 

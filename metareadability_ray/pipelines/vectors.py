@@ -501,3 +501,48 @@ def q_label_stats(sf_dir: str) -> "ray.data.Dataset":
         return batch.set_column(i, "sum_norm_sq", pa.array(vals, pa.string()))
 
     return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label centroid (element-wise mean embedding) — the k-means E-step
+    / class-prototype op. Per-batch combiner: each block contributes ONE
+    (label, sum-vector, n) partial row per label present (np.add.at
+    scatter), so the shuffle carries |labels|·blocks fixed-size rows, never
+    the vectors. The merge divides summed vectors by summed counts and
+    explodes to (label, dim, centroid) rows for the SQL compare."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), M.shape[1]))
+        np.add.at(sums, inv, M)
+        counts = np.bincount(inv, minlength=len(u))
+        return pa.table(
+            {
+                "label": pa.array(u.astype(np.int64), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        vs = np.asarray(group.column("vsum").to_pylist())
+        n = int(pc.sum(group.column("n")).as_py())
+        centroid = vs.sum(axis=0) / n
+        d = len(centroid)
+        label = group.column("label")[0].as_py()
+        return pa.table(
+            {
+                "label": pa.array([label] * d, pa.int64()),
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "centroid": pa.array(np.char.mod("%.4f", centroid), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(merge, batch_format="pyarrow")
+    )

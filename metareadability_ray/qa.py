@@ -673,6 +673,38 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "custom(heavy-hitters-wordcount)",
     ),
+    "zscore_events": QASpec(
+        R3.q_zscore_events,
+        """
+        SELECT event_id, event_type,
+               printf('%.4f', (value - avg(value) OVER (PARTITION BY event_type))
+                              / stddev_samp(value) OVER (PARTITION BY event_type)) AS z
+        FROM events
+        """,
+        "custom(zscore-standardize)",
+    ),
+    "label_centroids": QASpec(
+        V.q_label_centroids,
+        """
+        SELECT label, i - 1 AS dim, printf('%.4f', avg(e)) AS centroid
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY label, i
+        """,
+        "custom(vector-centroids)",
+    ),
+    "train_test_split": QASpec(
+        T2.q_train_test_split,
+        """
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n
+        FROM documents GROUP BY split, lang
+        """,
+        "MR-O3(train-test-split)",
+    ),
     "bottomk_sample": QASpec(
         T2.q_bottomk_sample,
         """

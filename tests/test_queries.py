@@ -76,7 +76,8 @@ SQL_QUERIES = [
     "range_join_bands", "mode_priority", "cube_orders", "first_last_value",
     "collect_set_priorities", "word_count_topk", "tfidf_top_terms",
     "hopping_window", "views_before_click", "bloom_semi_join", "bottomk_sample",
-    "full_outer_join", "unpivot_event_sums",
+    "full_outer_join", "unpivot_event_sums", "zscore_events", "label_centroids",
+    "train_test_split",
 ]
 
 
