@@ -91,3 +91,133 @@ def test_connected_components_matches_union_find(ray_session):
         got = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
         want = _uf_components(edges)
         assert got == want, f"trial {trial}: {sorted(got.items())} != {sorted(want.items())}"
+
+
+def test_misra_gries_prune_properties():
+    """MG prune invariants on random count vectors: never overcounts, keeps
+    ≤ cap counters, and per-prune undercount ≤ n/(cap+1)."""
+    import numpy as np
+
+    from metareadability_ray.pipelines.textops2 import _mg_prune
+
+    rng = random.Random(17)
+    for trial in range(30):
+        n_tokens = rng.randrange(1, 400)
+        cap = rng.randrange(1, 64)
+        tokens = np.array([f"t{i}" for i in range(n_tokens)])
+        counts = np.array([rng.randrange(1, 500) for _ in range(n_tokens)], dtype=np.int64)
+        kt, kc = _mg_prune(tokens, counts, cap)
+        assert len(kt) <= cap, trial
+        true = dict(zip(tokens.tolist(), counts.tolist()))
+        n_total = int(counts.sum())
+        for t, c in zip(kt.tolist(), kc.tolist()):
+            assert c <= true[t], trial
+            assert true[t] - c <= n_total / (cap + 1), trial
+
+
+def test_quantile_sketch_partial_merge_rank_bound():
+    """Uniform-stride sketch: merged estimate's true rank within the summed
+    stride bound, on random multi-batch splits."""
+    import numpy as np
+    import pyarrow as pa
+
+    from metareadability_ray.pipelines.relational3 import (
+        _QSK_SAMPLES_PER_BATCH,
+        _quantile_partial,
+    )
+
+    rng = random.Random(5)
+    for trial in range(10):
+        n = rng.randrange(200, 6000)
+        vals = [rng.uniform(0, 1000) for _ in range(n)]
+        n_batches = rng.randrange(1, 6)
+        parts = []
+        strides = []
+        for i in range(n_batches):
+            chunk = vals[i::n_batches]
+            if not chunk:
+                continue
+            strides.append(max(1, -(-len(chunk) // _QSK_SAMPLES_PER_BATCH)))
+            parts.append(
+                _quantile_partial(
+                    pa.table(
+                        {
+                            "event_type": pa.array(["x"] * len(chunk)),
+                            "value": pa.array(chunk, pa.float64()),
+                        }
+                    )
+                )
+            )
+        merged = pa.concat_tables(parts)
+        v = merged.column("value").to_numpy(zero_copy_only=False)
+        w = merged.column("weight").to_numpy(zero_copy_only=False)
+        assert int(w.sum()) == n, trial
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        svals = sorted(vals)
+        import bisect
+
+        for q in (0.5, 0.9, 0.99):
+            pick = v[np.searchsorted(cum, q * n, side="left")]
+            rank = bisect.bisect_left(svals, pick)
+            assert abs(rank - q * n) <= sum(strides) + 1, (trial, q, rank, q * n)
+
+
+def test_bloom_filter_no_false_negatives():
+    """Bloom bitmap built from partials never misses an inserted key, and the
+    false-positive rate on disjoint probes stays under 1% at this load."""
+    import numpy as np
+
+    from metareadability_ray.pipelines.relational3 import _BLOOM_BITS, _bloom_hashes
+
+    rng = random.Random(23)
+    keys = np.array(rng.sample(range(10**9), 5000), dtype=np.int64)
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for part in np.array_split(keys, 7):  # partial build + OR-merge
+        pb = np.zeros_like(bits)
+        i1, i2 = _bloom_hashes(part)
+        for idx in (i1, i2):
+            np.bitwise_or.at(pb, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        bits |= pb
+
+    def hit(arr):
+        i1, i2 = _bloom_hashes(arr)
+        return (((bits[i1 >> 3] >> (i1 & 7)) & 1) & ((bits[i2 >> 3] >> (i2 & 7)) & 1)).astype(bool)
+
+    assert hit(keys).all()
+    probes = np.array([k for k in rng.sample(range(10**9, 2 * 10**9), 20000)], dtype=np.int64)
+    assert hit(probes).mean() < 0.01
+
+
+def test_grouping_levels_sums_consistent():
+    """ROLLUP/CUBE level derivation: every level's measure total equals the
+    detail total, and the all-null grand row equals the sum, on random
+    detail tables."""
+    import pyarrow as pa
+
+    from metareadability_ray.pipelines.relational3 import grouping_levels
+
+    rng = random.Random(41)
+    for trial in range(20):
+        rows = rng.randrange(1, 40)
+        a = [rng.choice("xyz") for _ in range(rows)]
+        b = [rng.choice("pq") for _ in range(rows)]
+        n = [rng.randrange(1, 100) for _ in range(rows)]
+        detail = (
+            pa.table({"a": pa.array(a), "b": pa.array(b), "n": pa.array(n, pa.int64())})
+            .group_by(["a", "b"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["a", "b", "n"])
+        )
+        total = sum(n)
+        out = grouping_levels(detail, ["a", "b"], "n", [(True, False), (False, True), (False, False)])
+        df = out.to_pandas()
+        # detail level
+        lvl = df[df.a.notna() & df.b.notna()]
+        assert int(lvl.n.sum()) == total, trial
+        # each coarser level sums to the same total
+        assert int(df[df.a.notna() & df.b.isna()].n.sum()) == total, trial
+        assert int(df[df.a.isna() & df.b.notna()].n.sum()) == total, trial
+        grand = df[df.a.isna() & df.b.isna()]
+        assert len(grand) == 1 and int(grand.n.iloc[0]) == total, trial
