@@ -100,6 +100,14 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "bottomk_sample",
     "approx_heavy_hitters",
+    "common_chunks",
+    "para_dedup_stats",
+    "dup_chunk_ratio",
+    "weighted_sample",
+    "bigram_topk",
+    "event_quartiles",
+    "value_ranks",
+    "value_histogram",
     "knn_bruteforce",
     "neardup_cosine",
     "lsh_bucket_stats",

@@ -1,0 +1,308 @@
+"""Web-corpus curation operators: CCNet-style cross-document paragraph
+dedup stats, Gopher-style within-document repetition, weighted sampling,
+bigram counts, and SQL-window parity ops (ntile / rank / histogram).
+
+Scale discipline matches textops.py/textops2.py: a document's text lives in
+exactly one row, so every per-document kernel (chunking, distinct-counting,
+sampling) runs wholly inside ``map_batches`` with zero shuffle; the only
+streams that ever shuffle are chunk/bigram vocabularies that a per-batch
+combiner has already collapsed to one row per distinct value per block.
+
+"Paragraphs" are non-overlapping 3-token chunks: the synthetic corpus has no
+line structure, and fixed-width chunking is the same hash-unit trick CCNet
+applies to real paragraphs (Wenzek et al., 2020) — the unit is pluggable,
+the pipeline shape is what matters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from metareadability_ray.util import keyset_mask
+
+_CHUNK_W = 3  # tokens per pseudo-paragraph
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _batch_chunks(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """All (doc_id, chunk) rows of a batch: non-overlapping ``_CHUNK_W``-token
+    windows (trailing short chunk kept), token stream identical to the SQL
+    oracles' ``regexp_extract_all(text, '\\S+')``."""
+    doc_ids: list[int] = []
+    chunks: list[str] = []
+    for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        if not t:
+            continue
+        toks = t.split()
+        cs = [" ".join(toks[i : i + _CHUNK_W]) for i in range(0, len(toks), _CHUNK_W)]
+        doc_ids.extend([did] * len(cs))
+        chunks.extend(cs)
+    return np.asarray(doc_ids, dtype=np.int64), np.asarray(chunks, dtype=object)
+
+
+def _empty(schema: dict[str, pa.DataType]) -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in schema.items()})
+
+
+# ------------------------------------------------ cross-doc repeated chunks
+def q_common_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Chunks that appear in ≥2 distinct documents — the corpus "boilerplate
+    list" a CCNet-style paragraph dedup removes. Because a document is one
+    row, the per-batch distinct-(doc, chunk) combiner is already globally
+    distinct, so one ``groupby(chunk)`` sum yields exact document
+    frequencies; only the (chunk, partial-df) vocabulary stream shuffles,
+    never document text."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids, chunks = _batch_chunks(batch)
+        if len(chunks) == 0:
+            return _empty({"chunk": pa.string(), "n_docs": pa.int64()})
+        pairs = np.unique(np.rec.fromarrays([doc_ids, chunks.astype(str)]))
+        u, c = np.unique(pairs.f1, return_counts=True)
+        return pa.table({"chunk": pa.array(u, pa.string()), "n_docs": pa.array(c, pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("chunk")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.filter(expr="n_docs >= 2")
+
+
+def _common_chunk_ref(sf_dir: str):
+    """Materialise the boilerplate chunk set once and ``ray.put`` it.
+
+    Bounded by the number of chunks repeated ACROSS documents — the
+    boilerplate vocabulary, which for web corpora is orders of magnitude
+    smaller than the corpus (it is exactly the set CCNet ships to every
+    worker); never bounded by corpus size."""
+    t = pa.concat_tables(q_common_chunks(sf_dir).iter_batches(batch_format="pyarrow"))
+    col = t.column("chunk")
+    return ray.put(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+
+
+def q_para_dedup_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document CCNet paragraph-dedup accounting: of the doc's chunks,
+    how many are corpus-boilerplate (appear in ≥2 docs)? Two streaming
+    passes: (1) build the boilerplate set distributedly and broadcast it
+    once; (2) per batch, a vectorized ``pc.is_in`` membership + bincount —
+    per-doc totals need no shuffle because a doc is one row. Output keeps
+    integer counts (n_chunks, n_common); the removal ratio is their quotient
+    downstream, so no float crosses the compare boundary."""
+    common = _common_chunk_ref(sf_dir)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids, chunks = _batch_chunks(batch)
+        if len(chunks) == 0:
+            return _empty({"doc_id": pa.int64(), "n_chunks": pa.int64(), "n_common": pa.int64()})
+        mask = np.asarray(keyset_mask(common, pa.array(chunks.astype(str), pa.string())))
+        docs, inv = np.unique(doc_ids, return_inverse=True)
+        total = np.bincount(inv, minlength=len(docs))
+        ncommon = np.bincount(inv, weights=mask.astype(np.float64), minlength=len(docs))
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_chunks": pa.array(total, pa.int64()),
+                "n_common": pa.array(ncommon.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- within-doc repetition (Gopher)
+def q_dup_chunk_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style within-document repetition signal (Rae et al., 2021:
+    "fraction of duplicate lines"): per document, total vs distinct chunk
+    counts. Pure per-batch kernel — a doc is one row, so the distinct runs
+    on the doc's own chunks via one ``np.unique`` over the batch's
+    (doc, chunk) pairs; nothing shuffles."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids, chunks = _batch_chunks(batch)
+        if len(chunks) == 0:
+            return _empty({"doc_id": pa.int64(), "n_chunks": pa.int64(), "n_distinct": pa.int64()})
+        docs, inv = np.unique(doc_ids, return_inverse=True)
+        total = np.bincount(inv, minlength=len(docs))
+        pairs = np.unique(np.rec.fromarrays([doc_ids, chunks.astype(str)]))
+        du, dc = np.unique(pairs.f0, return_counts=True)
+        distinct = np.zeros(len(docs), dtype=np.int64)
+        distinct[np.searchsorted(docs, du)] = dc
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_chunks": pa.array(total, pa.int64()),
+                "n_distinct": pa.array(distinct, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------- weighted sampling
+_WS_RATE_NUM = 2_000_000  # keep iff u32(md5(doc_id)[:8]) < n_chars * this
+
+
+def q_weighted_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic LENGTH-WEIGHTED Poisson sample: keep a document with
+    probability ∝ its n_chars (the curation idiom "sample tokens, not
+    docs"). Inclusion is pure integer math — u32 of the first 8 md5 hex
+    digits of doc_id compared against n_chars·RATE — so every engine,
+    block order, and retry selects the identical set; no RNG state, no
+    float threshold. Embarrassingly parallel: filter inside map_batches,
+    zero shuffle."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        v = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        keep = v < np.minimum(w * _WS_RATE_NUM, 0xFFFFFFFF)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- bigram top-k
+def q_bigram_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Top-k adjacent-token bigrams corpus-wide — the n-gram LM / collocation
+    building block. Same shape as q_word_count_topk: per-batch ``np.unique``
+    combiner collapses the bigram stream to (bigram, count) partials, one
+    groupby sums them, the final sort sees only the bigram vocabulary.
+    Ties at the cut break lexicographically (deterministic)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = t.split()
+            grams.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        if not grams:
+            return _empty({"bigram": pa.string(), "n": pa.int64()})
+        u, c = np.unique(np.asarray(grams, dtype=object).astype(str), return_counts=True)
+        return pa.table({"bigram": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(key=["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------ SQL windows
+def q_event_quartiles(sf_dir: str) -> "ray.data.Dataset":
+    """NTILE(4) over value within each event_type, reported as per-(type,
+    quartile) count/min/max. Exact SQL NTILE semantics: the first n%4
+    buckets get the extra row. min/max are SELECTED raw doubles (never
+    computed), so they hash-match without rounding. Partitioning
+    assumption: one group per event_type (low-cardinality partition key,
+    like every grouped window op here); within a group everything is one
+    sort + ``np.repeat``."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def quart(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("value", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        n = len(g)
+        q, r = divmod(n, 4)
+        sizes = np.asarray([q + 1] * r + [q] * (4 - r), dtype=np.int64)
+        sizes = sizes[sizes > 0]
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()] * len(sizes), pa.string()
+                ),
+                "quartile": pa.array(np.arange(1, len(sizes) + 1), pa.int64()),
+                "n": pa.array(sizes, pa.int64()),
+                "min_v": pa.array(v[starts], pa.float64()),
+                "max_v": pa.array(v[ends - 1], pa.float64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quart, batch_format="pyarrow")
+
+
+def q_value_ranks(sf_dir: str) -> "ray.data.Dataset":
+    """RANK / DENSE_RANK / PERCENT_RANK over value within event_type, per
+    event. Vectorized per group: rank = ``searchsorted(left)+1`` on the
+    sorted values (ties share the first position, exactly SQL RANK),
+    dense_rank = unique-inverse+1, percent_rank = (rank−1)/(n−1) — the
+    same IEEE double DuckDB computes, formatted %.6f on both sides."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def ranks(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("value", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        n = len(v)
+        rnk = np.searchsorted(v, v, side="left") + 1
+        _, inv = np.unique(v, return_inverse=True)
+        pct = (rnk - 1) / (n - 1) if n > 1 else np.zeros(n, dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "event_type": g.column("event_type"),
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(inv + 1, pa.int64()),
+                "pct": pa.array(np.char.mod("%.6f", pct), pa.string()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(ranks, batch_format="pyarrow")
+
+
+def q_value_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Fixed-width histogram of event values (width-50 buckets) — the
+    width_bucket / binning op. Per-batch ``np.unique`` combiner emits one
+    row per non-empty bucket per block; the groupby sums O(buckets·blocks)
+    rows. Fully Arrow-vectorized (floor/divide/cast)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(batch.column("value"), pa.scalar(50.0))), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )

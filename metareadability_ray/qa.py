@@ -24,6 +24,7 @@ from metareadability_ray.pipelines import relational3 as R3
 from metareadability_ray.pipelines import textops as T
 from metareadability_ray.pipelines import textops2 as T2
 from metareadability_ray.pipelines import vectors as V
+from metareadability_ray.pipelines import webtext as W
 
 
 @dataclass(frozen=True)
@@ -672,6 +673,103 @@ REGISTRY: dict[str, QASpec] = {
         GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "custom(heavy-hitters-wordcount)",
+    ),
+    # ------------------------------------------------------- webtext curation
+    "common_chunks": QASpec(
+        W.q_common_chunks,
+        r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+             ch AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, length(t), 3),
+                                                 i -> array_to_string(t[i:i+2], ' '))) AS chunk
+                    FROM toks)
+        SELECT chunk, count(DISTINCT doc_id) AS n_docs
+        FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "custom(ccnet-boilerplate-chunks)",
+    ),
+    "para_dedup_stats": QASpec(
+        W.q_para_dedup_stats,
+        r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+             ch AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, length(t), 3),
+                                                 i -> array_to_string(t[i:i+2], ' '))) AS chunk
+                    FROM toks),
+             common AS (SELECT chunk FROM ch GROUP BY chunk
+                        HAVING count(DISTINCT doc_id) >= 2)
+        SELECT doc_id, count(*) AS n_chunks,
+               count(*) FILTER (WHERE chunk IN (SELECT chunk FROM common)) AS n_common
+        FROM ch GROUP BY doc_id
+        """,
+        "custom(ccnet-paragraph-dedup)",
+    ),
+    "dup_chunk_ratio": QASpec(
+        W.q_dup_chunk_ratio,
+        r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+             ch AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, length(t), 3),
+                                                 i -> array_to_string(t[i:i+2], ' '))) AS chunk
+                    FROM toks)
+        SELECT doc_id, count(*) AS n_chunks, count(DISTINCT chunk) AS n_distinct
+        FROM ch GROUP BY doc_id
+        """,
+        "custom(gopher-dup-fraction)",
+    ),
+    "weighted_sample": QASpec(
+        W.q_weighted_sample,
+        """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', least(n_chars * 2000000, 4294967295))
+        """,
+        "MR-O3(length-weighted-sample)",
+    ),
+    "bigram_topk": QASpec(
+        W.q_bigram_topk,
+        r"""
+        WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+             bi AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                                                 i -> t[i] || ' ' || t[i+1])) AS bigram
+                    FROM toks)
+        SELECT bigram, count(*) AS n FROM bi
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "custom(bigram-collocations)",
+    ),
+    "event_quartiles": QASpec(
+        W.q_event_quartiles,
+        """
+        WITH q AS (SELECT event_type, value,
+                          ntile(4) OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS quartile
+                   FROM events)
+        SELECT event_type, quartile, count(*) AS n,
+               min(value) AS min_v, max(value) AS max_v
+        FROM q GROUP BY event_type, quartile
+        """,
+        "custom(ntile-window)",
+    ),
+    "value_ranks": QASpec(
+        W.q_value_ranks,
+        """
+        SELECT event_id, event_type,
+               rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+               dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS drnk,
+               printf('%.6f', percent_rank() OVER (PARTITION BY event_type
+                                                   ORDER BY value)) AS pct
+        FROM events
+        """,
+        "custom(rank-windows)",
+    ),
+    "value_histogram": QASpec(
+        W.q_value_histogram,
+        """
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY bucket
+        """,
+        "custom(width-bucket-histogram)",
     ),
     "zscore_events": QASpec(
         R3.q_zscore_events,

@@ -59,26 +59,9 @@ def _registry():
     return REGISTRY
 
 
-SQL_QUERIES = [
-    "filter_project", "pricing_summary", "join_customer_orders", "three_way_join",
-    "broadcast_join_part", "semi_join_customers", "anti_join_customers",
-    "distinct_event_types", "topk_orders", "latest_event_per_user", "union_priority",
-    "json_props_sum", "hourly_event_window", "token_stats", "quality_score",
-    "langid", "doc_fingerprint", "exact_dedup", "ngram_jaccard_pairs",
-    "bpe_token_stats",
-    "knn_bruteforce", "neardup_cosine", "label_stats",
-    "left_outer_join", "asof_join", "window_cumsum", "explode_part_names",
-    "sample_deterministic", "supplier_balance_stats", "intersect_users",
-    "except_users", "dup_clusters", "sessionize", "winnow_fingerprint",
-    "redact_pii", "dedup_survivors", "stratified_sample", "topk_docs_per_lang",
-    "median_doc_length", "rolling_avg_events", "rollup_orders", "funnel_stages",
-    "count_distinct_users", "pivot_event_sums", "corr_lineitem", "lag_value_delta",
-    "range_join_bands", "mode_priority", "cube_orders", "first_last_value",
-    "collect_set_priorities", "word_count_topk", "tfidf_top_terms",
-    "hopping_window", "views_before_click", "bloom_semi_join", "bottomk_sample",
-    "full_outer_join", "unpivot_event_sums", "zscore_events", "label_centroids",
-    "train_test_split",
-]
+# Derived from the registry so a newly added query is covered automatically
+# (a query missing its oracle lands in ROWS_ONLY below, visible in -v output).
+SQL_QUERIES = [n for n, s in _registry().items() if s.sql is not None]
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
@@ -95,12 +78,7 @@ def test_query_matches_duckdb(ray_session, con, name):
         assert rv == sv, f"{name}: values differ; first ray={rv[:1]} sql={sv[:1]}"
 
 
-ROWS_ONLY = [
-    "minhash_lsh_pairs", "simhash", "lsh_bucket_stats", "media_features",
-    "media_frame_sample", "extract_pages", "hll_distinct_users",
-    "lsh_neardup_pairs", "pdf_layout_spans", "ivf_topk", "quantile_sketch_value",
-    "approx_heavy_hitters",
-]
+ROWS_ONLY = [n for n, s in _registry().items() if s.sql is None]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
