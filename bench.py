@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "approx_heavy_hitters",
     "common_chunks",
     "para_dedup_stats",
+    "token_entropy",
+    "top_bigram_fraction",
     "dup_chunk_ratio",
     "weighted_sample",
     "bigram_topk",

@@ -57,29 +57,71 @@ def _empty(schema: dict[str, pa.DataType]) -> pa.Table:
 
 
 # ------------------------------------------------ cross-doc repeated chunks
+def _stable_hash64(strings: np.ndarray) -> np.ndarray:
+    """Deterministic (cross-process, unsalted) u64 hash of a string array —
+    pandas' fixed-key siphash, vectorized."""
+    import pandas as pd
+
+    # int64 view (not uint64): Ray Data's sort-groupby keeps int64 keys
+    # zero-copy Arrow, but uint64 values above 2**63 fall back to pickled
+    # Python objects and break block concat.
+    return pd.util.hash_array(strings, categorize=False).view(np.int64)
+
+
 def q_common_chunks(sf_dir: str) -> "ray.data.Dataset":
     """Chunks that appear in ≥2 distinct documents — the corpus "boilerplate
-    list" a CCNet-style paragraph dedup removes. Because a document is one
-    row, the per-batch distinct-(doc, chunk) combiner is already globally
-    distinct, so one ``groupby(chunk)`` sum yields exact document
-    frequencies; only the (chunk, partial-df) vocabulary stream shuffles,
-    never document text."""
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    list" a CCNet-style paragraph dedup removes.
 
-    def partial(batch: pa.Table) -> pa.Table:
+    Two-phase, hash-first (the CCNet shuffle discipline): at web scale most
+    chunks are unique, so a string-keyed document-frequency groupby would
+    shuffle nearly the whole corpus's text. Phase 1 instead shuffles only
+    (u64 chunk-hash, partial-df) — 8 bytes per distinct chunk per block —
+    and keeps just the hashes with df ≥ 2 (the candidate set, bounded by
+    the boilerplate vocabulary + collisions). Phase 2 re-reads the corpus,
+    keeps only chunks whose hash is a candidate, and recounts those BY
+    STRING: a collision can only add a candidate, never drop one, and the
+    exact string recount filters the false positives — output is exact.
+    Because a document is one row, per-batch distinct-(doc, chunk) partials
+    are already globally distinct, so summing them gives exact df."""
+    def phase1_partial(batch: pa.Table) -> pa.Table:
         doc_ids, chunks = _batch_chunks(batch)
+        if len(chunks) == 0:
+            return _empty({"h": pa.int64(), "n_docs": pa.int64()})
+        hs = _stable_hash64(chunks)
+        pairs = np.unique(np.rec.fromarrays([doc_ids, hs]))
+        u, c = np.unique(pairs.f1, return_counts=True)
+        return pa.table({"h": pa.array(u, pa.int64()), "n_docs": pa.array(c, pa.int64())})
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    cand = pa.concat_tables(
+        ds.map_batches(phase1_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .filter(expr="n_docs >= 2")
+        .iter_batches(batch_format="pyarrow")
+    )
+    col = cand.column("h")
+    cand_ref = ray.put(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+
+    def phase2_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, chunks = _batch_chunks(batch)
+        if len(chunks) == 0:
+            return _empty({"chunk": pa.string(), "n_docs": pa.int64()})
+        hs = _stable_hash64(chunks)
+        mask = np.asarray(keyset_mask(cand_ref, pa.array(hs, pa.int64())))
+        doc_ids, chunks = doc_ids[mask], chunks[mask]
         if len(chunks) == 0:
             return _empty({"chunk": pa.string(), "n_docs": pa.int64()})
         pairs = np.unique(np.rec.fromarrays([doc_ids, chunks.astype(str)]))
         u, c = np.unique(pairs.f1, return_counts=True)
         return pa.table({"chunk": pa.array(u, pa.string()), "n_docs": pa.array(c, pa.int64())})
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.map_batches(phase2_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("chunk")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .filter(expr="n_docs >= 2")
     )
-    return agg.filter(expr="n_docs >= 2")
 
 
 def _common_chunk_ref(sf_dir: str):
@@ -212,6 +254,71 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         .sort(key=["n", "bigram"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------- quality signals (doc)
+def q_token_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document unigram Shannon entropy (bits) — the classic
+    gibberish/boilerplate quality signal (low entropy = repetitive text).
+    Pure per-batch kernel: a doc is one row, so its token histogram and
+    −Σ p·log2 p are computed wholly in-batch via one ``np.unique`` over the
+    batch's (doc, token) pairs; nothing shuffles. Terms are summed in
+    token-sorted order; the %.4f rounding on both sides absorbs the
+    engine-vs-engine summation-order ulps."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pa.Table:
+        out_ids: list[int] = []
+        out_h: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = t.split()
+            if not toks:
+                continue
+            _, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
+            p = c / c.sum()
+            out_ids.append(did)
+            out_h.append("%.4f" % float(-(p * np.log2(p)).sum()))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "entropy": pa.array(out_h, pa.string())}
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_top_bigram_fraction(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher repetition signal (Rae et al., 2021): per document, the count
+    of the single most frequent bigram vs the total bigram count (their
+    quotient is the "top 2-gram fraction" filter). Integer outputs only —
+    nothing float crosses the compare boundary. Per-batch kernel, zero
+    shuffle (a doc is one row)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def frac(batch: pa.Table) -> pa.Table:
+        out_ids: list[int] = []
+        top: list[int] = []
+        total: list[int] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = t.split()
+            if len(toks) < 2:
+                continue
+            grams = np.asarray([f"{a} {b}" for a, b in zip(toks, toks[1:])], dtype=object)
+            _, c = np.unique(grams.astype(str), return_counts=True)
+            out_ids.append(did)
+            top.append(int(c.max()))
+            total.append(len(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "top_bigram_n": pa.array(top, pa.int64()),
+                "n_bigrams": pa.array(total, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------------ SQL windows

@@ -717,6 +717,34 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "custom(gopher-dup-fraction)",
     ),
+    "token_entropy": QASpec(
+        W.q_token_entropy,
+        r"""
+        WITH tc AS (
+            SELECT doc_id, token, count(*) AS c FROM (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                FROM documents)
+            GROUP BY doc_id, token),
+        tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id)
+        SELECT tc.doc_id, printf('%.4f', -sum((c / n) * log2(c / n))) AS entropy
+        FROM tc JOIN tot USING (doc_id) GROUP BY tc.doc_id
+        """,
+        "custom(unigram-entropy-quality)",
+    ),
+    "top_bigram_fraction": QASpec(
+        W.q_top_bigram_fraction,
+        r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+             bi AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, length(t) - 1),
+                                                 i -> t[i] || ' ' || t[i+1])) AS bigram
+                    FROM toks),
+             bc AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram)
+        SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM bc GROUP BY doc_id
+        """,
+        "custom(gopher-top-bigram-fraction)",
+    ),
     "weighted_sample": QASpec(
         W.q_weighted_sample,
         """
