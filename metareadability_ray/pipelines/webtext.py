@@ -321,6 +321,80 @@ def q_top_bigram_fraction(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------------- composed curation pipeline
+def q_curated_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The end-to-end webtext curation pipeline, composed from the individual
+    signals: keep a document iff
+
+      1. length: 100 ≤ n_chars ≤ 500,
+      2. boilerplate: ≤50% of its chunks are corpus-common (CCNet filter,
+         ``n_common·2 ≤ n_chunks``),
+      3. repetition: its top bigram is ≤1/15 of all bigrams (Gopher filter,
+         ``top_bigram_n·15 ≤ n_bigrams``; docs with no bigram are dropped),
+      4. near-dup: it is its duplicate-cluster's survivor (min doc_id).
+
+    All thresholds are integer cross-multiplications — no float ever crosses
+    the compare boundary. Execution: the two bounded side inputs (the
+    boilerplate chunk set, the non-survivor id set) are built distributedly
+    and broadcast once; then ONE streaming pass over `documents` computes
+    every per-doc signal in-batch and applies all four filters — text is
+    read once and never shuffled."""
+    from metareadability_ray.pipelines.clustering import _clusters_table
+
+    common = _common_chunk_ref(sf_dir)
+    clusters = _clusters_table(sf_dir)
+    losers = clusters.filter(
+        pc.invert(pc.equal(clusters.column("doc_id"), clusters.column("cluster_id")))
+    ).column("doc_id")
+    loser_ref = ray.put(
+        losers.combine_chunks() if isinstance(losers, pa.ChunkedArray) else losers
+    )
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "n_chars"]
+    )
+
+    def curate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False), np.int64)
+        texts = batch.column("text").to_pylist()
+        # Boilerplate signal: ONE vectorized membership call over the whole
+        # batch's chunk stream (same kernel as q_para_dedup_stats), then
+        # per-doc totals via bincount.
+        chunk_ok = np.zeros(len(ids), dtype=bool)
+        doc_ids, chunks = _batch_chunks(batch)
+        if len(chunks):
+            m = np.asarray(keyset_mask(common, pa.array(chunks.astype(str), pa.string())))
+            docs, inv = np.unique(doc_ids, return_inverse=True)
+            tot = np.bincount(inv, minlength=len(docs))
+            com = np.bincount(inv, weights=m.astype(np.float64), minlength=len(docs))
+            ok = dict(zip(docs.tolist(), (com.astype(np.int64) * 2 <= tot).tolist()))
+            chunk_ok = np.asarray([ok.get(int(d), False) for d in ids], dtype=bool)
+        # Repetition signal: per-doc top-bigram count (np.unique per doc —
+        # the bigram vocabulary is doc-local, nothing crosses docs).
+        bi_ok = np.zeros(len(ids), dtype=bool)
+        for j, t in enumerate(texts):
+            toks = t.split() if t else []
+            if len(toks) < 2:
+                continue
+            grams = np.asarray(
+                [f"{a} {b}" for a, b in zip(toks, toks[1:])], dtype=object
+            ).astype(str)
+            _, c = np.unique(grams, return_counts=True)
+            bi_ok[j] = int(c.max()) * 15 <= len(grams)
+        mask = pa.array((chunk_ok & bi_ok).tolist(), pa.bool_())
+        mask = pc.and_(
+            mask,
+            pc.and_(
+                pc.greater_equal(batch.column("n_chars"), pa.scalar(100)),
+                pc.less_equal(batch.column("n_chars"), pa.scalar(500)),
+            ),
+        )
+        mask = pc.and_(mask, keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
+        return batch.filter(mask).select(["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(curate, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------ SQL windows
 def q_event_quartiles(sf_dir: str) -> "ray.data.Dataset":
     """NTILE(4) over value within each event_type, reported as per-(type,

@@ -745,6 +745,60 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "custom(gopher-top-bigram-fraction)",
     ),
+    "curated_corpus": QASpec(
+        W.q_curated_corpus,
+        r"""
+        WITH RECURSIVE """ + _NGRAM_CTES + r""",
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter_t
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter * 5 >= 1 * (sa.set_size + sb.set_size - inter)
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        ch AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, length(t), 3),
+                                            i -> array_to_string(t[i:i+2], ' '))) AS chunk
+               FROM toks),
+        common AS (SELECT chunk FROM ch GROUP BY chunk
+                   HAVING count(DISTINCT doc_id) >= 2),
+        chstat AS (SELECT doc_id, count(*) AS n_chunks,
+                          count(*) FILTER (WHERE chunk IN (SELECT chunk FROM common))
+                              AS n_common
+                   FROM ch GROUP BY doc_id),
+        bi AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, length(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1])) AS bigram
+               FROM toks),
+        bc AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
+        bistat AS (SELECT doc_id, max(c) AS top_n, CAST(sum(c) AS BIGINT) AS n_bi
+                   FROM bc GROUP BY doc_id)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        JOIN chstat USING (doc_id)
+        JOIN bistat USING (doc_id)
+        WHERE d.n_chars BETWEEN 100 AND 500
+          AND chstat.n_common * 2 <= chstat.n_chunks
+          AND bistat.top_n * 15 <= bistat.n_bi
+          AND NOT EXISTS (SELECT 1 FROM clusters c
+                          WHERE c.doc_id = d.doc_id AND c.cluster_id <> d.doc_id)
+        """,
+        "pipeline(composed-curation)",
+    ),
     "weighted_sample": QASpec(
         W.q_weighted_sample,
         """
