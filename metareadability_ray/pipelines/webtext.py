@@ -68,9 +68,24 @@ def _stable_hash64(strings: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(strings, categorize=False).view(np.int64)
 
 
-def q_common_chunks(sf_dir: str) -> "ray.data.Dataset":
-    """Chunks that appear in ≥2 distinct documents — the corpus "boilerplate
-    list" a CCNet-style paragraph dedup removes.
+def _n_docs(sf_dir: str) -> int:
+    """Corpus row count from Parquet FOOTER metadata only — O(files) driver
+    work, no data scan, valid at any corpus size."""
+    import pyarrow.parquet as pq
+
+    path = _p(sf_dir, "documents")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def q_common_chunks(sf_dir: str, min_df: int = 2) -> "ray.data.Dataset":
+    """Chunks that appear in ≥``min_df`` distinct documents — the corpus
+    "boilerplate list" a CCNet-style paragraph dedup removes.
 
     Two-phase, hash-first (the CCNet shuffle discipline): at web scale most
     chunks are unique, so a string-keyed document-frequency groupby would
@@ -82,7 +97,12 @@ def q_common_chunks(sf_dir: str) -> "ray.data.Dataset":
     STRING: a collision can only add a candidate, never drop one, and the
     exact string recount filters the false positives — output is exact.
     Because a document is one row, per-batch distinct-(doc, chunk) partials
-    are already globally distinct, so summing them gives exact df."""
+    are already globally distinct, so summing them gives exact df.
+
+    ``min_df`` is the document-frequency cut; the registry query pins the
+    definitional df>=2, while composed consumers (``q_curated_corpus``) pass
+    a corpus-size-scaled cut so "boilerplate" stays a df *fraction* as the
+    corpus grows (CCNet's shard-count scaling)."""
     def phase1_partial(batch: pa.Table) -> pa.Table:
         doc_ids, chunks = _batch_chunks(batch)
         if len(chunks) == 0:
@@ -97,7 +117,7 @@ def q_common_chunks(sf_dir: str) -> "ray.data.Dataset":
         ds.map_batches(phase1_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("h")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
-        .filter(expr="n_docs >= 2")
+        .filter(expr=f"n_docs >= {min_df}")
         .iter_batches(batch_format="pyarrow")
     )
     col = cand.column("h")
@@ -120,18 +140,20 @@ def q_common_chunks(sf_dir: str) -> "ray.data.Dataset":
         ds.map_batches(phase2_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("chunk")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
-        .filter(expr="n_docs >= 2")
+        .filter(expr=f"n_docs >= {min_df}")
     )
 
 
-def _common_chunk_ref(sf_dir: str):
+def _common_chunk_ref(sf_dir: str, min_df: int = 2):
     """Materialise the boilerplate chunk set once and ``ray.put`` it.
 
     Bounded by the number of chunks repeated ACROSS documents — the
     boilerplate vocabulary, which for web corpora is orders of magnitude
     smaller than the corpus (it is exactly the set CCNet ships to every
     worker); never bounded by corpus size."""
-    t = pa.concat_tables(q_common_chunks(sf_dir).iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(
+        q_common_chunks(sf_dir, min_df=min_df).iter_batches(batch_format="pyarrow")
+    )
     col = t.column("chunk")
     return ray.put(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
 
@@ -328,7 +350,10 @@ def q_curated_corpus(sf_dir: str) -> "ray.data.Dataset":
 
       1. length: 100 ≤ n_chars ≤ 500,
       2. boilerplate: ≤50% of its chunks are corpus-common (CCNet filter,
-         ``n_common·2 ≤ n_chunks``),
+         ``n_common·2 ≤ n_chunks``), where "common" is a corpus-size-scaled
+         df cut ``df ≥ max(2, ceil(0.002·n_docs))`` — a df *fraction*, so
+         the boilerplate definition is stable as the corpus grows 1000×
+         (a fixed df≥2 would eventually mark every chunk common),
       3. repetition: its top bigram is ≤1/15 of all bigrams (Gopher filter,
          ``top_bigram_n·15 ≤ n_bigrams``; docs with no bigram are dropped),
       4. near-dup: it is its duplicate-cluster's survivor (min doc_id).
@@ -341,7 +366,10 @@ def q_curated_corpus(sf_dir: str) -> "ray.data.Dataset":
     read once and never shuffled."""
     from metareadability_ray.pipelines.clustering import _clusters_table
 
-    common = _common_chunk_ref(sf_dir)
+    import math
+
+    min_df = max(2, math.ceil(0.002 * _n_docs(sf_dir)))
+    common = _common_chunk_ref(sf_dir, min_df=min_df)
     clusters = _clusters_table(sf_dir)
     losers = clusters.filter(
         pc.invert(pc.equal(clusters.column("doc_id"), clusters.column("cluster_id")))

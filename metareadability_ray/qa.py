@@ -775,7 +775,9 @@ REGISTRY: dict[str, QASpec] = {
                                             i -> array_to_string(t[i:i+2], ' '))) AS chunk
                FROM toks),
         common AS (SELECT chunk FROM ch GROUP BY chunk
-                   HAVING count(DISTINCT doc_id) >= 2),
+                   HAVING count(DISTINCT doc_id) >=
+                          (SELECT greatest(2, CAST(ceil(0.002 * count(*)) AS BIGINT))
+                           FROM documents)),
         chstat AS (SELECT doc_id, count(*) AS n_chunks,
                           count(*) FILTER (WHERE chunk IN (SELECT chunk FROM common))
                               AS n_common
