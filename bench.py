@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "media_features",
     "media_frame_sample",
     "pdf_layout_spans",
+    "gopher_repetition",
+    "source_mix",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

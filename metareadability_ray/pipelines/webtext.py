@@ -57,15 +57,8 @@ def _empty(schema: dict[str, pa.DataType]) -> pa.Table:
 
 
 # ------------------------------------------------ cross-doc repeated chunks
-def _stable_hash64(strings: np.ndarray) -> np.ndarray:
-    """Deterministic (cross-process, unsalted) u64 hash of a string array —
-    pandas' fixed-key siphash, vectorized."""
-    import pandas as pd
-
-    # int64 view (not uint64): Ray Data's sort-groupby keeps int64 keys
-    # zero-copy Arrow, but uint64 values above 2**63 fall back to pickled
-    # Python objects and break block concat.
-    return pd.util.hash_array(strings, categorize=False).view(np.int64)
+# canonical impl lives in the scalar-function library
+from metareadability_ray.functions.scalars import stable_hash64 as _stable_hash64  # noqa: E402
 
 
 def _n_docs(sf_dir: str) -> int:
@@ -341,6 +334,86 @@ def q_top_bigram_fraction(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_gopher_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """The full Gopher n-gram repetition panel (Rae et al., 2021, Table A1):
+    per document, top-{2,3,4}-gram count vs total overlapping n-gram count.
+    One row per document (zeros when the doc is too short for that n), all
+    integers. One pass, per-batch kernel, zero shuffle — the three n sizes
+    share a single token split per doc."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def panel(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols: dict[str, list[int]] = {f"top{n}_n": [] for n in (2, 3, 4)}
+        for n in (2, 3, 4):
+            cols[f"n{n}"] = []
+        for t in batch.column("text").to_pylist():
+            toks = t.split() if t else []
+            for n in (2, 3, 4):
+                if len(toks) < n:
+                    cols[f"top{n}_n"].append(0)
+                    cols[f"n{n}"].append(0)
+                    continue
+                grams = np.asarray(
+                    [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)],
+                    dtype=object,
+                )
+                _, c = np.unique(grams.astype(str), return_counts=True)
+                cols[f"top{n}_n"].append(int(c.max()))
+                cols[f"n{n}"].append(len(grams))
+        out = {"doc_id": pa.array(ids, pa.int64())}
+        for k in ("top2_n", "n2", "top3_n", "n3", "top4_n", "n4"):
+            out[k] = pa.array(cols[k], pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(panel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_source_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-mix report per source (the data-mixing dashboard: how much of
+    each provenance, how long, how language-diverse). Pre-aggregates to
+    (source, lang) partials INSIDE map_batches — the shuffle carries one row
+    per (source, lang) per block, bounded by vocabulary not corpus — then a
+    tiny sort-groupby finishes n_docs / sum_chars / distinct-lang counts."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["source", "lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby(["source", "lang"], sort=False)["n_chars"].agg(["count", "sum"])
+        g = g.reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["count"].astype(np.int64), pa.int64()),
+                "chars": pa.array(g["sum"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        langs = group.column("lang")
+        return pa.table(
+            {
+                "source": pa.array([group.column("source")[0].as_py()], pa.string()),
+                "n_docs": pa.array([int(pc.sum(group.column("n")).as_py())], pa.int64()),
+                "sum_chars": pa.array(
+                    [int(pc.sum(group.column("chars")).as_py())], pa.int64()
+                ),
+                "n_langs": pa.array([len(set(langs.to_pylist()))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(finish, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------- composed curation pipeline

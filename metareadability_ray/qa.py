@@ -745,6 +745,50 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "custom(gopher-top-bigram-fraction)",
     ),
+    "gopher_repetition": QASpec(
+        W.q_gopher_repetition,
+        r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+             g2 AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, length(t) - 1),
+                                                 i -> t[i] || ' ' || t[i+1])) AS g
+                    FROM toks),
+             c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             s2 AS (SELECT doc_id, max(c) AS top2_n, CAST(sum(c) AS BIGINT) AS n2
+                    FROM c2 GROUP BY doc_id),
+             g3 AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, length(t) - 2),
+                                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+                    FROM toks),
+             c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+             s3 AS (SELECT doc_id, max(c) AS top3_n, CAST(sum(c) AS BIGINT) AS n3
+                    FROM c3 GROUP BY doc_id),
+             g4 AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, length(t) - 3),
+                                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                    FROM toks),
+             c4 AS (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2),
+             s4 AS (SELECT doc_id, max(c) AS top4_n, CAST(sum(c) AS BIGINT) AS n4
+                    FROM c4 GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(top2_n, 0) AS top2_n, COALESCE(n2, 0) AS n2,
+               COALESCE(top3_n, 0) AS top3_n, COALESCE(n3, 0) AS n3,
+               COALESCE(top4_n, 0) AS top4_n, COALESCE(n4, 0) AS n4
+        FROM documents d
+        LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
+        """,
+        "custom(gopher-repetition-panel)",
+    ),
+    "source_mix": QASpec(
+        W.q_source_mix,
+        """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY source
+        """,
+        "custom(data-mixing-report)",
+    ),
     "curated_corpus": QASpec(
         W.q_curated_corpus,
         r"""
