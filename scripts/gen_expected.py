@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SNAPSHOT_QUERIES = [
     "simhash", "minhash_lsh_pairs", "media_features", "media_frame_sample",
     "pdf_layout_spans",
+    # deterministic regardless of block order/parallelism (seeded planes /
+    # centroids, commutative register-max / exact reduces) — snapshots are
+    # generated at 8 CPUs and asserted under the 4-CPU test session, so a
+    # pass is also evidence of parallelism-independence. The two genuinely
+    # merge-order-sensitive sketches (approx_heavy_hitters, Misra-Gries;
+    # quantile_sketch_value strides) stay guarantee-tested instead.
+    "lsh_bucket_stats", "lsh_neardup_pairs", "ivf_topk", "hll_distinct_users",
 ]
 SF_DIR = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "expected")
