@@ -483,7 +483,14 @@ def ngram_jaccard_pairs(
         )
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
+        # vectorized emission (np.triu_indices), no per-pair Python loop.
+        # A/B-measured alternatives that did NOT beat this two-key groupby
+        # at sf0.1 and were rejected: packing (a<<32|b) into one int64 key
+        # (equal within noise, adds a 2^31-id ceiling), an in-block partial
+        # count combiner (pairs repeat across posting-list blocks, not
+        # within them — 1.27M→1.13M rows, not worth the extra map pass),
+        # repartition-before-groupby, and polars sort.
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
         if df_cut is not None and len(ids) > df_cut:
             import logging
 
@@ -493,14 +500,10 @@ def ngram_jaccard_pairs(
                 len(ids),
                 df_cut,
             )
-            ids = []
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+            ids = ids[:0]
+        iu, ju = np.triu_indices(len(ids), k=1)
         return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+            {"doc_a": pa.array(ids[iu], pa.int64()), "doc_b": pa.array(ids[ju], pa.int64())}
         )
 
     pair_counts = (
