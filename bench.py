@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "pdf_layout_spans",
     "gopher_repetition",
     "source_mix",
+    "median_hist",
+    "dedup_survivors_lsh",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

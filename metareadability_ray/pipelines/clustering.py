@@ -223,6 +223,48 @@ def q_dup_clusters(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.from_arrow(_clusters_table(sf_dir))
 
 
+def q_dedup_survivors_lsh(sf_dir: str) -> "ray.data.Dataset":
+    """The 100 TB composed dedup: MinHash+LSH candidate pairs (est_jaccard
+    ≥ 0.2, the LSH estimate of the exact path's 1/5 cut) → connected
+    components → survivor filter. Same shape as :func:`q_dedup_survivors`
+    but every stage is the scale path — no quadratic posting lists, the
+    bucket shuffle carries 16 bytes per (doc, band). Rows-only in the
+    driver gate (LSH is probabilistic, not SQL-expressible); the agreement
+    test in tests/test_clustering.py bounds its divergence from the exact
+    pipeline, and a committed snapshot pins its values."""
+    import os
+
+    import ray as _ray
+    import ray.data
+
+    from metareadability_ray.pipelines.textops import minhash_lsh_pairs
+    from metareadability_ray.util import keyset_mask
+
+    pairs = minhash_lsh_pairs(sf_dir).filter(expr="est_jaccard >= 0.2")
+    clusters_ds = connected_components(pairs)
+    tabs = list(clusters_ds.iter_batches(batch_format="pyarrow"))
+    clusters = (
+        pa.concat_tables(tabs, promote_options="permissive")
+        if tabs
+        else pa.table({"doc_id": pa.array([], I64), "cluster_id": pa.array([], I64)})
+    )
+    losers = clusters.filter(
+        pc.invert(pc.equal(clusters.column("doc_id"), clusters.column("cluster_id")))
+    ).column("doc_id")
+    loser_ref = _ray.put(
+        losers.combine_chunks() if isinstance(losers, pa.ChunkedArray) else losers
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
+
+    return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_survivors(sf_dir: str) -> "ray.data.Dataset":
     """The end of the dedup story: the corpus with non-survivor duplicates
     REMOVED. Non-survivors (cluster members with cluster_id ≠ doc_id — a

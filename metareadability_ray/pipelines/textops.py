@@ -311,6 +311,61 @@ def q_median_doc_length(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("lang").map_groups(med, batch_format="pyarrow")
 
 
+def q_median_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-lang median, SKEW-PROOF: the hot-key-splitting twin of
+    :func:`q_median_doc_length` (whose map_groups ships every row of a hot
+    lang to one reducer — the classic skewed-group failure at 10^12 docs).
+
+    Two-stage value histogram: stage 1 collapses each batch to
+    (lang, n_chars, partial count) — the value acts as a built-in salt, so
+    a hot lang's rows split across every block and the shuffle carries at
+    most |langs|·|distinct lengths| rows per block, bounded by the value
+    domain, never by the row count. Stage 2 merges the per-value counts and
+    walks the cumulative histogram to the exact median (even totals average
+    the two middle values, matching SQL ``median``). Identical output to
+    the map_groups variant; both share one SQL oracle."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "v": pa.array(g["n_chars"].astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def med_of_hist(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        lo_rank, hi_rank = (total - 1) // 2, total // 2  # 0-based middle(s)
+        lo = v[np.searchsorted(cum, lo_rank + 1)]
+        hi = v[np.searchsorted(cum, hi_rank + 1)]
+        return pa.table(
+            {
+                "lang": pa.array([group.column("lang")[0].as_py()], pa.string()),
+                "median_chars": pa.array([f"{(int(lo) + int(hi)) / 2:.1f}"], pa.string()),
+                "n_docs": pa.array([total], pa.int64()),
+            }
+        )
+
+    return merged.groupby("lang").map_groups(med_of_hist, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- PII redaction
 # RE2-safe patterns (no lookaround) so pyarrow.compute and DuckDB's
 # regexp_replace produce byte-identical redactions.

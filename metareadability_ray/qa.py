@@ -978,6 +978,18 @@ REGISTRY: dict[str, QASpec] = {
         "MR-D3(except)",
     ),
     "minhash_lsh_pairs": QASpec(T.q_minhash_lsh_pairs, None, "MR-D4(minhash-lsh)"),
+    "dedup_survivors_lsh": QASpec(
+        C.q_dedup_survivors_lsh, None, "dedup-cluster(lsh-scale-path)"
+    ),
+    "median_hist": QASpec(
+        T.q_median_hist,
+        """
+        SELECT lang, printf('%.1f', median(n_chars)) AS median_chars,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+        """,
+        "MR-G2(exact-median, skew-proof histogram)",
+    ),
     "simhash": QASpec(T.q_simhash, None, "MR-D4(simhash)"),
     # -------------------------------------------------------------- vectors
     "knn_bruteforce": QASpec(

@@ -26,6 +26,7 @@ SNAPSHOT_QUERIES = [
     # merge-order-sensitive sketches (approx_heavy_hitters, Misra-Gries;
     # quantile_sketch_value strides) stay guarantee-tested instead.
     "lsh_bucket_stats", "lsh_neardup_pairs", "ivf_topk", "hll_distinct_users",
+    "dedup_survivors_lsh",
 ]
 SF_DIR = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "expected")

@@ -40,3 +40,30 @@ def test_long_path_converges(ray_session):
 def test_survivor_is_min_doc_id(ray_session):
     got = _cc(ray_session, [(7, 5), (5, 9)])
     assert got == {5: 5, 7: 5, 9: 5}
+
+
+def test_lsh_survivors_agree_with_exact(ray_session):
+    """The LSH scale path must closely reproduce the exact pipeline's
+    survivor set at small sf (recall of removals bounded below)."""
+    import pyarrow as pa
+
+    from metareadability_ray.qa import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def ids(name):
+        ds = REGISTRY[name].fn(sf)
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        return set(t.column("doc_id").to_pylist())
+
+    exact = ids("dedup_survivors")
+    lsh = ids("dedup_survivors_lsh")
+    all_docs = ids("quality_score")  # full corpus ids (per-doc map query)
+    removed_exact = all_docs - exact
+    removed_lsh = all_docs - lsh
+    assert removed_exact, "fixture corpus should contain duplicates"
+    # LSH candidate generation may miss/extra-flag a few borderline pairs;
+    # the pinned bound documents the measured agreement.
+    inter = len(removed_exact & removed_lsh)
+    assert inter / len(removed_exact) >= 0.75, (removed_exact, removed_lsh)
+    assert len(removed_lsh - removed_exact) <= max(3, len(removed_exact) // 4)
