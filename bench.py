@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "source_mix",
     "median_hist",
     "dedup_survivors_lsh",
+    "string_agg_status",
+    "grouping_sets_orders",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

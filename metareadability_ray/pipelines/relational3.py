@@ -755,3 +755,60 @@ def q_quantile_sketch_value(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def q_string_agg_status(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered string aggregation (SQL ``string_agg(DISTINCT … ORDER BY …)``):
+    per l_returnflag, the comma-joined sorted distinct linestatus values.
+    Determinism rule for ALL collect-style aggregates here: an explicit
+    total order (sort before join) — never block arrival order, which Ray
+    does not pin. Pre-shuffle distinct per batch keeps the shuffle at one
+    row per (flag, status) per block."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"]
+    )
+
+    def distinct_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def join_group(group: pa.Table) -> pa.Table:
+        vals = sorted(set(group.column("l_linestatus").to_pylist()))
+        return pa.table(
+            {
+                "l_returnflag": group.column("l_returnflag").slice(0, 1),
+                "statuses": pa.array([",".join(vals)], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(distinct_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
+def q_grouping_sets_orders(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) — the
+    general form that ROLLUP and CUBE (q_rollup_orders / q_cube_orders)
+    specialize. Same plan discipline: ONE distributed groupby produces the
+    (priority, status) detail aggregate; each requested grouping set is a
+    local re-sum of that cardinality-sized table — the fact table is read
+    and shuffled exactly once, zero extra shuffles per set."""
+    dims = ["o_orderpriority", "o_orderstatus"]
+    base = ray.data.read_parquet(_p(sf_dir, "orders"), columns=dims)
+    detail = pa.concat_tables(
+        base.groupby(dims).aggregate(Count(alias_name="n")).iter_batches(batch_format="pyarrow")
+    )
+    parts = []
+    for keep in dims:  # one part per grouping set
+        lvl = detail.group_by([keep]).aggregate([("n", "sum")]).rename_columns([keep, "n"])
+        for d in dims:
+            if d != keep:
+                lvl = lvl.append_column(d, pa.nulls(lvl.num_rows, detail.schema.field(d).type))
+        parts.append(lvl.select(dims + ["n"]))
+    out = pa.concat_tables(parts)
+    out = out.set_column(out.column_names.index("n"), "n_orders", out.column("n").cast(pa.int64()))
+    return ray.data.from_arrow(out)

@@ -572,6 +572,24 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "MR-G2(mode)",
     ),
+    "string_agg_status": QASpec(
+        R3.q_string_agg_status,
+        """
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "MR-G2(ordered-string-agg)",
+    ),
+    "grouping_sets_orders": QASpec(
+        R3.q_grouping_sets_orders,
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """,
+        "MR-G2(grouping-sets)",
+    ),
     "cube_orders": QASpec(
         R3.q_cube_orders,
         """
