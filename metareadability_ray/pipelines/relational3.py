@@ -583,8 +583,6 @@ def q_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
     probe side tests 2 hash bits per row vectorized, and only the few
     false-positive-inflated survivors reach the exact membership check.
     Here: lineitem rows whose order is 1-URGENT."""
-    import pyarrow.parquet as pq
-
     urgent = ray.data.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
@@ -606,13 +604,20 @@ def q_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
             merged |= np.asarray(row, dtype=np.uint8)
     bloom_ref = ray.put(merged)
 
-    # exact verify set: distinct urgent keys (dim-bounded; at true scale this
+    # exact verify set: distinct urgent keys built DISTRIBUTEDLY (groupby
+    # distinct of the already-filtered build side — the driver holds only
+    # the distinct set, never an orders column; at true scale the verify
     # would be a shuffled hash-join of the bloom survivors instead)
-    ot = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
-    exact = pa.compute.unique(
-        ot.filter(pc.equal(ot.column("o_orderpriority"), "1-URGENT")).column("o_orderkey")
+    from metareadability_ray.util import distinct_keys_ref
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return batch.filter(mask).select(["o_orderkey"])
+
+    exact_ref = distinct_keys_ref(
+        urgent.map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey",
     )
-    exact_ref = ray.put(exact)
 
     items = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
 
