@@ -210,8 +210,10 @@ def run_extraction(
     batch_size: int = 128,
     resume: bool = True,
     override_num_blocks: int | None = None,
+    return_stats: bool = False,
 ) -> dict:
-    """Run the flagship pipeline end-to-end; returns a run summary dict."""
+    """Run the flagship pipeline end-to-end; returns a run summary dict
+    (plus the Ray Data per-operator stats text when ``return_stats``)."""
     if isinstance(inputs, str):
         inputs = [inputs]
     os.makedirs(out_dir, exist_ok=True)
@@ -250,6 +252,7 @@ def run_extraction(
     writer = _make_write_partition(out_dir, [os.path.abspath(p) for p in inputs])
     manifest_ds = ds.groupby("partition_id").map_groups(writer, batch_format="pyarrow")
     ran = manifest_ds.take_all()  # tiny: one row per partition run
+    stats_text = manifest_ds.stats() if return_stats else None
 
     # Release the actor pool NOW: completed datasets leave MapWorker actor
     # handles trapped in reference cycles; without an explicit collect they
@@ -264,13 +267,16 @@ def run_extraction(
 
     mf.rebuild_sidecars(out_dir, {"signals": SIGNALS_VERSION, "engine": ENGINE_VERSION})
     rows_written = sum(r["row_count"] for r in ran)
-    return {
+    out = {
         "out_dir": out_dir,
         "partitions_run": len(ran),
         "partitions_skipped": len(done),
         "rows_written": rows_written,
         "data_dir": os.path.join(out_dir, mf.DATA_DIR),
     }
+    if return_stats:
+        out["stats"] = stats_text
+    return out
 
 
 def read_extracted(out_dir: str) -> "ray.data.Dataset":
