@@ -157,8 +157,13 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse(text: str) -> Node:
-    """Parse HTML text into a Node tree rooted at a synthetic ``#root``.
+def parse_reference(text: str) -> Node:
+    """REFERENCE parse: HTML text → Node tree via the stdlib HTMLParser
+    builder above. This is the semantics-defining implementation; the
+    shipping :func:`parse` is the fast single-pass twin in
+    ``oracle.fastparse``, held output-identical to this one by the
+    differential suite (tests/test_fastparse_parity.py: fixtures,
+    adversarial constructs, fuzz soup, extract-level comparison).
 
     Never raises on malformed markup (HTMLParser is tolerant); callers treat
     a raised exception (pathological input) as a parse error (MR-X2 rule:
@@ -172,6 +177,14 @@ def parse(text: str) -> Node:
         node.index = i
     tb.root.nodes = nodes  # cached document-order list (same order as iter())
     return tb.root
+
+
+def parse(text: str) -> Node:
+    """Parse HTML text into a Node tree rooted at a synthetic ``#root``
+    (fast path; see :func:`parse_reference` for the contract)."""
+    from oracle.fastparse import parse_fast
+
+    return parse_fast(text)
 
 
 def doc_nodes(root: Node) -> "list[Node]":
