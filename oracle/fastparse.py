@@ -47,7 +47,6 @@ from oracle.dom import DROP_SUBTREES, VOID_ELEMENTS, _AUTO_CLOSE_SELF, Node
 _markedsectionclose = re.compile(r"]\s*]\s*>")
 _msmarkedsectionclose = re.compile(r"]\s*>")
 _declname_match = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*").match
-_starttagopen = re.compile("<[a-zA-Z]")
 _endendtag = re.compile(">")
 _ATTR_BREAK = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
 _STD_SECTIONS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
@@ -79,8 +78,10 @@ def parse_fast(text: str) -> Node:
         i = j
         if i == n:
             break
-        # ---- construct dispatch (ordering identical to goahead)
-        if _starttagopen.match(s, i):  # '<' + letter: start tag
+        # ---- construct dispatch (ordering identical to goahead; single
+        # char-class tests replace the regex/startswith chain — same cases)
+        c = s[i + 1 : i + 2]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):  # '<' + letter: start tag
             m = locatestarttagend_tolerant.match(s, i)
             j = m.end()
             nxt = s[j : j + 1]
@@ -104,7 +105,9 @@ def parse_fast(text: str) -> Node:
             k = m2.end()
             tag = m2.group(1).lower()
             attrs: dict[str, str] = {}
-            while k < endpos:
+            while k < endpos and s[k] not in ">/":
+                # (">"/"/" here means no attrs remain — skips the big
+                # attrfind regex for the common attr-less tag)
                 ma = attrfind_tolerant.match(s, k)
                 if not ma:
                     break
@@ -148,7 +151,7 @@ def parse_fast(text: str) -> Node:
             if tag not in VOID_ELEMENTS:
                 stack.append(node)
             i = endpos
-        elif s.startswith("</", i):  # end tag
+        elif c == "/":  # end tag
             mg = _endendtag.search(s, i + 1)
             if not mg:
                 i = _eof_fallback(s, i, stack)
@@ -174,19 +177,19 @@ def parse_fast(text: str) -> Node:
                 continue
             _close(stack, me.group(1).lower())
             i = gtpos
-        elif s.startswith("<!--", i):  # comment, dropped
+        elif c == "!" and s.startswith("--", i + 2):  # comment, dropped
             mc = commentclose.search(s, i + 4)
             if not mc:
                 i = _eof_fallback(s, i, stack)
                 continue
             i = mc.end()
-        elif s.startswith("<?", i):  # processing instruction, dropped
+        elif c == "?":  # processing instruction, dropped
             pos = s.find(">", i + 2)
             if pos == -1:
                 i = _eof_fallback(s, i, stack)
                 continue
             i = pos + 1
-        elif s.startswith("<!", i):  # declaration family
+        elif c == "!":  # declaration family (non-comment)
             if s.startswith("<![", i):
                 k = _marked_section_end(s, i)
                 if k < 0:
