@@ -23,18 +23,24 @@ from oracle.dom import Node, doc_nodes
 from oracle.textnorm import norm_ws, render_text
 
 
-def fuzzy_overlap(a: str, b: str) -> float:
-    """len(longest common substring) / len(shorter), on normalized lowercase.
+def _lcs_substring_len(a: str, b: str) -> int:
+    """Length of the longest common substring — exact, via binary search on
+    the answer length with set-membership checks (string hashing runs in C,
+    ~10× the pure-Python O(n·m) DP row loop this replaced; the DP twin is
+    kept below for the differential test)."""
+    lo, hi = 0, len(a)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        bsubs = {b[j : j + mid] for j in range(len(b) - mid + 1)}
+        if any(a[i : i + mid] in bsubs for i in range(len(a) - mid + 1)):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
-    Returns 0.0 when either side is empty (MR-X4).
-    """
-    a = norm_ws(a).lower()
-    b = norm_ws(b).lower()
-    if not a or not b:
-        return 0.0
-    if len(a) > len(b):
-        a, b = b, a  # a is the shorter
-    # O(len(a)*len(b)) rolling-row LCS-substring
+
+def _lcs_substring_len_dp(a: str, b: str) -> int:
+    """Reference O(n·m) rolling-row DP (differential twin of the above)."""
     prev = [0] * (len(b) + 1)
     best = 0
     for i in range(1, len(a) + 1):
@@ -47,7 +53,21 @@ def fuzzy_overlap(a: str, b: str) -> float:
                 if v > best:
                     best = v
         prev = cur
-    return best / len(a)
+    return best
+
+
+def fuzzy_overlap(a: str, b: str) -> float:
+    """len(longest common substring) / len(shorter), on normalized lowercase.
+
+    Returns 0.0 when either side is empty (MR-X4).
+    """
+    a = norm_ws(a).lower()
+    b = norm_ws(b).lower()
+    if not a or not b:
+        return 0.0
+    if len(a) > len(b):
+        a, b = b, a  # a is the shorter
+    return _lcs_substring_len(a, b) / len(a)
 
 
 def link_density(node: Node) -> float:

@@ -149,3 +149,15 @@ def test_extract_level_parity(fixture_pages, monkeypatch):
     monkeypatch.setattr(ex, "parse", parse_fast)
     fast = [ex.extract(h, u, ts) for u, h, ts in rows]
     assert ref == fast
+
+
+def test_lcs_binary_search_equals_dp():
+    import random as _r
+
+    from oracle.headline import _lcs_substring_len, _lcs_substring_len_dp
+
+    rng = _r.Random(7)
+    for _ in range(500):
+        a = "".join(rng.choice("abcd ") for _ in range(rng.randrange(0, 40)))
+        b = "".join(rng.choice("abcd ") for _ in range(rng.randrange(0, 40)))
+        assert _lcs_substring_len(a, b) == _lcs_substring_len_dp(a, b), (a, b)
