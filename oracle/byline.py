@@ -57,22 +57,25 @@ def _starts_by_raw(n: Node) -> bool:
     text — the expensive render is skipped for the vast majority of nodes.
     (A True still goes through the exact rendered-text check: e.g. 'Byline…'
     passes the prefilter but fails the \\b boundary.)"""
-    chars: list[str] = []
+    acc = ""
 
     def walk(nd: Node) -> bool:
+        nonlocal acc
         for ch in nd.children:
             if isinstance(ch, str):
-                for c in ch:
-                    if not c.isspace():
-                        chars.append(c)
-                        if len(chars) >= 2:
-                            return True
+                # str.split() drops exactly the str.isspace() characters the
+                # per-char loop skipped — C-speed, same char sequence
+                t = "".join(ch.split())
+                if t:
+                    acc += t[: 2 - len(acc)]
+                    if len(acc) >= 2:
+                        return True
             elif walk(ch):
                 return True
         return False
 
     walk(n)
-    return len(chars) >= 2 and chars[0] in "bB" and chars[1] in "yY"
+    return len(acc) >= 2 and acc[0] in "bB" and acc[1] in "yY"
 
 
 def _role_word_only(part: str) -> bool:
