@@ -31,51 +31,46 @@ from oracle.textnorm import norm_ws, render_text
 _BY_TEXT_RAW_MAX = 400
 
 
-def _raw_lengths(root: Node) -> dict[int, int]:
-    """One bottom-up pass: id(node) → raw collected text length."""
-    out: dict[int, int] = {}
+def _raw_scan(root: Node) -> dict[int, tuple[int, str]]:
+    """One bottom-up pass: id(node) → (raw collected text length, first ≤2
+    non-whitespace raw chars of the subtree).
 
-    def walk(n: Node) -> int:
+    The prefix drives the conservative pre-filter for bare by-prefix
+    candidacy: rendering only inserts/collapses whitespace and NFC never
+    manufactures new ASCII 'b'/'y' base pairs, so a non-"by" prefix implies
+    BY_PREFIX cannot match the rendered text — the expensive render is
+    skipped for the vast majority of nodes. (A "by" prefix still goes through
+    the exact rendered-text check: e.g. 'Byline…' passes the prefilter but
+    fails the \\b boundary.) Computing it bottom-up alongside the lengths
+    replaces a per-candidate subtree walk with a single document pass."""
+    out: dict[int, tuple[int, str]] = {}
+
+    def walk(n: Node) -> tuple[int, str]:
         total = 0
+        pref = ""
         for ch in n.children:
             if isinstance(ch, str):
                 total += len(ch)
+                if len(pref) < 2:
+                    # str.split() drops exactly the str.isspace() characters
+                    # a per-char skip loop would — C-speed, same char sequence
+                    t = "".join(ch.split())
+                    if t:
+                        pref = (pref + t)[:2]
             else:
-                total += walk(ch)
-        out[id(n)] = total
-        return total
+                ct, cp = walk(ch)
+                total += ct
+                if len(pref) < 2 and cp:
+                    pref = (pref + cp)[:2]
+        out[id(n)] = (total, pref)
+        return total, pref
 
     walk(root)
     return out
 
 
-def _starts_by_raw(n: Node) -> bool:
-    """Conservative pre-filter for the bare by-prefix candidacy: True iff the
-    first two non-whitespace RAW characters are 'b','y' (ci). Rendering only
-    inserts/collapses whitespace and NFC never manufactures new ASCII 'b'/'y'
-    base pairs, so a False here implies BY_PREFIX cannot match the rendered
-    text — the expensive render is skipped for the vast majority of nodes.
-    (A True still goes through the exact rendered-text check: e.g. 'Byline…'
-    passes the prefilter but fails the \\b boundary.)"""
-    acc = ""
-
-    def walk(nd: Node) -> bool:
-        nonlocal acc
-        for ch in nd.children:
-            if isinstance(ch, str):
-                # str.split() drops exactly the str.isspace() characters the
-                # per-char loop skipped — C-speed, same char sequence
-                t = "".join(ch.split())
-                if t:
-                    acc += t[: 2 - len(acc)]
-                    if len(acc) >= 2:
-                        return True
-            elif walk(ch):
-                return True
-        return False
-
-    walk(n)
-    return len(acc) >= 2 and acc[0] in "bB" and acc[1] in "yY"
+def _starts_by(pref: str) -> bool:
+    return len(pref) >= 2 and pref[0] in "bB" and pref[1] in "yY"
 
 
 def _role_word_only(part: str) -> bool:
@@ -99,7 +94,7 @@ def split_authors(winner_text: str) -> list[str]:
 
 
 def extract_authors(root: Node, headline_node: Node | None) -> list[str]:
-    raw_len = _raw_lengths(root)
+    raw_scan = _raw_scan(root)
 
     best_score = None
     best_text = ""
@@ -116,8 +111,8 @@ def extract_authors(root: Node, headline_node: Node | None) -> list[str]:
             text = render_text(n)
             if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:
                 by_hit = signals.BY_PREFIX.match(text) is not None
-        elif 0 < raw_len[id(n)] <= _BY_TEXT_RAW_MAX:
-            if not _starts_by_raw(n):  # sound skip: BY_PREFIX can't match
+        elif 0 < raw_scan[id(n)][0] <= _BY_TEXT_RAW_MAX:
+            if not _starts_by(raw_scan[id(n)][1]):  # sound skip: BY_PREFIX can't match
                 continue
             text = render_text(n)
             if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:

@@ -38,19 +38,23 @@ from oracle.headline import link_density
 from oracle.textnorm import render_text
 
 
-def _class_factor(node: Node) -> float:
+def _class_factor(node: Node, _cache: dict[int, float] | None = None) -> float:
+    """Container class/id factor. ``_cache`` (id(node) → factor) amortizes the
+    two regex searches: the same few containers sit on most units' chains."""
+    if _cache is not None:
+        f = _cache.get(id(node))
+        if f is not None:
+            return f
     ci = node.class_id
+    f = 1.0
     if ci:
         if signals.CONTENT_NEGATIVE.search(ci):
-            return signals.CONTENT_NEGATIVE_FACTOR
-        if signals.CONTENT_POSITIVE.search(ci):
-            return signals.CONTENT_POSITIVE_FACTOR
-    return 1.0
-
-
-def _is_negative(node: Node) -> bool:
-    ci = node.class_id
-    return bool(ci) and signals.CONTENT_NEGATIVE.search(ci) is not None
+            f = signals.CONTENT_NEGATIVE_FACTOR
+        elif signals.CONTENT_POSITIVE.search(ci):
+            f = signals.CONTENT_POSITIVE_FACTOR
+    if _cache is not None:
+        _cache[id(node)] = f
+    return f
 
 
 def _container_chain(node: Node, root: Node) -> list[Node]:
@@ -89,6 +93,7 @@ def extract_main_text(root: Node) -> str:
     accepted: list[tuple[Node, str, list[Node]]] = []  # (unit, text, chain)
     scores: dict[int, float] = {}
     nodes: dict[int, Node] = {}
+    factors: dict[int, float] = {}
 
     for unit in _collect_units(root):
         text = render_text(unit)
@@ -99,7 +104,7 @@ def extract_main_text(root: Node) -> str:
         chain = _container_chain(unit, root)
         accepted.append((unit, text, chain))
         for i, c in enumerate(chain[: len(signals.CONTENT_CHAIN_WEIGHTS)]):
-            credit = len(text) * signals.CONTENT_CHAIN_WEIGHTS[i] * _class_factor(c)
+            credit = len(text) * signals.CONTENT_CHAIN_WEIGHTS[i] * _class_factor(c, factors)
             key = id(c)
             scores[key] = scores.get(key, 0.0) + credit
             nodes[key] = c
@@ -128,7 +133,9 @@ def extract_main_text(root: Node) -> str:
         for c in chain:
             if c is winner:
                 break
-            if _is_negative(c):
+            # factor == NEGATIVE_FACTOR ⟺ CONTENT_NEGATIVE matched (it is
+            # checked first and the three factor constants are distinct)
+            if _class_factor(c, factors) == signals.CONTENT_NEGATIVE_FACTOR:
                 negative_between = True
                 break
         if not negative_between:

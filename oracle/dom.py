@@ -40,7 +40,7 @@ class Node:
     node list, cached because every extractor iterates the whole document
     and the recursive generator costs a Python frame per yield."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "index", "nodes")
+    __slots__ = ("tag", "attrs", "children", "parent", "index", "nodes", "_cid")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
         self.tag = tag
@@ -48,6 +48,7 @@ class Node:
         self.children: list[Node | str] = []
         self.parent = parent
         self.index = 0  # document-order index, assigned by parse()
+        self._cid: str | None = None  # lazy class_id cache (attrs are immutable post-parse)
 
     # -- attribute helpers -------------------------------------------------
     def get(self, name: str, default: str = "") -> str:
@@ -59,12 +60,17 @@ class Node:
 
     @property
     def class_id(self) -> str:
-        """class + id joined — the string the class/id pattern regexes scan."""
-        c = self.attrs.get("class", "")
-        i = self.attrs.get("id", "")
-        if c and i:
-            return c + " " + i
-        return c or i
+        """class + id joined — the string the class/id pattern regexes scan.
+
+        Cached after first access: four extractor walks (headline, byline,
+        pubdate, content container scoring) each query it for most nodes."""
+        cid = self._cid
+        if cid is None:
+            c = self.attrs.get("class", "")
+            i = self.attrs.get("id", "")
+            cid = (c + " " + i) if (c and i) else (c or i)
+            self._cid = cid
+        return cid
 
     # -- traversal ---------------------------------------------------------
     def iter(self):
