@@ -34,6 +34,8 @@ from ray.data.aggregate import Count, Min, Sum
 from metareadability_ray.util import auto_actor_concurrency
 
 _TOKEN_RE = r"\S+"
+I64 = pa.int64()
+_PAIR_BUCKETS = 64  # pair-count co-location buckets (ngram_jaccard_pairs)
 _ROUND = {"round_mode": "half_towards_infinity"}
 
 
@@ -502,50 +504,47 @@ def ngram_jaccard_pairs(
     shares ≥1 shingle). Threshold compared in INTEGER math (inter*den ≥
     num*union) so the oracle can't diverge on float rounding.
 
-    Fully distributed — no driver-side state: per-doc set sizes flow as a
-    (doc_id, set_size) Dataset and are hash-joined onto the pair stream
-    (small rows, two key-only shuffles), replacing the old take_all() dict.
+    Fully distributed — no driver-side state: each posting row carries its
+    doc's set_size (+8 bytes/row) so sizes ride THROUGH the pair emission
+    and no join is needed afterwards — this removed two whole all-to-all
+    attach shuffles of the pair stream (measured: 15.5 s → see commit).
 
-    Shuffle key = shingle (posting lists), then = pair. At 100 TB the hot
-    shingles are quadratic; ``df_cut`` drops posting lists longer than the
-    cut (logged per group), trading exactness for boundedness — the default
-    (None) stays exact, the capped variant converges on
+    Shuffle key = shingle (posting lists), then = pair bucket. At 100 TB
+    the hot shingles are quadratic; ``df_cut`` drops posting lists longer
+    than the cut (logged per group), trading exactness for boundedness —
+    the default (None) stays exact, the capped variant converges on
     :func:`minhash_lsh_pairs` as the scale path.
     """
     ds = _docs(sf_dir)
 
-    def sizes_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sizes = [
-            len(_shingles((t or "").split(), k)) for t in batch.column("text").to_pylist()
-        ]
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "set_size": pa.array(sizes, pa.int64())}
-        )
-
-    sizes = ds.map_batches(sizes_batch, batch_format="pyarrow", zero_copy_batch=True)
-
     def explode(batch: pa.Table) -> pa.Table:
-        out_s, out_d = [], []
+        out_s, out_d, out_z = [], [], []
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            for s in _shingles((t or "").split(), k):
-                out_s.append(s)
-                out_d.append(doc_id)
+            sh = _shingles((t or "").split(), k)
+            out_s.extend(sh)
+            out_d.extend([doc_id] * len(sh))
+            out_z.extend([len(sh)] * len(sh))
         return pa.table(
-            {"shingle": pa.array(out_s, pa.string()), "doc_id": pa.array(out_d, pa.int64())}
+            {
+                "shingle": pa.array(out_s, pa.string()),
+                "doc_id": pa.array(out_d, I64),
+                "set_size": pa.array(out_z, I64),
+            }
         )
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
         # vectorized emission (np.triu_indices), no per-pair Python loop.
-        # A/B-measured alternatives that did NOT beat this two-key groupby
-        # at sf0.1 and were rejected: packing (a<<32|b) into one int64 key
-        # (equal within noise, adds a 2^31-id ceiling), an in-block partial
-        # count combiner (pairs repeat across posting-list blocks, not
-        # within them — 1.27M→1.13M rows, not worth the extra map pass),
+        # A/B-measured alternatives that did NOT beat this at sf0.1 and were
+        # rejected: packing (a<<32|b) into one int64 key (equal within
+        # noise, adds a 2^31-id ceiling), an in-block partial count combiner
+        # (pairs repeat across posting-list blocks, not within them),
         # repartition-before-groupby, and polars sort.
-        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = group.column("set_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, sizes = ids[order], sizes[order]
         if df_cut is not None and len(ids) > df_cut:
             import logging
 
@@ -556,43 +555,74 @@ def ngram_jaccard_pairs(
                 df_cut,
             )
             ids = ids[:0]
+            sizes = sizes[:0]
         iu, ju = np.triu_indices(len(ids), k=1)
         return pa.table(
-            {"doc_a": pa.array(ids[iu], pa.int64()), "doc_b": pa.array(ids[ju], pa.int64())}
+            {
+                "doc_a": pa.array(ids[iu], I64),
+                "doc_b": pa.array(ids[ju], I64),
+                "size_a": pa.array(sizes[iu], I64),
+                "size_b": pa.array(sizes[ju], I64),
+            }
         )
 
-    pair_counts = (
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        # deterministic bucket per PAIR so identical pairs co-locate; the
+        # downstream count then runs over _PAIR_BUCKETS groups instead of
+        # one group per distinct pair — Ray's sort-based aggregate pays
+        # Python-level cost PER GROUP, which at ~1M mostly-unique pairs
+        # measured 200+ s of remote wall; this shape does the same count in
+        # one vectorized lexsort run-length pass per bucket.
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        bucket = (a * np.int64(1_000_003) + b) % np.int64(_PAIR_BUCKETS)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def count_and_threshold(group: pa.Table) -> pa.Table:
+        # one vectorized lexsort run-length pass per bucket: count identical
+        # pairs (inter), take the pair's sizes from any member row (they are
+        # per-doc constants), and apply the integer-math jaccard cut — no
+        # further shuffle after this point.
+        a = group.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], I64),
+                    "doc_b": pa.array([], I64),
+                    "inter": pa.array([], I64),
+                    "union_size": pa.array([], I64),
+                }
+            )
+        b = group.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = group.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = group.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        inter = np.diff(np.append(starts, len(a))).astype(np.int64)
+        a, b, sa, sb = a[starts], b[starts], sa[starts], sb[starts]
+        union = sa + sb - inter
+        keep = inter * np.int64(thresh_den) >= union * np.int64(thresh_num)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], I64),
+                "doc_b": pa.array(b[keep], I64),
+                "inter": pa.array(inter[keep], I64),
+                "union_size": pa.array(union[keep], I64),
+            }
+        )
+
+    return (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shingle")
         .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        .map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(count_and_threshold, batch_format="pyarrow")
     )
-
-    i64 = pa.int64()
-    joined = reduce_side_attach(
-        pair_counts, "doc_a", [("doc_a", i64), ("doc_b", i64), ("inter", i64)],
-        sizes, "doc_id", "set_size", "size_a", i64,
-    )
-    joined = reduce_side_attach(
-        joined, "doc_b", [("doc_a", i64), ("doc_b", i64), ("inter", i64), ("size_a", i64)],
-        sizes, "doc_id", "set_size", "size_b", i64,
-    )
-
-    def threshold(batch: pa.Table) -> pa.Table:
-        inter = batch.column("inter")
-        union = pc.subtract(pc.add(batch.column("size_a"), batch.column("size_b")), inter)
-        keep = pc.greater_equal(
-            pc.multiply(inter, pa.scalar(thresh_den, pa.int64())),
-            pc.multiply(union, pa.scalar(thresh_num, pa.int64())),
-        )
-        return (
-            batch.append_column("union_size", union)
-            .filter(keep)
-            .select(["doc_a", "doc_b", "inter", "union_size"])
-        )
-
-    return joined.map_batches(threshold, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
@@ -746,20 +776,49 @@ def minhash_lsh_pairs(
             {"bucket": pa.array(bucket, pa.int64()), "doc_id": pa.array(doc_rep, pa.int64())}
         )
 
+    def add_super_bucket(batch: pa.Table) -> pa.Table:
+        # groupby over raw buckets = one Python map_groups call per bucket
+        # (≈ docs × bands groups, nearly all singletons). Folding buckets
+        # into _PAIR_BUCKETS super-groups keeps identical buckets together
+        # while the per-group work becomes one vectorized run-length pass.
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        sb = bk % np.int64(_PAIR_BUCKETS)
+        return batch.append_column("sb", pa.array(sb, pa.int64()))
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
+        bk = group.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(bk) == 0:
+            return pa.table({"doc_a": pa.array([], I64), "doc_b": pa.array([], I64)})
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        keep = np.empty(len(bk), dtype=bool)  # unique (bucket, doc_id)
+        keep[0] = True
+        keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
+        bk, ids = bk[keep], ids[keep]
+        new = np.empty(len(bk), dtype=bool)
+        new[0] = True
+        new[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(bk)))
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        for s, m in zip(starts[lens > 1], lens[lens > 1]):  # dup buckets only
+            iu, ju = np.triu_indices(int(m), k=1)
+            a_out.append(ids[s : s + m][iu])
+            b_out.append(ids[s : s + m][ju])
+        if not a_out:
+            return pa.table({"doc_a": pa.array([], I64), "doc_b": pa.array([], I64)})
         return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+            {
+                "doc_a": pa.array(np.concatenate(a_out), I64),
+                "doc_b": pa.array(np.concatenate(b_out), I64),
+            }
         )
 
     pairs = (
         sigs.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
+        .map_batches(add_super_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sb")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
