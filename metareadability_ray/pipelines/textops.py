@@ -480,22 +480,45 @@ _NULL_HASH = "\x00null"
 def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Exact text dedup: hash-partition on md5(text), keep min doc_id per
     group. Only (hash, doc_id) pairs shuffle — the text never moves.
-    Null text groups as SQL NULL (md5(NULL) IS NULL, one group)."""
+    Null text groups as SQL NULL (md5(NULL) IS NULL, one group).
+
+    Group count here is ~the corpus's distinct-text count, so a per-key Ray
+    groupby would pay Python map-side cost per document at 10^12 scale; the
+    shuffle key is instead md5%64 and each bucket aggregates with Arrow's
+    C++ hash groupby (pa.TableGroupBy) in one vectorized pass."""
     ds = _docs(sf_dir)
 
     def to_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
         digs = [
             _NULL_HASH if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch.column("text").to_pylist()
+            for t in texts
         ]
+        buckets = [0 if d is _NULL_HASH else int(d[:8], 16) % _PAIR_BUCKETS for d in digs]
         return pa.table(
-            {"text_hash": pa.array(digs, pa.string()), "doc_id": batch.column("doc_id")}
+            {
+                "text_hash": pa.array(digs, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "__b": pa.array(buckets, I64),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(group.select(["text_hash", "doc_id"]), "text_hash").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "text_hash": t.column("text_hash"),
+                "keep_doc_id": t.column("doc_id_min"),
+                "n_copies": t.column("doc_id_count").cast(I64),
+            }
         )
 
     agg = (
         ds.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
     def restore_null(batch: pa.Table) -> pa.Table:

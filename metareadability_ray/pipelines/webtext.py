@@ -99,17 +99,30 @@ def q_common_chunks(sf_dir: str, min_df: int = 2) -> "ray.data.Dataset":
     def phase1_partial(batch: pa.Table) -> pa.Table:
         doc_ids, chunks = _batch_chunks(batch)
         if len(chunks) == 0:
-            return _empty({"h": pa.int64(), "n_docs": pa.int64()})
+            return _empty({"h": pa.int64(), "n_docs": pa.int64(), "__b": pa.int64()})
         hs = _stable_hash64(chunks)
         pairs = np.unique(np.rec.fromarrays([doc_ids, hs]))
         u, c = np.unique(pairs.f1, return_counts=True)
-        return pa.table({"h": pa.array(u, pa.int64()), "n_docs": pa.array(c, pa.int64())})
+        return pa.table(
+            {
+                "h": pa.array(u, pa.int64()),
+                "n_docs": pa.array(c, pa.int64()),
+                # distinct chunk hashes are corpus-cardinality: shuffle by
+                # h%64 and Arrow-aggregate per bucket (per-key Ray groupby
+                # pays Python cost per distinct chunk)
+                "__b": pa.array(u % np.int64(64), pa.int64()),  # numpy % is never negative
+            }
+        )
+
+    def sum_bucket(group: pa.Table, key: str, val: str) -> pa.Table:
+        t = pa.TableGroupBy(group.select([key, val]), key).aggregate([(val, "sum")])
+        return pa.table({key: t.column(key), val: t.column(f"{val}_sum").cast(pa.int64())})
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     cand = pa.concat_tables(
         ds.map_batches(phase1_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .groupby("__b")
+        .map_groups(lambda g: sum_bucket(g, "h", "n_docs"), batch_format="pyarrow")
         .filter(expr=f"n_docs >= {min_df}")
         .iter_batches(batch_format="pyarrow")
     )
