@@ -214,21 +214,40 @@ def q_topk_orders(sf_dir: str) -> "ray.data.Dataset":
 
 # --------------------------------------------------------- MR-D1 (relational)
 def q_latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
-    """Exact dedup, latest-wins: one row per user_id (max ts, tie → max id)."""
+    """Exact dedup, latest-wins: one row per user_id (max ts, tie → max id).
+
+    Users are corpus-cardinality, so the shuffle key is user_id%64 (not the
+    user) and each bucket picks winners in one vectorized lexsort pass; a
+    per-batch combiner pre-picks local winners first so the shuffle carries
+    at most one row per (block, user)."""
     ds = ray.data.read_parquet(
         _p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "event_type"]
     )
 
-    def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
-        )
-        return group.take(idx[:1])
+    def pick_latest(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).view(np.int64)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -ts, uid))  # per user: max ts, tie → max id
+        su = uid[order]
+        first = np.empty(len(su), dtype=bool)
+        if len(su):
+            first[0] = True
+            first[1:] = su[1:] != su[:-1]
+        return batch.take(pa.array(order[first], pa.int64()))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = pick_latest(batch)  # local combiner
+        b = batch.column("user_id").to_numpy(zero_copy_only=False) % np.int64(64)
+        return batch.append_column("__b", pa.array(b, pa.int64()))
+
+    def bucket_latest(group: pa.Table) -> pa.Table:
+        return pick_latest(group).select(["user_id", "event_id", "event_type"])
 
     return (
-        ds.groupby("user_id")
-        .map_groups(latest, batch_format="pyarrow")
-        .drop_columns(["ts"])
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_latest, batch_format="pyarrow")
     )
 
 
