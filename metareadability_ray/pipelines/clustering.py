@@ -22,12 +22,11 @@ re-execution of the whole chain each iteration.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min
-
 from metareadability_ray.pipelines.textops import ngram_jaccard_pairs, reduce_side_attach
 
 I64 = pa.int64()
@@ -107,6 +106,35 @@ def connected_components(
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("src"), "label": batch.column("src")})
 
+    def min_label_by_doc(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """groupby(doc_id).min(label) with the repo's high-cardinality
+        discipline: shuffle on doc_id%64, Arrow C++ hash-min per bucket
+        (per-key Ray groupby pays Python cost per distinct doc)."""
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = batch.column("doc_id").cast(I64).to_numpy(zero_copy_only=False) % np.int64(64)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(I64),
+                    "label": batch.column("label").cast(I64),
+                    "__b": pa.array(b, I64),
+                }
+            )
+
+        def bucket_min(group: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(group.select(["doc_id", "label"]), "doc_id").aggregate(
+                [("label", "min")]
+            )
+            return pa.table(
+                {"doc_id": t.column("doc_id"), "label": t.column("label_min").cast(I64)}
+            )
+
+        return (
+            ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__b")
+            .map_groups(bucket_min, batch_format="pyarrow")
+        )
+
     def snapshot(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         """Execute and HARD-CUT lineage: rebuild from the result block refs.
 
@@ -123,9 +151,9 @@ def connected_components(
         return ray.data.from_arrow_refs(refs)
 
     labels = snapshot(
-        edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .aggregate(Min("label", alias_name="label"))
+        min_label_by_doc(
+            edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        )
     )
 
     def label_sum(ds: "ray.data.Dataset") -> int:
@@ -171,9 +199,7 @@ def connected_components(
             merged = merged.union(
                 shortcut.map_batches(shortcut_rows, batch_format="pyarrow", zero_copy_batch=True)
             )
-        labels = snapshot(
-            merged.groupby("doc_id").aggregate(Min("label", alias_name="label"))
-        )
+        labels = snapshot(min_label_by_doc(merged))
         # break the completed round's dataset reference cycles NOW — leaked
         # shuffle workers pin CPUs and starve the next round (the repo-wide
         # Ray 2.49 workaround, see README)
