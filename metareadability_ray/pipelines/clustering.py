@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from metareadability_ray.pipelines.textops import ngram_jaccard_pairs, reduce_side_attach
+from metareadability_ray.pipelines.textops import _PAIR_BUCKETS, ngram_jaccard_pairs, reduce_side_attach
 
 I64 = pa.int64()
 
@@ -112,7 +112,7 @@ def connected_components(
         (per-key Ray groupby pays Python cost per distinct doc)."""
 
         def add_bucket(batch: pa.Table) -> pa.Table:
-            b = batch.column("doc_id").cast(I64).to_numpy(zero_copy_only=False) % np.int64(64)
+            b = batch.column("doc_id").cast(I64).to_numpy(zero_copy_only=False) % np.int64(_PAIR_BUCKETS)
             return pa.table(
                 {
                     "doc_id": batch.column("doc_id").cast(I64),

@@ -30,6 +30,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
+from metareadability_ray.pipelines.textops import _PAIR_BUCKETS
 from metareadability_ray.util import distinct_keys_ref, keyset_mask, lookup_ref, lookup_take
 
 def _p(sf_dir: str, table: str) -> str:
@@ -238,7 +239,7 @@ def q_latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         batch = pick_latest(batch)  # local combiner
-        b = batch.column("user_id").to_numpy(zero_copy_only=False) % np.int64(64)
+        b = batch.column("user_id").to_numpy(zero_copy_only=False) % np.int64(_PAIR_BUCKETS)
         return batch.append_column("__b", pa.array(b, pa.int64()))
 
     def bucket_latest(group: pa.Table) -> pa.Table:

@@ -35,7 +35,11 @@ from metareadability_ray.util import auto_actor_concurrency
 
 _TOKEN_RE = r"\S+"
 I64 = pa.int64()
-_PAIR_BUCKETS = 64  # pair-count co-location buckets (ngram_jaccard_pairs)
+# Reduce-side co-location buckets for corpus-cardinality groupbys (pair
+# counts, dedup hashes, attach joins). Each bucket is one vectorized reduce
+# task, so size this ≈ 2-4× total cluster cores on a real deployment; 64
+# saturates this sandbox's 32 CPUs.
+_PAIR_BUCKETS = int(os.environ.get("MR_REDUCE_BUCKETS", "64"))
 _ROUND = {"round_mode": "half_towards_infinity"}
 
 

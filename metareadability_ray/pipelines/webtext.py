@@ -27,6 +27,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from metareadability_ray.pipelines.textops import _PAIR_BUCKETS
 from metareadability_ray.util import keyset_mask
 
 _CHUNK_W = 3  # tokens per pseudo-paragraph
@@ -110,7 +111,7 @@ def q_common_chunks(sf_dir: str, min_df: int = 2) -> "ray.data.Dataset":
                 # distinct chunk hashes are corpus-cardinality: shuffle by
                 # h%64 and Arrow-aggregate per bucket (per-key Ray groupby
                 # pays Python cost per distinct chunk)
-                "__b": pa.array(u % np.int64(64), pa.int64()),  # numpy % is never negative
+                "__b": pa.array(u % np.int64(_PAIR_BUCKETS), pa.int64()),  # numpy % is never negative
             }
         )
 
