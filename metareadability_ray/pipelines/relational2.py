@@ -19,6 +19,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from metareadability_ray.pipelines.textops import bucketed_map_groups
 from metareadability_ray.util import distinct_keys_ref, keyset_mask, lookup_ref, lookup_take
 
 
@@ -99,10 +100,10 @@ def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(asof_group, batch_format="pyarrow")
+    return bucketed_map_groups(
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        asof_group,
     )
 
 
@@ -125,7 +126,7 @@ def q_window_cumsum(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return ds.groupby("user_id").map_groups(cumsum_group, batch_format="pyarrow")
+    return bucketed_map_groups(ds, "user_id", cumsum_group)
 
 
 # --------------------------------------------------------------- sessionization
@@ -154,7 +155,7 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+    return bucketed_map_groups(ds, "user_id", sess)
 
 
 # -------------------------------------------------------- rolling window avg
@@ -185,7 +186,7 @@ def q_rolling_avg_events(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+    return bucketed_map_groups(ds, "user_id", roll)
 
 
 # -------------------------------------------------------------------- flat_map

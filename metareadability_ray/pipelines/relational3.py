@@ -21,6 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from metareadability_ray.pipelines.relational import fmt_fixed
+from metareadability_ray.pipelines.textops import bucketed_map_groups
 from metareadability_ray.util import lookup_ref, lookup_take
 
 
@@ -283,7 +284,7 @@ def q_lag_value_delta(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return ds.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+    return bucketed_map_groups(ds, "user_id", lag_group)
 
 
 # ------------------------------------------------------------ banded range join

@@ -51,6 +51,48 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
     return ray.data.read_parquet(_p(sf_dir, "documents"), columns=list(columns))
 
 
+def bucketed_map_groups(
+    ds: "ray.data.Dataset",
+    key: str,
+    fn,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """``ds.groupby(key).map_groups(fn)`` for corpus-cardinality int keys.
+
+    Shuffles on ``key % num_buckets`` (default ``_PAIR_BUCKETS``) and slices
+    each bucket into per-key zero-copy sub-tables with one stable argsort —
+    ``fn`` sees exactly the per-key tables a plain map_groups would pass
+    (intra-group row order is not pinned by either path; every caller sorts
+    inside ``fn``), but Ray's per-group machinery runs once per BUCKET
+    instead of once per key (~0.2 ms of Python per distinct key in Ray
+    2.49's sort groupby). Key must be castable to int64 and non-null."""
+    nb = num_buckets or _PAIR_BUCKETS
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        kb = batch.column(key).cast(I64).to_numpy(zero_copy_only=False)
+        return batch.append_column("__b", pa.array(kb % np.int64(nb), I64))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__b"])
+        k = group.column(key)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kn = k.to_numpy(zero_copy_only=False)
+        order = np.argsort(kn, kind="stable")
+        sorted_t = group.take(pa.array(order, I64))
+        kn = kn[order]
+        starts = np.flatnonzero(np.concatenate(([True], kn[1:] != kn[:-1])))
+        ends = np.append(starts[1:], len(kn))
+        outs = [fn(sorted_t.slice(s, e - s)) for s, e in zip(starts, ends)]
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    return (
+        ds.map_batches(add_b, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def reduce_side_attach(
     rows: "ray.data.Dataset",
     key: str,
