@@ -19,7 +19,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from metareadability_ray.pipelines.textops import bucketed_map_groups
+from metareadability_ray.pipelines.textops import bucketed_distinct, bucketed_map_groups
 from metareadability_ray.util import distinct_keys_ref, keyset_mask, lookup_ref, lookup_take
 
 
@@ -321,11 +321,8 @@ def _users_of(sf_dir: str, event_type: str) -> "ray.data.Dataset":
             .select(["user_id"])
         )
 
-    return (
-        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+    return bucketed_distinct(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True), "user_id"
     )
 
 
@@ -339,11 +336,8 @@ def _users_of_pred(sf_dir: str, event_type: str, min_value: float) -> "ray.data.
         )
         return batch.filter(mask).select(["user_id"])
 
-    return (
-        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+    return bucketed_distinct(
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True), "user_id"
     )
 
 

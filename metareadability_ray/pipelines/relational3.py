@@ -41,17 +41,38 @@ def q_count_distinct_users(sf_dir: str) -> "ray.data.Dataset":
 
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         # in-batch combiner: each (type, user) pair crosses the shuffle once
-        # per block at most, regardless of how hot the pair is
+        # per block at most, regardless of how hot the pair is. Bucket on
+        # the user so the global pair-distinct runs per bucket (pair
+        # cardinality ≈ corpus — the high-cardinality groupby discipline).
         g = batch.group_by(["event_type", "user_id"]).aggregate([])
-        return g.select(["event_type", "user_id"])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "user_id": g.column("user_id"),
+                "__b": pa.array(uid % np.int64(64), pa.int64()),
+            }
+        )
 
-    pairs = (
+    def bucket_count(group: pa.Table) -> pa.Table:
+        # distinct pairs within the bucket are globally distinct (a user
+        # lives in exactly one bucket), so per-type partial counts sum exact
+        d = group.select(["event_type", "user_id"]).group_by(["event_type", "user_id"]).aggregate([])
+        t = d.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("user_id_count").cast(pa.int64()),
+            }
+        )
+
+    return (
         ds.map_batches(dedup_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+        .groupby("__b")
+        .map_groups(bucket_count, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
     )
-    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
 # ------------------------------------------------------------------------ pivot

@@ -51,6 +51,32 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
     return ray.data.read_parquet(_p(sf_dir, "documents"), columns=list(columns))
 
 
+def bucketed_distinct(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+    """SELECT DISTINCT ``key`` for corpus-cardinality int keys: per-batch
+    np.unique combiner, shuffle on ``key % _PAIR_BUCKETS``, per-bucket
+    np.unique — one vectorized pass per bucket instead of one Ray group per
+    distinct value."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(key).cast(I64).to_numpy(zero_copy_only=False))
+        return pa.table({key: pa.array(u, I64), "__b": pa.array(u % np.int64(_PAIR_BUCKETS), I64)})
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        col = group.column(key)
+        u = np.unique(
+            (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table({key: pa.array(u, I64)})
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+
+
 def bucketed_map_groups(
     ds: "ray.data.Dataset",
     key: str,
