@@ -304,8 +304,7 @@ def q_funnel_stages(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return (
-        ds.groupby("user_id")
-        .map_groups(stage_of, batch_format="pyarrow")
+        bucketed_map_groups(ds, "user_id", stage_of)
         .groupby("stage")
         .aggregate(Count(alias_name="n_users"))
     )

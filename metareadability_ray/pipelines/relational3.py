@@ -154,10 +154,10 @@ def q_full_outer_join(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pyarrow")
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        merge,
     )
 
 
@@ -470,10 +470,10 @@ def q_first_last_value(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        ds.map_batches(_first_last_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pyarrow")
+    return bucketed_map_groups(
+        ds.map_batches(_first_last_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        merge,
     )
 
 
@@ -575,10 +575,10 @@ def q_views_before_click(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(window_count, batch_format="pyarrow")
+    return bucketed_map_groups(
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        window_count,
     )
 
 
