@@ -79,6 +79,39 @@ def q_count_distinct_users(sf_dir: str) -> "ray.data.Dataset":
 _PIVOT_TYPES = ("view", "click", "purchase")
 
 
+def _user_sums(ds: "ray.data.Dataset", sum_cols: list[str], with_count: bool) -> "ray.data.Dataset":
+    """groupby(user_id) with plain Sums (+ optional row count), bucketed:
+    per-batch Arrow combiner collapses to one row per (block, user), the
+    shuffle is keyed user%64, and each bucket finishes with one Arrow C++
+    hash aggregate — users are corpus-cardinality."""
+    specs = [(c, "sum") for c in sum_cols]
+    if with_count:
+        specs.append(("__n", "sum"))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if with_count:
+            batch = batch.append_column("__n", pa.array(np.ones(batch.num_rows, np.int64), pa.int64()))
+        g = batch.group_by("user_id").aggregate(specs)
+        g = g.rename_columns(["user_id"] + [c for c, _ in specs])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("__b", pa.array(uid % np.int64(64), pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.select(["user_id"] + [c for c, _ in specs]).group_by("user_id").aggregate(specs)
+        cols = {"user_id": g.column("user_id")}
+        for c in sum_cols:
+            cols[c] = g.column(f"{c}_sum")
+        if with_count:
+            cols["n_events"] = g.column("__n_sum").cast(pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def q_pivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
     """PIVOT event_type into per-user sum columns (sum_view / sum_click /
     sum_purchase) + total event count. The pivot happens BEFORE the shuffle:
@@ -98,13 +131,10 @@ def q_pivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
             )
         return batch.drop_columns(["event_type", "value"])
 
-    agg = (
-        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(
-            *[Sum(f"sum_{t}", alias_name=f"sum_{t}") for t in _PIVOT_TYPES],
-            Count(alias_name="n_events"),
-        )
+    agg = _user_sums(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        [f"sum_{t}" for t in _PIVOT_TYPES],
+        with_count=True,
     )
 
     def fmt(batch: pa.Table) -> pa.Table:
@@ -176,10 +206,10 @@ def q_unpivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
             batch = batch.append_column(f"sum_{t}", pc.if_else(pc.equal(et, t), val, zero))
         return batch.drop_columns(["event_type", "value"])
 
-    agg = (
-        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(*[Sum(f"sum_{t}", alias_name=f"sum_{t}") for t in _PIVOT_TYPES])
+    agg = _user_sums(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        [f"sum_{t}" for t in _PIVOT_TYPES],
+        with_count=False,
     )
 
     def melt(batch: pa.Table) -> pa.Table:
