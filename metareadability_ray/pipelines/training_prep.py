@@ -1,0 +1,282 @@
+"""Training-set preparation operators: benchmark decontamination,
+deterministic shard assignment + sharded training export, and
+lead / dense-rank window breadth.
+
+Decontamination is the standard LLM-pretraining hygiene step (the 8-gram
+overlap test of GPT-3/PaLM-style data cards): a training document is
+contaminated if it shares any token 8-gram with an evaluation-benchmark
+document. The scale shape is the canonical small-side broadcast:
+
+  * the BENCHMARK side is small by construction (eval suites are
+    thousands of documents, not billions) — its distinct shingle-hash set
+    is built distributedly, collected once, and shipped once via
+    ``ray.put``;
+  * the TRAINING side streams through ``map_batches`` and probes the
+    broadcast set with one vectorized ``np.searchsorted`` per batch —
+    training text never shuffles and the driver never holds a
+    training-side column.
+
+Membership is tested on 64-bit shingle hashes on the Ray side while the
+DuckDB oracle compares shingle STRINGS: a false hit needs a 64-bit
+collision between a benchmark and a training shingle (~n_bench·n_train /
+2^64 — negligible even at 10^12 docs, and the standard trade in
+production decontamination pipelines).
+
+Shard assignment/export is the training-data delivery step: every doc is
+routed to ``shard = md5(doc_id)[0] % num_shards`` — md5, not a salted
+hash, so the assignment is reproducible across engines (the DuckDB
+oracle computes the identical nibble) and across reruns, which is what
+makes the export resumable per shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from metareadability_ray.functions.scalars import stable_hash64
+from metareadability_ray.pipelines.textops import I64, bucketed_distinct, bucketed_map_groups
+
+_NGRAM_N = 8
+_BENCH_MOD = 10  # doc_id % _BENCH_MOD == 0 → benchmark (eval) doc
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _batch_shingle_hashes(batch: pa.Table, n: int = _NGRAM_N) -> tuple[np.ndarray, np.ndarray]:
+    """All (row_index, shingle_hash) pairs of a batch, token n-grams over
+    the same ``\\S+`` token stream the SQL oracles use; docs with fewer
+    than ``n`` tokens contribute nothing. One vectorized hash call per
+    batch (the per-doc loop only slices token lists)."""
+    idx: list[int] = []
+    grams: list[str] = []
+    for i, t in enumerate(batch.column("text").to_pylist()):
+        if not t:
+            continue
+        toks = t.split()
+        if len(toks) < n:
+            continue
+        gs = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        idx.extend([i] * len(gs))
+        grams.extend(gs)
+    if not grams:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.asarray(idx, dtype=np.int64), stable_hash64(np.asarray(grams, dtype=object))
+
+
+def _docs_side(sf_dir: str, bench_mod: int, benchmark: bool) -> "ray.data.Dataset":
+    """documents split into benchmark / training halves by doc_id modulus
+    (vectorized batch filter — Ray's filter(expr=...) can't parse ``%``)."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % bench_mod == 0) if benchmark else (ids % bench_mod != 0)
+        return batch.filter(pa.array(mask))
+
+    return ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def benchmark_shingles_ref(sf_dir: str, n: int = _NGRAM_N, bench_mod: int = _BENCH_MOD):
+    """Distinct shingle hashes of the benchmark docs → sorted int64 array in
+    the object store. Distinct runs distributedly (per-block np.unique →
+    bucketed distinct); the driver materialises only the final set, bounded
+    by benchmark size — never by corpus size."""
+    bench = _docs_side(sf_dir, bench_mod, benchmark=True)
+
+    def block_hashes(batch: pa.Table) -> pa.Table:
+        _, h = _batch_shingle_hashes(batch, n)
+        return pa.table({"h": pa.array(np.unique(h), I64)})
+
+    distinct = bucketed_distinct(
+        bench.map_batches(block_hashes, batch_format="pyarrow", zero_copy_batch=True), "h"
+    )
+    parts = [ray.get(r) for r in distinct.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    hs = (
+        np.sort(np.concatenate([t.column("h").to_numpy(zero_copy_only=False) for t in parts]))
+        if parts
+        else np.empty(0, np.int64)
+    )
+    return ray.put(hs)
+
+
+def q_decontaminate(sf_dir: str, n: int = _NGRAM_N, bench_mod: int = _BENCH_MOD):
+    """Contaminated training docs: (doc_id, n_hits) where n_hits = number of
+    DISTINCT token 8-grams the doc shares with the benchmark set; docs with
+    zero hits are clean and not emitted."""
+    bench_ref = benchmark_shingles_ref(sf_dir, n, bench_mod)
+    train = _docs_side(sf_dir, bench_mod, benchmark=False)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        idx, h = _batch_shingle_hashes(batch, n)
+        if not len(h) or not len(bench):
+            return pa.table({"doc_id": pa.array([], I64), "n_hits": pa.array([], I64)})
+        # distinct (doc, shingle) pairs, then one sorted-membership probe
+        order = np.lexsort((h, idx))
+        idx, h = idx[order], h[order]
+        keep = np.concatenate(([True], (idx[1:] != idx[:-1]) | (h[1:] != h[:-1])))
+        idx, h = idx[keep], h[keep]
+        pos = np.searchsorted(bench, h)
+        pos[pos == len(bench)] = 0
+        hit = bench[pos] == h
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx[hit], minlength=batch.num_rows)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[nz], I64), "n_hits": pa.array(counts[nz], I64)}
+        )
+
+    return train.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------------- shard export
+
+
+def _shard_of(doc_ids: pa.ChunkedArray | pa.Array, num_shards: int) -> np.ndarray:
+    """md5 top nibble of the decimal doc_id string, mod num_shards — the
+    cross-engine-stable routing the DuckDB oracle reproduces with
+    ``strpos('0123456789abcdef', substr(md5(...),1,1))``."""
+    ids = doc_ids.to_pylist()
+    return np.asarray(
+        [int(hashlib.md5(str(d).encode()).hexdigest()[0], 16) % num_shards for d in ids],
+        dtype=np.int64,
+    )
+
+
+def q_shard_assignment(sf_dir: str, num_shards: int = 16):
+    """Per-shard routing report for the training export: (shard, n_docs,
+    sum_chars). Per-batch combine (np.bincount) → 16-group final aggregate."""
+    docs = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sh = _shard_of(batch.column("doc_id"), num_shards)
+        chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        n = np.bincount(sh, minlength=num_shards)
+        s = np.bincount(sh, weights=chars.astype(np.float64), minlength=num_shards)
+        nz = np.nonzero(n)[0]
+        return pa.table(
+            {
+                "shard": pa.array(nz, I64),
+                "n_docs_p": pa.array(n[nz], I64),
+                "sum_chars_p": pa.array(s[nz].astype(np.int64), I64),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(Sum("n_docs_p", alias_name="n_docs"), Sum("sum_chars_p", alias_name="sum_chars"))
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "shard": batch.column("shard").cast(I64),
+                "n_docs": batch.column("n_docs").cast(I64),
+                "sum_chars": batch.column("sum_chars").cast(I64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_training_shards(sf_dir: str, out_dir: str, num_shards: int = 16) -> pa.Table:
+    """Sharded, resumable training export: every doc lands in
+    ``out_dir/shard=NN/part-0.parquet`` per its md5 routing, rows sorted by
+    doc_id inside each shard, file written atomically (tmp + rename). Returns
+    the manifest (shard, n_docs, path, content_hash) — re-running skips
+    shards whose manifest entry already exists, the same
+    checkpoint-partition layout as the flagship writer.
+
+    At this corpus size each shard is one file; at real scale the writer
+    would emit one file per (shard, input block) under the same directory —
+    the layout (and the resume rule: a shard directory is the unit of
+    retry) is what carries over.
+    """
+    docs = ray.data.read_parquet(_p(sf_dir, "documents"))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard", pa.array(_shard_of(batch.column("doc_id"), num_shards), I64)
+        )
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        shard = int(group.column("shard")[0].as_py())
+        sdir = os.path.join(out_dir, f"shard={shard:02d}")
+        final = os.path.join(sdir, "part-0.parquet")
+        g = group.drop_columns(["shard"]).sort_by("doc_id")
+        if not os.path.exists(final):  # resume: finished shards are skipped
+            os.makedirs(sdir, exist_ok=True)
+            tmp = final + ".tmp"
+            pq.write_table(g, tmp)
+            os.replace(tmp, final)
+        ids = ",".join(str(d) for d in g.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "shard": pa.array([shard], I64),
+                "n_docs": pa.array([g.num_rows], I64),
+                "path": pa.array([final], pa.string()),
+                "content_hash": pa.array([hashlib.md5(ids.encode()).hexdigest()], pa.string()),
+            }
+        )
+
+    manifest = bucketed_map_groups(
+        docs.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True),
+        "shard",
+        write_shard,
+        num_buckets=num_shards,
+    )
+    parts = [ray.get(r) for r in manifest.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    out = pa.concat_tables(parts) if parts else pa.table({})
+    return out.sort_by("shard") if out.num_rows else out
+
+
+# ------------------------------------------------- lead / dense_rank windows
+
+
+def q_value_lead_dense(sf_dir: str):
+    """Per-user windows in one grouped pass: next_value = lead(value) over
+    (ts, event_id) order, type_rank = dense_rank of the row's event_type
+    within the user's alphabetically-ordered distinct types."""
+    ev = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        vals = g.column("value").to_numpy(zero_copy_only=False)
+        nxt = np.append(vals[1:], np.nan)
+        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        _, inv = np.unique(types, return_inverse=True)
+        n = g.num_rows
+        return pa.table(
+            {
+                "event_id": g.column("event_id").cast(I64),
+                "user_id": g.column("user_id").cast(I64),
+                "next_value": pa.array(
+                    [None if i == n - 1 else float(v) for i, v in enumerate(nxt)], pa.float64()
+                ),
+                "type_rank": pa.array(inv + 1, I64),
+            }
+        )
+
+    return bucketed_map_groups(ev, "user_id", per_user)

@@ -24,6 +24,7 @@ from metareadability_ray.pipelines import relational3 as R3
 from metareadability_ray.pipelines import textops as T
 from metareadability_ray.pipelines import textops2 as T2
 from metareadability_ray.pipelines import vectors as V
+from metareadability_ray.pipelines import training_prep as TP
 from metareadability_ray.pipelines import webtext as W
 
 
@@ -1054,6 +1055,53 @@ REGISTRY: dict[str, QASpec] = {
         FROM embeddings GROUP BY label
         """,
         "MR-G2(vectors)",
+    ),
+    # ------------------------------------------------ training-set prep
+    "decontaminate": QASpec(
+        TP.q_decontaminate,
+        r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) < 8 THEN []
+                        ELSE list_transform(generate_series(1, length(t) - 7),
+                                            i -> array_to_string(t[i:i+7], ' '))
+                   END AS gs
+            FROM toks
+        ), ds AS (
+            SELECT DISTINCT doc_id, g
+            FROM (SELECT doc_id, unnest(gs) AS g FROM sh)
+        ), bench AS (
+            SELECT DISTINCT g FROM ds WHERE doc_id % 10 = 0
+        )
+        SELECT d.doc_id, count(*) AS n_hits
+        FROM ds d JOIN bench b ON d.g = b.g
+        WHERE d.doc_id % 10 <> 0
+        GROUP BY d.doc_id
+        """,
+        "decontam(8gram-broadcast)",
+    ),
+    "shard_assignment": QASpec(
+        TP.q_shard_assignment,
+        """
+        SELECT CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+                   % 16 AS shard,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+        """,
+        "export(md5-shard-routing)",
+    ),
+    "value_lead_dense": QASpec(
+        TP.q_value_lead_dense,
+        """
+        SELECT event_id, user_id,
+               lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank
+        FROM events
+        """,
+        "window(lead,dense_rank)",
     ),
 }
 
