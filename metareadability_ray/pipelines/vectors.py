@@ -546,3 +546,162 @@ def q_label_centroids(sf_dir: str) -> "ray.data.Dataset":
         .groupby("label")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+
+def semdedup(
+    sf_dir: str, n_clusters: int = 16, iters: int = 3, threshold: float = 0.45
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic dedup (Abbas et al., 2023): spherical-k-means
+    cluster the embeddings, then mark a vector a duplicate iff its cosine to
+    some LOWER-vec_id vector in the SAME cluster ≥ threshold (lowest id is
+    the cluster survivor, matching the exact-dedup min-doc_id rule).
+
+    Scale shape: every vector moves exactly ONCE (cluster-keyed shuffle,
+    embedding packed to d·4-byte binary); within-cluster pairwise cost is
+    bounded by cluster size, which is controlled by n_clusters — at real
+    scale k grows with the corpus so clusters stay ~10³-10⁴ vectors, the
+    published SemDeDup configuration. The exact all-pairs twin
+    (:func:`neardup_cosine_pairs`) is the correctness oracle in
+    tests/test_semdedup_pca.py: any exact pair co-located in a cluster must
+    be flagged here (within-cluster recall = 1 by construction; cross-cluster
+    misses are the documented approximation, exactly LSH's trade).
+
+    Centroids are rounded to 6 dp before assignment so run-to-run float-sum
+    wobble (block-order-dependent Lloyd partials) cannot flip assignments.
+    """
+    C = train_ivf_centroids(sf_dir, n_clusters, iters)
+    C = np.round(C, 6)
+    c_ref = ray.put(C)
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        M = _emb_matrix(batch)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        a = (M @ Cm.T).argmax(axis=1)
+        packed = M.astype(np.float32).tobytes()
+        d = M.shape[1]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "nvec": pa.array(
+                    [packed[i * d * 4 : (i + 1) * d * 4] for i in range(M.shape[0])],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    from metareadability_ray.pipelines.textops import bucketed_map_groups
+
+    def per_cluster(group: pa.Table) -> pa.Table:
+        g = group.sort_by("vec_id")
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        M = np.stack(
+            [np.frombuffer(b, dtype=np.float32).astype(np.float64) for b in g.column("nvec").to_pylist()]
+        )
+        S = M @ M.T
+        np.fill_diagonal(S, -np.inf)
+        S = np.tril(S, k=-1) + np.triu(np.full_like(S, -np.inf))  # only i<j contribute
+        best = S.max(axis=1)  # max cosine to any lower-id cluster member
+        n = len(ids)
+        cl = int(group.column("cluster")[0].as_py())
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array([cl] * n, pa.int64()),
+                "max_sim_prev": pa.array(
+                    [None if i == 0 else f"{best[i]:.4f}" for i in range(n)], pa.string()
+                ),
+                "is_dup": pa.array(
+                    [0 if i == 0 else int(best[i] >= threshold) for i in range(n)], pa.int64()
+                ),
+            }
+        )
+
+    return bucketed_map_groups(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        "cluster",
+        per_cluster,
+        num_buckets=n_clusters,
+    )
+
+
+def q_semdedup(sf_dir: str) -> "ray.data.Dataset":
+    return semdedup(sf_dir)
+
+
+# ----------------------------------------------------------------------- PCA
+
+
+def pca_components(sf_dir: str, q: int = 4) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed two-pass PCA fit: per-block partial (n, Σx, ΣxᵀX) rows →
+    driver combines (bounded by block count × d², never by row count) →
+    eigendecomposition of the d×d covariance. Returns (mean, eigenvalues
+    desc, components (q, d)).
+
+    Determinism: the covariance is rounded to 9 dp before eigh (kills
+    block-order float-sum wobble) and each component's sign is fixed so its
+    largest-|coefficient| entry is positive — output is identical across
+    runs, block orders, and parallelism levels. At larger d or block counts
+    the driver combine would become a groupby tree-reduce; at d=64 the
+    partial is 4 KiB/block."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        return pa.table(
+            {
+                "n": pa.array([M.shape[0]], pa.int64()),
+                "s1": pa.array([M.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "s2": pa.array([(M.T @ M).ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]
+    parts = [t for t in parts if t.num_rows]
+    n = sum(int(v) for t in parts for v in t.column("n").to_pylist())
+    s1 = np.sum([np.asarray(v) for t in parts for v in t.column("s1").to_pylist()], axis=0)
+    s2 = np.sum([np.asarray(v) for t in parts for v in t.column("s2").to_pylist()], axis=0)
+    d = len(s1)
+    mean = s1 / n
+    cov = (s2.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
+    cov = np.round((cov + cov.T) / 2, 9)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:q]
+    vals, comps = w[order], V[:, order].T
+    signs = np.sign(comps[np.arange(q), np.abs(comps).argmax(axis=1)])
+    comps = comps * signs[:, None]
+    return mean, vals, comps
+
+
+def pca_project(sf_dir: str, q: int = 4) -> "ray.data.Dataset":
+    """Project every embedding onto the top-q principal components:
+    (vec_id, pc1..pcq), 6-dp rounded. Fit is the two-pass partial-covariance
+    reduce above; projection is one broadcast (mean, W) + per-batch matmul."""
+    mean, _, comps = pca_components(sf_dir, q)
+    ref = ray.put((mean, comps))
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, W = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        M = _emb_matrix(batch)
+        P = np.round((M - m) @ W.T, 6)
+        cols = {"vec_id": batch.column("vec_id").cast(pa.int64())}
+        for j in range(P.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(P[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pca_project(sf_dir: str) -> "ray.data.Dataset":
+    return pca_project(sf_dir)

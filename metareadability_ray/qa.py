@@ -1137,6 +1137,8 @@ def _q_pdf_layout(sf_dir: str):
     return pdf_layout_spans(sf_dir)
 
 
+REGISTRY["semdedup"] = QASpec(V.q_semdedup, None, "semdedup(kmeans+in-cluster-cosine)")
+REGISTRY["pca_project"] = QASpec(V.q_pca_project, None, "pca(two-pass-cov,broadcast-project)")
 REGISTRY["media_features"] = QASpec(_q_media_features, None, "multimodal(decode-stub)")
 REGISTRY["media_frame_sample"] = QASpec(_q_media_frames, None, "multimodal(frame-sample,flat_map)")
 REGISTRY["pdf_layout_spans"] = QASpec(_q_pdf_layout, None, "pdf-layout(parse-stub,flat_map)")

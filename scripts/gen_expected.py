@@ -27,6 +27,9 @@ SNAPSHOT_QUERIES = [
     # quantile_sketch_value strides) stay guarantee-tested instead.
     "lsh_bucket_stats", "lsh_neardup_pairs", "ivf_topk", "hll_distinct_users",
     "dedup_survivors_lsh",
+    # centroids rounded to 6 dp / covariance to 9 dp before use, so float-sum
+    # block-order wobble cannot flip assignments or projections
+    "semdedup", "pca_project",
 ]
 SF_DIR = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "expected")
