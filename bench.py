@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "value_histogram",
     "knn_bruteforce",
     "neardup_cosine",
+    "semdedup",
+    "pca_project",
+    "decontaminate",
+    "shard_assignment",
+    "value_lead_dense",
     "lsh_bucket_stats",
     "lsh_neardup_pairs",
     "ivf_topk",

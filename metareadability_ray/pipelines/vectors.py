@@ -705,3 +705,62 @@ def pca_project(sf_dir: str, q: int = 4) -> "ray.data.Dataset":
 
 def q_pca_project(sf_dir: str) -> "ray.data.Dataset":
     return pca_project(sf_dir)
+
+
+# -------------------------------------------------- cross-table doc ⋈ vector
+
+
+def q_doc_embedding_join(sf_dir: str) -> "ray.data.Dataset":
+    """Fact-fact key join across the two corpora: per-language count + total
+    squared norm of each document's embedding (documents.doc_id =
+    embeddings.vec_id — the tables are row-aligned by construction).
+
+    Scale shape: each side is reduced to its two needed columns BEFORE the
+    join — the embedding collapses to one float per row in the first map, so
+    the key shuffle carries (id, norm_sq) and (id, lang) only, never vectors
+    or text. The join itself is the bucketed reduce-side attach (one shuffle,
+    vectorized ``index_in``/``take`` per bucket)."""
+    import ray.data
+
+    from metareadability_ray.pipelines.textops import reduce_side_attach
+
+    emb = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "norm_sq": pa.array((M * M).sum(axis=1), pa.float64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    joined = reduce_side_attach(
+        emb.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True),
+        "vec_id",
+        [("vec_id", pa.int64()), ("norm_sq", pa.float64())],
+        docs,
+        "doc_id",
+        "lang",
+        "lang",
+        pa.string(),
+    )
+    agg = joined.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("norm_sq", alias_name="sum_norm_sq")
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+                "sum_norm_sq": pa.array(
+                    [f"{v:.2f}" for v in batch.column("sum_norm_sq").to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)

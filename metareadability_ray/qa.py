@@ -1056,6 +1056,17 @@ REGISTRY: dict[str, QASpec] = {
         """,
         "MR-G2(vectors)",
     ),
+    "doc_embedding_join": QASpec(
+        V.q_doc_embedding_join,
+        """
+        SELECT d.lang, count(*) AS n_docs,
+               printf('%.2f', sum(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])))) AS sum_norm_sq
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY d.lang
+        """,
+        "MR-J3(cross-corpus)",
+    ),
     # ------------------------------------------------ training-set prep
     "decontaminate": QASpec(
         TP.q_decontaminate,
