@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "knn_bruteforce",
     "neardup_cosine",
+    "doc_embedding_join",
     "semdedup",
     "pca_project",
     "decontaminate",
@@ -327,7 +328,18 @@ def main() -> None:
         return
 
     _init_ray(num_cpus)
-    ext = bench_extract(num_cpus, args.n_pages, policy=args.pool)
+    if args.extract_only:
+        ext = bench_extract(num_cpus, args.n_pages, policy=args.pool)
+        shots = [ext]
+    else:
+        # median-of-3 flagship shots (this VM's hypervisor steal is
+        # one-sided slow and minutes-scale bursty — a single shot can land
+        # 3× under true throughput; every raw shot is reported)
+        import statistics
+
+        shots = [bench_extract(num_cpus, args.n_pages, policy=args.pool) for _ in range(3)]
+        med = statistics.median(s["docs_per_sec"] for s in shots)
+        ext = next(s for s in shots if s["docs_per_sec"] == med)
     result = {
         "metric": "flagship_extract_wall_s",
         "value": ext["wall_s"],
@@ -336,6 +348,7 @@ def main() -> None:
         "num_cpus": num_cpus,
         "docs": ext["rows"],
         "docs_per_sec": ext["docs_per_sec"],
+        "flagship_shots_docs_per_sec": [s["docs_per_sec"] for s in shots],
     }
     if not args.extract_only:
         # page-size-annotated baseline (round-1 verdict #10): the headline
