@@ -764,3 +764,45 @@ def q_doc_embedding_join(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- int8 vector quantization
+
+
+def quantize_int8(sf_dir: str) -> "ray.data.Dataset":
+    """Symmetric per-vector int8 scalar quantization — the storage-compression
+    step a 100 TB embedding corpus needs before it ships to an ANN index
+    (4× smaller than float32, 8× smaller than float64).
+
+    Per vector: ``scale = max(|x|) / 127`` (float64), ``codes =
+    round(x / scale)`` clipped to [-127, 127], packed to d bytes of binary.
+    Zero vectors get scale 0 and all-zero codes. Pure per-batch map — no
+    shuffle, no driver state; reconstruction is ``codes * scale`` with
+    per-element error ≤ scale/2 (pinned by tests/test_semdedup_pca.py's
+    quantization cases)."""
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        amax = np.abs(M).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        codes = np.clip(np.round(M / safe[:, None]), -127, 127).astype(np.int8)
+        codes[scale == 0] = 0
+        d = M.shape[1]
+        buf = codes.tobytes()
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "scale": pa.array(np.round(scale, 9), pa.float64()),
+                "codes": pa.array(
+                    [buf[i * d : (i + 1) * d] for i in range(M.shape[0])], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quantize_int8(sf_dir: str) -> "ray.data.Dataset":
+    return quantize_int8(sf_dir)

@@ -1149,6 +1149,7 @@ def _q_pdf_layout(sf_dir: str):
 
 
 REGISTRY["semdedup"] = QASpec(V.q_semdedup, None, "semdedup(kmeans+in-cluster-cosine)")
+REGISTRY["quantize_int8"] = QASpec(V.q_quantize_int8, None, "vector-quantize(int8,per-vec-scale)")
 REGISTRY["pca_project"] = QASpec(V.q_pca_project, None, "pca(two-pass-cov,broadcast-project)")
 REGISTRY["media_features"] = QASpec(_q_media_features, None, "multimodal(decode-stub)")
 REGISTRY["media_frame_sample"] = QASpec(_q_media_frames, None, "multimodal(frame-sample,flat_map)")

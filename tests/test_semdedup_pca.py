@@ -91,3 +91,47 @@ def test_pca_deterministic_across_runs(ray_session):
     a = _collect(pca_project(SF_DIR)).sort_by("vec_id")
     b = _collect(pca_project(SF_DIR)).sort_by("vec_id")
     assert a.equals(b)
+
+
+def test_quantize_int8_reconstruction_bound(ray_session):
+    """Reconstruction error per element ≤ scale/2; codes within [-127,127];
+    round-trip is deterministic."""
+    from metareadability_ray.pipelines.vectors import quantize_int8
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    M = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    src_order = np.argsort(t.column("vec_id").to_pylist())
+
+    qt = _collect(quantize_int8(SF_DIR)).sort_by("vec_id")
+    scales = qt.column("scale").to_numpy(zero_copy_only=False)
+    codes = np.stack(
+        [np.frombuffer(b, dtype=np.int8) for b in qt.column("codes").to_pylist()]
+    ).astype(np.float64)
+    recon = codes * scales[:, None]
+    err = np.abs(recon - M[src_order])
+    # elementwise error ≤ scale/2 + rounding slack from the 9-dp scale round
+    assert (err <= scales[:, None] / 2 + 1e-7).all()
+    assert np.abs(codes).max() <= 127
+
+    qt2 = _collect(quantize_int8(SF_DIR)).sort_by("vec_id")
+    assert qt.equals(qt2)
+
+
+def test_quantize_int8_zero_vector(ray_session, tmp_path):
+    from metareadability_ray.pipelines.vectors import quantize_int8
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0] * 4, [1.0, -2.0, 0.5, 0.0]], pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int32()),
+        }
+    )
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    got = _collect(quantize_int8(str(d))).sort_by("vec_id")
+    assert got.column("scale").to_pylist()[0] == 0.0
+    assert np.frombuffer(got.column("codes").to_pylist()[0], dtype=np.int8).tolist() == [0, 0, 0, 0]
+    c1 = np.frombuffer(got.column("codes").to_pylist()[1], dtype=np.int8)
+    assert c1.tolist() == [64, -127, 32, 0]
