@@ -280,3 +280,85 @@ def q_value_lead_dense(sf_dir: str):
         )
 
     return bucketed_map_groups(ev, "user_id", per_user)
+
+
+# ----------------------------------------- composed curation → shard export
+
+
+def export_curated_shards(sf_dir: str, out_dir: str, num_shards: int = 16) -> pa.Table:
+    """The full training-data delivery flow in one call: webtext curation
+    (length + CCNet boilerplate + Gopher repetition + near-dup survivor,
+    `webtext.q_curated_corpus`) → benchmark decontamination (drop docs
+    sharing an 8-gram with the benchmark split) → md5-routed sharded Parquet
+    export with a resume manifest.
+
+    Composition stays streaming: curation is one pass over documents with
+    two bounded broadcast side inputs; decontamination adds one broadcast
+    probe (contaminated ids are collected — bounded by contamination count,
+    which is tiny by construction for a real benchmark); the shard write is
+    the single routing shuffle. Returns the manifest table."""
+    import pyarrow.compute as pc
+
+    from metareadability_ray.pipelines.webtext import q_curated_corpus
+
+    contaminated = q_decontaminate(sf_dir)
+    bad_parts = [ray.get(r) for r in contaminated.to_arrow_refs()]
+    bad_ids = np.sort(
+        np.concatenate(
+            [t.column("doc_id").to_numpy(zero_copy_only=False) for t in bad_parts if t.num_rows]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    bad_ref = ray.put(bad_ids)
+
+    curated = q_curated_corpus(sf_dir)
+
+    def drop_contaminated(batch: pa.Table) -> pa.Table:
+        bad = ray.get(bad_ref) if isinstance(bad_ref, ray.ObjectRef) else bad_ref
+        if not len(bad):
+            return batch
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(bad, ids)
+        pos[pos == len(bad)] = 0
+        return batch.filter(pa.array(~(bad[pos] == ids)))
+
+    clean = curated.map_batches(drop_contaminated, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "shard", pa.array(_shard_of(batch.column("doc_id"), num_shards), I64)
+        )
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import hashlib as _h
+        import pyarrow.parquet as pq
+
+        shard = int(group.column("shard")[0].as_py())
+        sdir = os.path.join(out_dir, f"shard={shard:02d}")
+        final = os.path.join(sdir, "part-0.parquet")
+        g = group.drop_columns(["shard"]).sort_by("doc_id")
+        if not os.path.exists(final):
+            os.makedirs(sdir, exist_ok=True)
+            tmp = final + ".tmp"
+            pq.write_table(g, tmp)
+            os.replace(tmp, final)
+        ids = ",".join(str(d) for d in g.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "shard": pa.array([shard], I64),
+                "n_docs": pa.array([g.num_rows], I64),
+                "path": pa.array([final], pa.string()),
+                "content_hash": pa.array([_h.md5(ids.encode()).hexdigest()], pa.string()),
+            }
+        )
+
+    manifest = bucketed_map_groups(
+        clean.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True),
+        "shard",
+        write_shard,
+        num_buckets=num_shards,
+    )
+    parts = [ray.get(r) for r in manifest.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows]
+    out = pa.concat_tables(parts) if parts else pa.table({})
+    return out.sort_by("shard") if out.num_rows else out

@@ -86,3 +86,37 @@ def test_batch_shingle_hashes_dedups_within_doc(ray_session):
     idx, h = _batch_shingle_hashes(t)
     assert idx.tolist() == [0, 0]  # two 8-grams from doc 0 only
     assert len(np.unique(h)) == 2
+
+
+def test_export_curated_shards_end_to_end(ray_session, tmp_path):
+    """Composed curation → decontamination → sharded export: the output union
+    must equal (curated ∩ not-contaminated), every file re-readable, manifest
+    consistent, rerun idempotent."""
+    import ray
+
+    from metareadability_ray.pipelines.training_prep import (
+        export_curated_shards,
+        q_decontaminate,
+    )
+    from metareadability_ray.pipelines.webtext import q_curated_corpus
+
+    out = str(tmp_path / "curated_shards")
+    man = export_curated_shards(SF_DIR, out)
+    files = sorted(glob.glob(os.path.join(out, "shard=*", "part-0.parquet")))
+    assert len(files) == man.num_rows > 0
+    got_ids = sorted(
+        i for f in files for i in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+    )
+
+    def ids_of(ds):
+        return {
+            i
+            for r in ds.to_arrow_refs()
+            for i in ray.get(r).column("doc_id").to_pylist()
+        }
+
+    want = sorted(ids_of(q_curated_corpus(SF_DIR)) - ids_of(q_decontaminate(SF_DIR)))
+    assert got_ids == want
+
+    man2 = export_curated_shards(SF_DIR, out)
+    assert man2.column("content_hash").to_pylist() == man.column("content_hash").to_pylist()
