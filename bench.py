@@ -229,8 +229,10 @@ def bench_extract(
         files,
         out,
         num_partitions=max(64, num_cpus * 2),
-        concurrency=pool_size(num_cpus, policy),
-        batch_size=256,
+        # 512 for small (~2.4 KiB) pages: 4/5 paired interleaved shots faster
+        # (median 14.8k vs 13.8k docs/s — fewer batch handoffs per actor);
+        # 256 for ~50 KiB pages keeps batch × pool heap bounded (§4 rule)
+        batch_size=256 if min_page_bytes else 512,
         resume=False,
         override_num_blocks=max(16, num_cpus * 4),
     )
