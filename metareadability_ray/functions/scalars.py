@@ -56,10 +56,21 @@ def md5_hex(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 def norm_ws(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Collapse whitespace runs to single spaces and trim — the SQL
-    ``trim(regexp_replace(s, '\\s+', ' ', 'g'))`` twin."""
+    """Collapse whitespace runs to single spaces and trim — the exact SQL
+    twin of::
+
+        regexp_replace(regexp_replace(s, '\\s+', ' ', 'g'), '^ | $', '', 'g')
+
+    Both steps are RE2 on both engines, so equality holds for EVERY input
+    (property-tested against DuckDB itself in
+    tests/test_hypothesis_props.py). The earlier ``trim(...)``-based twin
+    was NOT exact — hypothesis found two divergences in edge whitespace:
+    Arrow's ``utf8_trim_whitespace`` strips \\x0b/\\x1c–\\x1f (unicode
+    whitespace that RE2 ``\\s`` doesn't match), and DuckDB's ``trim`` strips
+    U+00A0 (Unicode Zs) — pure-RE2 trimming sidesteps both engines'
+    bespoke trim character sets."""
     s = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
-    return pc.utf8_trim_whitespace(s)
+    return pc.replace_substring_regex(s, pattern=r"^ | $", replacement="")
 
 
 def token_count(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
