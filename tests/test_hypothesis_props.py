@@ -166,3 +166,60 @@ def test_arrow_norm_ws_matches_duckdb(vals):
         for v in vals
     ]
     assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=60), max_size=12))
+def test_arrow_token_count_matches_duckdb(vals):
+    """token_count's SQL twin is ``length(regexp_extract_all(s,'\\S+'))`` —
+    again RE2 on both engines, DuckDB itself as oracle."""
+    import duckdb
+    import pyarrow as pa
+
+    from metareadability_ray.functions.scalars import token_count
+
+    got = token_count(pa.array(vals, pa.string())).to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT length(regexp_extract_all(?, '\\S+'))", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+_JSON_INTS = st.dictionaries(
+    st.sampled_from(["a", "kk", "x1"]), st.integers(-10**12, 10**12), max_size=3
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_JSON_INTS)
+def test_json_get_int_matches_duckdb(obj):
+    import json
+
+    import duckdb
+    import pyarrow as pa
+
+    from metareadability_ray.functions.scalars import json_get_int
+
+    s = json.dumps(obj)
+    got = json_get_int(pa.array([s], pa.string()), "kk").to_pylist()[0]
+    con = duckdb.connect()
+    want = con.execute("SELECT CAST(json_extract(?, '$.kk') AS BIGINT)", [s]).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=10))
+def test_md5_hex_matches_duckdb(vals):
+    import duckdb
+    import pyarrow as pa
+
+    from metareadability_ray.functions.scalars import md5_hex
+
+    got = md5_hex(pa.array(vals, pa.string())).to_pylist()
+    con = duckdb.connect()
+    want = [
+        None if v is None else con.execute("SELECT md5(?)", [v]).fetchone()[0] for v in vals
+    ]
+    assert got == want
