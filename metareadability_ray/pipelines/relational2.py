@@ -100,11 +100,25 @@ def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return bucketed_map_groups(
+    out = bucketed_map_groups(
         ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
         "user_id",
         asof_group,
     )
+    # schema-stability seed: with zero click rows the groupby path yields an
+    # EMPTY dataset with no schema (Ray's sort groupby carries none when no
+    # group ever runs) — union one typed 0-row block so the operator's output
+    # schema holds for every input (hypothesis-found:
+    # tests/test_property_conformance.py, a views-only events table)
+    seed = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "view_ts": pa.array([], pa.timestamp("us")),
+            "view_value": pa.array([], pa.float64()),
+        }
+    )
+    return out.union(ray.data.from_arrow(seed))
 
 
 # ----------------------------------------------------------- running aggregate

@@ -1,0 +1,167 @@
+"""Data-varied Ray-vs-DuckDB conformance: hypothesis generates small
+`documents` tables (dup texts, null text, unicode, empty strings — shapes
+the fixed sf testdata never varies) and each example runs the REAL registry
+query AND its registry oracle SQL, comparing canonically. This is the same
+compare the driver gate does, with the DATA as the free variable."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_WORD = st.sampled_from(["alpha", "beta", "Gé", "x", "1", "--", "a b"])
+_TEXT = st.one_of(
+    st.none(),
+    st.just(""),
+    st.lists(_WORD, max_size=8).map(" ".join),
+)
+
+
+@st.composite
+def documents_table(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    texts = draw(st.lists(_TEXT, min_size=n, max_size=n))
+    langs = draw(st.lists(st.sampled_from(["en", "de", "fr"]), min_size=n, max_size=n))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s%d" % (i % 2) for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+        }
+    )
+
+
+def _canon_val(v):
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_canon_val(x) for x in v)
+    return v
+
+
+def _canon(t: pa.Table):
+    cols = sorted(t.column_names)
+    rows = sorted(
+        (tuple(_canon_val(r[c]) for c in cols) for r in t.select(cols).to_pylist()),
+        key=repr,
+    )
+    return t.num_rows, tuple(cols), rows
+
+
+def _ray_table(res) -> pa.Table:
+    import ray
+
+    tabs = [ray.get(r) for r in res.to_arrow_refs()]
+    nonempty = [t for t in tabs if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty, promote_options="permissive")
+    # all-empty result: keep the schema (operators union a typed 0-row seed
+    # block exactly so their schema survives the no-output case)
+    for t in tabs:
+        if t.num_columns:
+            return t
+    return pa.table({})
+
+
+def _run_both(name: str, docs: pa.Table, tmp_path_factory) -> None:
+    from metareadability_ray.qa import REGISTRY
+
+    d = tmp_path_factory.mktemp("propconf")
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    spec = REGISTRY[name]
+    got = _canon(_ray_table(spec.fn(str(d))))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = _canon(con.execute(spec.sql).fetch_arrow_table())
+    con.close()
+    assert got == want, f"{name} diverged on generated data"
+
+
+# settings: each example runs a real Ray pipeline (~0.5 s at 4 CPUs), so the
+# example budget is small but the data shapes (nulls, dups, unicode, empty)
+# are exactly what sf testdata holds constant.
+_PROP = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@pytest.mark.parametrize(
+    "name", ["exact_dedup", "token_stats", "median_doc_length", "doc_fingerprint"]
+)
+def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
+    @settings(**_PROP)
+    @given(documents_table())
+    def inner(docs):
+        _run_both(name, docs, tmp_path_factory)
+
+    inner()
+
+
+# ------------------------------------------------------------ events tables
+
+@st.composite
+def events_table(draw):
+    """Adversarial event shapes: users with clicks but no views (the round-1
+    ADVICE crash), duplicate timestamps, single-event users, value NaN-free
+    floats exactly representable both engines."""
+    n = draw(st.integers(min_value=1, max_value=16))
+    users = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    types = draw(
+        st.lists(st.sampled_from(["click", "view", "purchase"]), min_size=n, max_size=n)
+    )
+    # duplicate-prone second offsets, including equal ts within a user
+    secs = draw(st.lists(st.integers(0, 5000), min_size=n, max_size=n))
+    base = dt.datetime(2024, 1, 1)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=s * 60) for s in secs], pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([float(i % 7) * 0.5 for i in range(n)], pa.float64()),
+            "props": pa.array(['{"k": %d}' % (i % 3) for i in range(n)], pa.string()),
+        }
+    )
+
+
+def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
+    from metareadability_ray.qa import REGISTRY
+
+    d = tmp_path_factory.mktemp("propconf_ev")
+    pq.write_table(events, str(d / "events.parquet"))
+
+    spec = REGISTRY[name]
+    got = _canon(_ray_table(spec.fn(str(d))))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = _canon(con.execute(spec.sql).fetch_arrow_table())
+    con.close()
+    assert got == want, f"{name} diverged on generated events"
+
+
+@pytest.mark.parametrize(
+    "name", ["asof_join", "latest_event_per_user", "sessionize", "value_lead_dense"]
+)
+def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
+    @settings(**_PROP)
+    @given(events_table())
+    def inner(events):
+        _run_both_events(name, events, tmp_path_factory)
+
+    inner()
