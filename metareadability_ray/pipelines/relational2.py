@@ -100,25 +100,26 @@ def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    out = bucketed_map_groups(
-        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
-        "user_id",
-        asof_group,
-    )
+    from metareadability_ray.util import with_schema_seed
+
     # schema-stability seed: with zero click rows the groupby path yields an
-    # EMPTY dataset with no schema (Ray's sort groupby carries none when no
-    # group ever runs) — union one typed 0-row block so the operator's output
-    # schema holds for every input (hypothesis-found:
-    # tests/test_property_conformance.py, a views-only events table)
-    seed = pa.table(
-        {
-            "event_id": pa.array([], pa.int64()),
-            "user_id": pa.array([], pa.int64()),
-            "view_ts": pa.array([], pa.timestamp("us")),
-            "view_value": pa.array([], pa.float64()),
-        }
+    # EMPTY dataset with no schema — see util.with_schema_seed
+    # (hypothesis-found: tests/test_property_conformance.py, views-only input)
+    return with_schema_seed(
+        bucketed_map_groups(
+            ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            asof_group,
+        ),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("view_ts", pa.timestamp("us")),
+                ("view_value", pa.float64()),
+            ]
+        ),
     )
-    return out.union(ray.data.from_arrow(seed))
 
 
 # ----------------------------------------------------------- running aggregate

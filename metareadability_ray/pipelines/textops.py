@@ -242,13 +242,16 @@ def q_quality_score(sf_dir: str) -> "ray.data.Dataset":
             pc.and_(pc.greater_equal(n_tokens, 10), pc.greater_equal(n_chars, 50)),
             pc.greater_equal(pc.multiply(n_alpha, 2), n_chars),
         )
+        # SQL CASE semantics: a NULL condition (null text) selects ELSE 0,
+        # while Arrow's and_/cast would propagate null (hypothesis-found,
+        # tests/test_property_conformance.py)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_tokens": n_tokens,
                 "n_alpha": n_alpha,
                 "n_stopwords": n_stop,
-                "quality_ok": pc.cast(ok, pa.int32()),
+                "quality_ok": pc.fill_null(pc.cast(ok, pa.int32()), 0),
             }
         )
 

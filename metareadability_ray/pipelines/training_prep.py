@@ -137,7 +137,12 @@ def q_decontaminate(sf_dir: str, n: int = _NGRAM_N, bench_mod: int = _BENCH_MOD)
             {"doc_id": pa.array(doc_ids[nz], I64), "n_hits": pa.array(counts[nz], I64)}
         )
 
-    return train.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        train.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", I64), ("n_hits", I64)]),
+    )
 
 
 # -------------------------------------------------------------- shard export

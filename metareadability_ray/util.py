@@ -111,3 +111,20 @@ def keyset_mask(ref, key_col: pa.ChunkedArray | pa.Array, negate: bool = False) 
     if isinstance(mask, pa.ChunkedArray):
         mask = mask.combine_chunks()
     return mask
+
+
+def with_schema_seed(ds: "ray.data.Dataset", schema: "pa.Schema") -> "ray.data.Dataset":
+    """Union one typed 0-row block so the dataset's schema survives the
+    no-output case.
+
+    Ray 2.49 skips the map UDF on empty blocks and its sort-groupby carries
+    no schema when no group ever runs, so an operator whose legitimate
+    result is EMPTY (no contaminated docs, no click events, no near-dup
+    pairs) otherwise comes back schema-less — downstream writers and the
+    driver's schema compare then see a different contract than the non-empty
+    case. One extra 0-row block is free. (Hypothesis-found via the
+    generated-data conformance suite.)"""
+    import ray.data
+
+    seed = pa.table({f.name: pa.array([], f.type) for f in schema})
+    return ds.union(ray.data.from_arrow(seed))

@@ -15,9 +15,12 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 _WORD = st.sampled_from(["alpha", "beta", "Gé", "x", "1", "--", "a b"])
+_LONG = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # ≥8 tokens: exercises 8-gram paths
 _TEXT = st.one_of(
     st.none(),
     st.just(""),
+    st.just(_LONG),               # duplicated across docs → decontam hits
+    st.just("pre " + _LONG),      # shares 8-grams with _LONG
     st.lists(_WORD, max_size=8).map(" ".join),
 )
 
@@ -101,7 +104,11 @@ _PROP = dict(
 
 
 @pytest.mark.parametrize(
-    "name", ["exact_dedup", "token_stats", "median_doc_length", "doc_fingerprint"]
+    "name",
+    [
+        "exact_dedup", "token_stats", "median_doc_length", "doc_fingerprint",
+        "quality_score", "decontaminate",
+    ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
     @settings(**_PROP)
@@ -156,7 +163,11 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
 
 
 @pytest.mark.parametrize(
-    "name", ["asof_join", "latest_event_per_user", "sessionize", "value_lead_dense"]
+    "name",
+    [
+        "asof_join", "latest_event_per_user", "sessionize", "value_lead_dense",
+        "window_cumsum", "hourly_event_window", "count_distinct_users",
+    ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
     @settings(**_PROP)
