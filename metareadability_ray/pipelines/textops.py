@@ -734,13 +734,18 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return (
+    from metareadability_ray.util import with_schema_seed
+
+    # schema seed: a corpus with no near-dup pairs legitimately yields zero
+    # rows, and Ray's groupby path then carries no schema (hypothesis-found)
+    return with_schema_seed(
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shingle")
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(count_and_threshold, batch_format="pyarrow")
+        .map_groups(count_and_threshold, batch_format="pyarrow"),
+        pa.schema([("doc_a", I64), ("doc_b", I64), ("inter", I64), ("union_size", I64)]),
     )
 
 

@@ -120,12 +120,19 @@ def q_common_chunks(sf_dir: str, min_df: int = 2) -> "ray.data.Dataset":
         return pa.table({key: t.column(key), val: t.column(f"{val}_sum").cast(pa.int64())})
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    cand = pa.concat_tables(
+    cand_batches = list(
         ds.map_batches(phase1_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(lambda g: sum_bucket(g, "h", "n_docs"), batch_format="pyarrow")
         .filter(expr=f"n_docs >= {min_df}")
         .iter_batches(batch_format="pyarrow")
+    )
+    # no chunk repeats across docs → the iterator is EMPTY and concat_tables
+    # would raise (hypothesis-found); an empty candidate set is a legal state
+    cand = (
+        pa.concat_tables(cand_batches)
+        if cand_batches
+        else _empty({"h": pa.int64(), "n_docs": pa.int64()})
     )
     col = cand.column("h")
     cand_ref = ray.put(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
@@ -143,11 +150,14 @@ def q_common_chunks(sf_dir: str, min_df: int = 2) -> "ray.data.Dataset":
         u, c = np.unique(pairs.f1, return_counts=True)
         return pa.table({"chunk": pa.array(u, pa.string()), "n_docs": pa.array(c, pa.int64())})
 
-    return (
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
         ds.map_batches(phase2_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("chunk")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
-        .filter(expr=f"n_docs >= {min_df}")
+        .filter(expr=f"n_docs >= {min_df}"),
+        pa.schema([("chunk", pa.string()), ("n_docs", pa.int64())]),
     )
 
 
@@ -158,9 +168,8 @@ def _common_chunk_ref(sf_dir: str, min_df: int = 2):
     boilerplate vocabulary, which for web corpora is orders of magnitude
     smaller than the corpus (it is exactly the set CCNet ships to every
     worker); never bounded by corpus size."""
-    t = pa.concat_tables(
-        q_common_chunks(sf_dir, min_df=min_df).iter_batches(batch_format="pyarrow")
-    )
+    batches = list(q_common_chunks(sf_dir, min_df=min_df).iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(batches) if batches else _empty({"chunk": pa.string(), "n_docs": pa.int64()})
     col = t.column("chunk")
     return ray.put(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
 

@@ -107,7 +107,8 @@ _PROP = dict(
     "name",
     [
         "exact_dedup", "token_stats", "median_doc_length", "doc_fingerprint",
-        "quality_score", "decontaminate",
+        "quality_score", "decontaminate", "ngram_jaccard_pairs", "common_chunks",
+        "winnow_fingerprint", "redact_pii", "bpe_token_stats", "token_entropy",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -167,6 +168,8 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
     [
         "asof_join", "latest_event_per_user", "sessionize", "value_lead_dense",
         "window_cumsum", "hourly_event_window", "count_distinct_users",
+        "hopping_window", "funnel_stages", "value_ranks", "lag_value_delta",
+        "pivot_event_sums",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
