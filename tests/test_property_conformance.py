@@ -179,3 +179,101 @@ def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, na
         _run_both_events(name, events, tmp_path_factory)
 
     inner()
+
+
+# ------------------------------------------------- orders / customer tables
+
+@st.composite
+def orders_customer_tables(draw):
+    """Join-edge shapes the sf data holds constant: order custkeys with NO
+    matching customer, customers with no orders, an empty >9000-acctbal dim
+    slice (the left_outer_join broadcast side), single-status order sets.
+    Money columns use exact .25 steps so float sums are exact both engines."""
+    nc = draw(st.integers(min_value=1, max_value=5))
+    no = draw(st.integers(min_value=1, max_value=16))
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(nc), pa.int64()),
+            "c_name": pa.array([f"Customer#{i}" for i in range(nc)], pa.string()),
+            "c_nationkey": pa.array([i % 3 for i in range(nc)], pa.int32()),
+            "c_acctbal": pa.array(
+                draw(
+                    st.lists(
+                        st.integers(0, 44000).map(lambda v: v * 0.25),
+                        min_size=nc, max_size=nc,
+                    )
+                ),
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array(
+                draw(st.lists(st.sampled_from(["AUTO", "HOUSE"]), min_size=nc, max_size=nc)),
+                pa.string(),
+            ),
+        }
+    )
+    base = dt.datetime(2023, 6, 1)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(no), pa.int64()),
+            # custkeys beyond nc-1 → orders with NO customer (join dropouts)
+            "o_custkey": pa.array(
+                draw(st.lists(st.integers(0, nc + 2), min_size=no, max_size=no)), pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                draw(st.lists(st.sampled_from(["F", "O", "P"]), min_size=no, max_size=no)),
+                pa.string(),
+            ),
+            "o_totalprice": pa.array(
+                [((i * 7) % 1000) * 0.25 + 1.0 for i in range(no)], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [base + dt.timedelta(days=i % 40) for i in range(no)], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                draw(
+                    st.lists(
+                        st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+                        min_size=no, max_size=no,
+                    )
+                ),
+                pa.string(),
+            ),
+        }
+    )
+    return cust, orders
+
+
+def _run_both_rel(name: str, cust: pa.Table, orders: pa.Table, tmp_path_factory) -> None:
+    from metareadability_ray.qa import REGISTRY
+
+    d = tmp_path_factory.mktemp("propconf_rel")
+    pq.write_table(cust, str(d / "customer.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
+
+    spec = REGISTRY[name]
+    got = _canon(_ray_table(spec.fn(str(d))))
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    want = _canon(con.execute(spec.sql).fetch_arrow_table())
+    con.close()
+    assert got == want, f"{name} diverged on generated customer/orders"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "join_customer_orders", "left_outer_join", "semi_join_customers",
+        "anti_join_customers", "topk_orders", "mode_priority",
+        "collect_set_priorities", "rollup_orders", "grouping_sets_orders",
+        "cube_orders",
+    ],
+)
+def test_query_conformance_on_generated_relational(ray_session, tmp_path_factory, name):
+    @settings(**_PROP)
+    @given(orders_customer_tables())
+    def inner(tables):
+        _run_both_rel(name, tables[0], tables[1], tmp_path_factory)
+
+    inner()
