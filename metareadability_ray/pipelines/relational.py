@@ -111,7 +111,15 @@ def q_join_customer_orders(sf_dir: str) -> "ray.data.Dataset":
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="revenue"),
     )
-    return _fmt_cols(agg, {"revenue": 2})
+    from metareadability_ray.util import with_schema_seed
+
+    # an inner join with zero matches is a legal empty result — keep schema
+    return with_schema_seed(
+        _fmt_cols(agg, {"revenue": 2}),
+        pa.schema(
+            [("c_mktsegment", pa.string()), ("n_orders", pa.int64()), ("revenue", pa.string())]
+        ),
+    )
 
 
 def q_three_way_join(sf_dir: str) -> "ray.data.Dataset":
