@@ -159,8 +159,12 @@ def q_broadcast_join_part(sf_dir: str) -> "ray.data.Dataset":
     li = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
 
     def add_brand(batch: pa.Table) -> pa.Table:
-        # missing keys stay null (inner-join rows never are, in this data)
-        return batch.append_column("p_brand", lookup_take(brand_ref, batch.column("l_partkey")))
+        # INNER semantics: a lineitem whose part is missing from the dim is
+        # dropped, exactly like the SQL join (the earlier version let null
+        # brands form a phantom group — a data-dependent assumption the
+        # generated-data conformance suite falsified)
+        b = batch.append_column("p_brand", lookup_take(brand_ref, batch.column("l_partkey")))
+        return b.filter(pc.is_valid(b.column("p_brand")))
 
     with_brand = li.map_batches(add_brand, batch_format="pyarrow", zero_copy_batch=True)
     agg = with_brand.groupby("p_brand").aggregate(

@@ -277,3 +277,121 @@ def test_query_conformance_on_generated_relational(ray_session, tmp_path_factory
         _run_both_rel(name, tables[0], tables[1], tmp_path_factory)
 
     inner()
+
+
+# --------------------------------------- lineitem / part / supplier tables
+
+@st.composite
+def lineitem_part_supplier_tables(draw):
+    """Edge shapes: zero rows surviving filter_project's predicate,
+    lineitems referencing missing parts (broadcast-join dropouts),
+    single-flag lineitem sets, negative supplier balances. Quantities and
+    prices are exact .25 steps so float sums are exact on both engines."""
+    nl = draw(st.integers(min_value=1, max_value=16))
+    np_ = draw(st.integers(min_value=1, max_value=4))
+    ns = draw(st.integers(min_value=1, max_value=5))
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([i // 2 for i in range(nl)], pa.int64()),
+            "l_partkey": pa.array(
+                draw(st.lists(st.integers(0, np_ + 2), min_size=nl, max_size=nl)), pa.int64()
+            ),
+            "l_suppkey": pa.array([i % (ns + 1) for i in range(nl)], pa.int64()),
+            "l_linenumber": pa.array([i % 4 for i in range(nl)], pa.int32()),
+            "l_quantity": pa.array(
+                draw(
+                    st.lists(st.integers(0, 200).map(lambda v: v * 0.25), min_size=nl, max_size=nl)
+                ),
+                pa.float64(),
+            ),
+            "l_extendedprice": pa.array([((i * 13) % 800) * 0.25 for i in range(nl)], pa.float64()),
+            "l_discount": pa.array(
+                draw(
+                    st.lists(st.integers(0, 40).map(lambda v: v * 0.0025), min_size=nl, max_size=nl)
+                ),
+                pa.float64(),
+            ),
+            "l_tax": pa.array([0.0] * nl, pa.float64()),
+            "l_returnflag": pa.array(
+                draw(st.lists(st.sampled_from(["A", "N", "R"]), min_size=nl, max_size=nl)),
+                pa.string(),
+            ),
+            "l_linestatus": pa.array(
+                draw(st.lists(st.sampled_from(["F", "O"]), min_size=nl, max_size=nl)), pa.string()
+            ),
+            "l_shipdate": pa.array(
+                [dt.datetime(2023, 1, 1) + dt.timedelta(days=i % 90) for i in range(nl)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array(range(np_), pa.int64()),
+            "p_name": pa.array(
+                draw(
+                    st.lists(
+                        st.sampled_from(["ivory navy", "plum", "red green blue", ""]),
+                        min_size=np_, max_size=np_,
+                    )
+                ),
+                pa.string(),
+            ),
+            "p_brand": pa.array([f"Brand#{i % 3}" for i in range(np_)], pa.string()),
+            "p_type": pa.array(["STANDARD"] * np_, pa.string()),
+            "p_size": pa.array([i % 50 for i in range(np_)], pa.int32()),
+            "p_retailprice": pa.array([100.25 * (i + 1) for i in range(np_)], pa.float64()),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(range(ns), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i}" for i in range(ns)], pa.string()),
+            "s_nationkey": pa.array([i % 2 for i in range(ns)], pa.int32()),
+            "s_acctbal": pa.array(
+                draw(
+                    st.lists(
+                        st.integers(-4000, 40000).map(lambda v: v * 0.25),
+                        min_size=ns, max_size=ns,
+                    )
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+    return li, part, supplier
+
+
+def _run_both_lps(name, li, part, supplier, tmp_path_factory) -> None:
+    from metareadability_ray.qa import REGISTRY
+
+    d = tmp_path_factory.mktemp("propconf_lps")
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    pq.write_table(part, str(d / "part.parquet"))
+    pq.write_table(supplier, str(d / "supplier.parquet"))
+
+    spec = REGISTRY[name]
+    got = _canon(_ray_table(spec.fn(str(d))))
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    want = _canon(con.execute(spec.sql).fetch_arrow_table())
+    con.close()
+    assert got == want, f"{name} diverged on generated lineitem/part/supplier"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "filter_project", "pricing_summary", "string_agg_status",
+        "explode_part_names", "broadcast_join_part", "supplier_balance_stats",
+    ],
+)
+def test_query_conformance_on_generated_lps(ray_session, tmp_path_factory, name):
+    @settings(**_PROP)
+    @given(lineitem_part_supplier_tables())
+    def inner(tables):
+        _run_both_lps(name, tables[0], tables[1], tables[2], tmp_path_factory)
+
+    inner()
