@@ -97,7 +97,7 @@ def _run_both(name: str, docs: pa.Table, tmp_path_factory) -> None:
 # example budget is small but the data shapes (nulls, dups, unicode, empty)
 # are exactly what sf testdata holds constant.
 _PROP = dict(
-    max_examples=10,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -109,6 +109,9 @@ _PROP = dict(
         "exact_dedup", "token_stats", "median_doc_length", "doc_fingerprint",
         "quality_score", "decontaminate", "ngram_jaccard_pairs", "common_chunks",
         "winnow_fingerprint", "redact_pii", "bpe_token_stats", "token_entropy",
+        "langid", "median_hist", "word_count_topk", "tfidf_top_terms",
+        "weighted_sample", "bigram_topk", "dup_chunk_ratio", "top_bigram_fraction",
+        "sample_deterministic", "train_test_split",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -169,7 +172,9 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "asof_join", "latest_event_per_user", "sessionize", "value_lead_dense",
         "window_cumsum", "hourly_event_window", "count_distinct_users",
         "hopping_window", "funnel_stages", "value_ranks", "lag_value_delta",
-        "pivot_event_sums",
+        "pivot_event_sums", "rolling_avg_events", "views_before_click",
+        "intersect_users", "except_users", "unpivot_event_sums", "value_histogram",
+        "json_props_sum", "event_quartiles",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
