@@ -356,12 +356,55 @@ def _users_of_pred(sf_dir: str, event_type: str, min_value: float) -> "ray.data.
 
 
 def q_intersect_users(sf_dir: str) -> "ray.data.Dataset":
-    """INTERSECT: users with both a 'purchase' and an 'error' event —
-    distinct per side, then inner-joined on the key (no row payload moves)."""
-    a = _users_of(sf_dir, "purchase")
-    b = _users_of(sf_dir, "error")
-    return a.join(b, join_type="inner", num_partitions=4, on=("user_id",)).select_columns(
-        ["user_id"]
+    """INTERSECT: users with both a 'purchase' and an 'error' event.
+
+    Expressed as tag → union → one groupby(user_id) over the two
+    pre-distinct key streams (only (user_id, 2×int8 tag) rows ever
+    shuffle): ``Dataset.join`` was the natural spelling, but Ray 2.49's
+    hash-shuffle join crashes with ArrowInvalid when one side is
+    legitimately EMPTY (its shuffled partitions carry no user_id field,
+    seeded schema or not) — and an empty filtered slice is routine at
+    scale. The union+groupby form is the same single all-to-all exchange,
+    handles the empty side by construction, and needs no driver state
+    (hypothesis-found crash)."""
+    from metareadability_ray.util import with_schema_seed
+
+    def tag(in_a: int, in_b: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "in_a": pa.array([in_a] * n, pa.int64()),
+                    "in_b": pa.array([in_b] * n, pa.int64()),
+                }
+            )
+
+        return f
+
+    a = _users_of(sf_dir, "purchase").map_batches(
+        tag(1, 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    b = _users_of(sf_dir, "error").map_batches(
+        tag(0, 1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = with_schema_seed(
+        a.union(b),
+        pa.schema([("user_id", pa.int64()), ("in_a", pa.int64()), ("in_b", pa.int64())]),
+    )
+    merged = both.groupby("user_id").aggregate(
+        Sum("in_a", alias_name="in_a"), Sum("in_b", alias_name="in_b")
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(batch.column("in_a"), 0), pc.greater(batch.column("in_b"), 0)
+        )
+        return batch.filter(mask).select(["user_id"])
+
+    return with_schema_seed(
+        merged.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("user_id", pa.int64())]),
     )
 
 
@@ -380,7 +423,13 @@ def q_except_users(sf_dir: str) -> "ray.data.Dataset":
     def anti(batch: pa.Table) -> pa.Table:
         return batch.filter(keyset_mask(big_err_ref, batch.column("user_id"), negate=True))
 
-    return buyers.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    from metareadability_ray.util import with_schema_seed
+
+    # empty buyers side → legit 0 rows; the (user_id) contract must survive
+    return with_schema_seed(
+        buyers.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("user_id", pa.int64())]),
+    )
 
 
 # ----------------------------------------------------------------- HLL sketch

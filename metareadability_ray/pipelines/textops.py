@@ -304,9 +304,16 @@ def q_langid(sf_dir: str) -> "ray.data.Dataset":
 
     def predict(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
+        # null text scores 0 on every marker → 'und', pinned EXPLICITLY on
+        # both engines (the SQL oracle coalesces text to ''): without the
+        # fill_null the null rows ride through argmax as NaN and the CASE
+        # chain on the SQL side falls through to its ELSE arm instead —
+        # hypothesis-found divergence on generated null-text corpora.
         scores = np.stack(
             [
-                pc.cast(pc.count_substring_regex(text, rx), pa.int64()).to_numpy(zero_copy_only=False)
+                pc.fill_null(
+                    pc.cast(pc.count_substring_regex(text, rx), pa.int64()), 0
+                ).to_numpy(zero_copy_only=False)
                 for _, rx in _LANG_MARKERS
             ]
         )  # (n_langs, n_rows)

@@ -63,13 +63,19 @@ def q_word_count_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         u, c = np.unique(toks.astype(str), return_counts=True)
         return pa.table({"token": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())})
 
-    return (
+    from metareadability_ray.util import seeded_after_limit
+
+    out = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .sort(key=["n", "token"], descending=[True, False])
         .limit(k)
     )
+    # an all-empty corpus is a legit 0-row result but must keep the
+    # (token, n) contract — Sort drops the schema when total rows = 0
+    # (hypothesis-found)
+    return seeded_after_limit(out, pa.schema([("token", pa.string()), ("n", pa.int64())]))
 
 
 # ----------------------------------------------------------- bottom-k sample
@@ -201,11 +207,19 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         u, c = np.unique(pairs.f1, return_counts=True)
         return pa.table({"token": pa.array(u, pa.string()), "df": pa.array(c, pa.int64())})
 
-    df_t = pa.concat_tables(
-        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+    # an all-null corpus has an EMPTY vocabulary: concat_tables([]) raises
+    # (hypothesis-found crash), so fall back to a typed empty df table
+    _df_schema = pa.schema([("token", pa.string()), ("df", pa.int64())])
+    df_batches = [
+        b
+        for b in ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
         .iter_batches(batch_format="pyarrow")
+        if b.num_columns
+    ]
+    df_t = (
+        pa.concat_tables(df_batches) if df_batches else _df_schema.empty_table()
     )
     df_ref = lookup_ref(df_t.column("token"), df_t.column("df"))
 
@@ -240,4 +254,17 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
             }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    from metareadability_ray.util import with_schema_seed
+
+    # empty/all-null corpus → 0 rows must still carry the 4-column contract
+    return with_schema_seed(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("token", pa.string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+            ]
+        ),
+    )

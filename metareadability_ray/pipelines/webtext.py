@@ -285,13 +285,17 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         u, c = np.unique(np.asarray(grams, dtype=object).astype(str), return_counts=True)
         return pa.table({"bigram": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())})
 
-    return (
+    from metareadability_ray.util import seeded_after_limit
+
+    out = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
         .sort(key=["n", "bigram"], descending=[True, False])
         .limit(k)
     )
+    # single-token / empty corpus → legit 0 bigrams; keep the schema
+    return seeded_after_limit(out, pa.schema([("bigram", pa.string()), ("n", pa.int64())]))
 
 
 # ---------------------------------------------------- quality signals (doc)

@@ -211,11 +211,13 @@ REGISTRY: dict[str, QASpec] = {
         T.q_langid,
         r"""
         WITH s AS (
-            SELECT length(regexp_extract_all(text, '\b(the|and|of|to|a)\b'))    AS s_en,
-                   length(regexp_extract_all(text, '\b(el|la|de|que|los)\b'))   AS s_es,
-                   length(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
-                   length(regexp_extract_all(text, '\b(le|les|des|et|une)\b'))  AS s_fr,
-                   length(regexp_extract_all(text, '[一-鿿]'))                   AS s_zh
+            -- coalesce pins null text to score 0 on every marker -> 'und',
+            -- matching the Ray kernel's fill_null(0) exactly
+            SELECT length(regexp_extract_all(coalesce(text, ''), '\b(the|and|of|to|a)\b'))    AS s_en,
+                   length(regexp_extract_all(coalesce(text, ''), '\b(el|la|de|que|los)\b'))   AS s_es,
+                   length(regexp_extract_all(coalesce(text, ''), '\b(der|die|und|das|ist)\b')) AS s_de,
+                   length(regexp_extract_all(coalesce(text, ''), '\b(le|les|des|et|une)\b'))  AS s_fr,
+                   length(regexp_extract_all(coalesce(text, ''), '[一-鿿]'))                   AS s_zh
             FROM documents
         ), p AS (
             SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'

@@ -128,3 +128,20 @@ def with_schema_seed(ds: "ray.data.Dataset", schema: "pa.Schema") -> "ray.data.D
 
     seed = pa.table({f.name: pa.array([], f.type) for f in schema})
     return ds.union(ray.data.from_arrow(seed))
+
+
+def seeded_after_limit(ds: "ray.data.Dataset", schema: "pa.Schema") -> "ray.data.Dataset":
+    """:func:`with_schema_seed` for a dataset whose plan ends in ``Limit``.
+
+    Two Ray 2.49 quirks compose here: (a) ``Sort`` emits schema-less blocks
+    when the total row count is 0, so a top-k over a legitimately-empty
+    aggregate loses its column contract; (b) the planner asserts
+    (``len(physical_children) >= 2``) when a ``Union`` directly follows a
+    ``Limit``, so the seed can't be appended as-is. A no-op identity
+    ``map_batches`` between the two keeps the plan legal; the seed block
+    then restores the schema exactly as in :func:`with_schema_seed`."""
+
+    def _ident(batch: pa.Table) -> pa.Table:
+        return batch
+
+    return with_schema_seed(ds.map_batches(_ident, batch_format="pyarrow"), schema)
