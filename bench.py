@@ -353,6 +353,11 @@ def main() -> None:
         "flagship_shots_docs_per_sec": [s["docs_per_sec"] for s in shots],
     }
     if not args.extract_only:
+        # Print the headline line FIRST (round-2 verdict #9: BENCH_r02's tail
+        # was truncated before the combined line, losing the flagship number).
+        # The slow query sweep below re-prints the full record at the end;
+        # either line alone carries the headline metric.
+        print(json.dumps(result), flush=True)
         # page-size-annotated baseline (round-1 verdict #10): the headline
         # corpus has ~2 KiB synthetic pages; this row measures real ~50 KiB
         # article pages so docs/s is comparable to the SURVEY §6 envelope.

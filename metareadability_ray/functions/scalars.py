@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 __all__ = [
     "stable_hash64",
     "md5_hex",
+    "re2_tokens",
     "norm_ws",
     "token_count",
     "json_get_int",
@@ -38,6 +39,23 @@ def stable_hash64(strings: np.ndarray) -> np.ndarray:
     import pandas as pd
 
     return pd.util.hash_array(strings, categorize=False).view(np.int64)
+
+
+import re as _re
+
+# RE2 (= DuckDB regexp / pyarrow compute) "\S" is exactly [^\t\n\f\r ]:
+# NO \x0b (vertical tab) and NO Unicode whitespace (\xa0,  , ...),
+# unlike Python str.split() / re-module \s. Every tokenizer that twins a
+# SQL regexp_extract_all(text, '\S+') oracle must use this class, verified
+# char-by-char against DuckDB in tests/test_scalars_properties.py.
+_RE2_TOKEN = _re.compile(r"[^\t\n\x0c\r ]+")
+
+
+def re2_tokens(t: str | None) -> list[str]:
+    """Tokenize exactly like RE2 ``\\S+`` (the DuckDB / pyarrow regex
+    engine) — the cross-engine token stream every shingle/bigram/chunk
+    oracle twin depends on. None/empty → []."""
+    return _RE2_TOKEN.findall(t) if t else []
 
 
 def md5_hex(arr: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -47,8 +47,9 @@ from metareadability_ray.state import manifest as mf
 def _drop_done(batch: pa.Table, done_pids: frozenset[int]) -> pa.Table:
     if not done_pids:
         return batch
-    mask = [pid not in done_pids for pid in batch.column("partition_id").to_pylist()]
-    return batch.filter(pa.array(mask, pa.bool_()))
+    done = pa.array(sorted(done_pids), pa.int64())
+    keep = pc.invert(pc.is_in(batch.column("partition_id"), value_set=done))
+    return batch.filter(keep)
 
 
 def _make_write_partition(out_dir: str, input_files: list[str]):

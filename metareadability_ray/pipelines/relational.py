@@ -171,7 +171,14 @@ def q_broadcast_join_part(sf_dir: str) -> "ray.data.Dataset":
         Sum("l_quantity", alias_name="sum_qty"),
         Count(alias_name="n_items"),
     )
-    return _fmt_cols(agg, {"sum_qty": 2})
+    from metareadability_ray.util import with_schema_seed
+
+    # schema seed: every lineitem referencing a missing part is legal input
+    # (inner join drops all rows) and must still yield the typed empty result
+    return with_schema_seed(
+        _fmt_cols(agg, {"sum_qty": 2}),
+        pa.schema([("p_brand", pa.string()), ("sum_qty", pa.string()), ("n_items", pa.int64())]),
+    )
 
 
 def q_semi_join_customers(sf_dir: str) -> "ray.data.Dataset":
@@ -287,16 +294,26 @@ def q_json_props_sum(sf_dir: str) -> "ray.data.Dataset":
     """JSON field extraction (vectorized regex, no Python json loop) + rollup."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
 
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     def extract_k(batch: pa.Table) -> pa.Table:
         m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
-        return pa.table({"event_type": batch.column("event_type"), "k": k})
+        # NULL is a legal GROUP BY key; Ray's sort groupby is not null-safe,
+        # so the key rides encoded ('V'+v / 'N') and is decoded after
+        return pa.table({"event_type": enc_null_key(batch.column("event_type")), "k": k})
 
-    return (
+    agg = (
         ds.map_batches(extract_k, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type")
         .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
     )
+
+    def dec(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("event_type")
+        return batch.set_column(i, "event_type", dec_null_key(batch.column("event_type")))
+
+    return agg.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_hourly_event_window(sf_dir: str) -> "ray.data.Dataset":
@@ -304,12 +321,15 @@ def q_hourly_event_window(sf_dir: str) -> "ray.data.Dataset":
     the windowed-aggregate pattern (window key = groupby key)."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     def add_hour(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
         return pa.table(
             {
                 "hour": hour,
-                "event_type": batch.column("event_type"),
+                # null-safe group key (Ray sort groupby crashes on None<str)
+                "event_type": enc_null_key(batch.column("event_type")),
                 "value": batch.column("value"),
             }
         )
@@ -319,4 +339,9 @@ def q_hourly_event_window(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["hour", "event_type"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     )
-    return _fmt_cols(agg, {"sum_value": 2})
+
+    def dec(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("event_type")
+        return batch.set_column(i, "event_type", dec_null_key(batch.column("event_type")))
+
+    return _fmt_cols(agg.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True), {"sum_value": 2})

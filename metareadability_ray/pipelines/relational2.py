@@ -71,22 +71,28 @@ def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
         g = group.take(idx)
         types = np.asarray(g.column("event_type").to_pylist())
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        vals = g.column("value").to_numpy(zero_copy_only=False)
+        # a matched view's NULL value must stay NULL (not NaN-via-numpy) —
+        # track validity alongside the 0-filled values
+        vcol = g.column("value")
+        vvalid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False)
         eids = g.column("event_id").to_numpy(zero_copy_only=False)
         uid = g.column("user_id")[0].as_py()
         is_click = types == "click"
         is_view = types == "view"
         click_ts, click_eid = ts[is_click], eids[is_click]
-        view_ts, view_vals = ts[is_view], vals[is_view]
+        view_ts, view_vals, view_valid = ts[is_view], vals[is_view], vvalid[is_view]
         pos = np.searchsorted(view_ts, click_ts, side="right") - 1
         has = pos >= 0
         # LEFT-join semantics when the user has clicks but zero views: every
         # match is null (np.where would eagerly index the empty view arrays).
         out_view_ts = np.zeros(len(click_ts), dtype=np.int64)
-        out_view_val = np.full(len(click_ts), np.nan)
+        out_view_val = np.zeros(len(click_ts))
+        out_val_ok = np.zeros(len(click_ts), dtype=bool)
         if len(view_ts):
             out_view_ts[has] = view_ts[pos[has]]
             out_view_val[has] = view_vals[pos[has]]
+            out_val_ok[has] = view_valid[pos[has]]
         return pa.table(
             {
                 "event_id": pa.array(click_eid, pa.int64()),
@@ -94,9 +100,7 @@ def q_asof_join(sf_dir: str) -> "ray.data.Dataset":
                 "view_ts": pa.array(
                     [int(t) if h else None for t, h in zip(out_view_ts, has)], pa.int64()
                 ).cast(pa.timestamp("us")),
-                "view_value": pa.array(
-                    [float(v) if h else None for v, h in zip(out_view_val, has)], pa.float64()
-                ),
+                "view_value": pa.array(out_view_val, pa.float64(), mask=~out_val_ok),
             }
         )
 
@@ -132,12 +136,19 @@ def q_window_cumsum(sf_dir: str) -> "ray.data.Dataset":
     def cumsum_group(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
         g = group.take(idx)
-        cs = np.cumsum(g.column("value").to_numpy(zero_copy_only=False))
+        # SQL running sum SKIPS null values and is NULL until the first
+        # non-null one — use Arrow validity, never to_numpy's null→NaN
+        col = g.column("value")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        cs = np.cumsum(pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False))
+        seen = np.cumsum(valid) > 0
         return pa.table(
             {
                 "event_id": g.column("event_id"),
                 "user_id": g.column("user_id"),
-                "cum_value": pa.array(np.char.mod("%.2f", cs), pa.string()),
+                "cum_value": pa.array(
+                    np.char.mod("%.2f", cs).astype(object), pa.string(), mask=~seen
+                ),
             }
         )
 
@@ -183,21 +194,32 @@ def q_rolling_avg_events(sf_dir: str) -> "ray.data.Dataset":
     def roll(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
         g = group.take(idx)
-        v = g.column("value").to_numpy(zero_copy_only=False)
+        # SQL avg() over a ROWS frame: null rows occupy frame positions but
+        # contribute neither to the sum nor the count; an all-null frame is
+        # NULL. Compute frame sum and frame non-null COUNT with the same
+        # shifted adds (Arrow validity, not null→NaN).
+        col = g.column("value")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
         n = len(v)
-        # frame sums in DuckDB's frame order (oldest→newest): v[i-2]+v[i-1]+v[i]
-        s = v.copy()
+        s, c = v.copy(), valid.copy()
         if n > 1:
             s[1:] = v[:-1] + v[1:]
+            c[1:] = valid[:-1] + valid[1:]
         if n > 2:
             s[2:] = v[:-2] + v[1:-1] + v[2:]
-        cnt = np.minimum(np.arange(n) + 1, 3)
-        avg = s / cnt
+            c[2:] = valid[:-2] + valid[1:-1] + valid[2:]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = s / c
         return pa.table(
             {
                 "event_id": g.column("event_id"),
                 "user_id": g.column("user_id"),
-                "avg3": pa.array(np.char.mod("%.2f", avg), pa.string()),
+                "avg3": pa.array(
+                    np.char.mod("%.2f", np.where(c > 0, avg, 0.0)).astype(object),
+                    pa.string(),
+                    mask=c == 0,
+                ),
             }
         )
 

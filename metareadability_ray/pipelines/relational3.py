@@ -39,16 +39,20 @@ def q_count_distinct_users(sf_dir: str) -> "ray.data.Dataset":
     distinct-pair cardinality after in-block combining, not event count."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
 
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         # in-batch combiner: each (type, user) pair crosses the shuffle once
         # per block at most, regardless of how hot the pair is. Bucket on
         # the user so the global pair-distinct runs per bucket (pair
         # cardinality ≈ corpus — the high-cardinality groupby discipline).
+        # event_type rides null-encoded: NULL is a legal group key and the
+        # final Ray groupby is not null-safe.
         g = batch.group_by(["event_type", "user_id"]).aggregate([])
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "event_type": g.column("event_type"),
+                "event_type": enc_null_key(g.column("event_type")),
                 "user_id": g.column("user_id"),
                 "__b": pa.array(uid % np.int64(64), pa.int64()),
             }
@@ -66,13 +70,19 @@ def q_count_distinct_users(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    agg = (
         ds.map_batches(dedup_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(bucket_count, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+    def dec(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("event_type")
+        return batch.set_column(i, "event_type", dec_null_key(batch.column("event_type")))
+
+    return agg.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------------------------ pivot
@@ -140,7 +150,10 @@ def q_pivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
     def fmt(batch: pa.Table) -> pa.Table:
         for t in _PIVOT_TYPES:
             i = batch.column_names.index(f"sum_{t}")
-            batch = batch.set_column(i, f"sum_{t}", fmt_fixed(batch.column(f"sum_{t}"), 2))
+            # coalesce(sum FILTER, 0): a user whose only matching rows have
+            # NULL value sums to NULL — the SQL twin coalesces that to 0
+            col = pc.fill_null(batch.column(f"sum_{t}"), 0.0)
+            batch = batch.set_column(i, f"sum_{t}", fmt_fixed(col, 2))
         return batch
 
     return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
@@ -219,7 +232,8 @@ def q_unpivot_event_sums(sf_dir: str) -> "ray.data.Dataset":
         for t in _PIVOT_TYPES:
             uids.append(uid.combine_chunks() if isinstance(uid, pa.ChunkedArray) else uid)
             kinds.append(pa.array([f"sum_{t}"] * n, pa.string()))
-            vals.append(fmt_fixed(batch.column(f"sum_{t}"), 2))
+            # same coalesce(…, 0) as the pivot: all-null contributions → 0
+            vals.append(fmt_fixed(pc.fill_null(batch.column(f"sum_{t}"), 0.0), 2))
         return pa.table(
             {
                 "user_id": pa.concat_arrays(uids),
@@ -321,12 +335,15 @@ def q_lag_value_delta(sf_dir: str) -> "ray.data.Dataset":
     def lag_group(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
         g = group.take(idx)
-        v = g.column("value").to_numpy(zero_copy_only=False)
-        delta = np.empty_like(v)
-        delta[0] = np.nan
+        # SQL NULL arithmetic: value − lag(value) is NULL when EITHER side
+        # is NULL (as well as on the first row) — use Arrow validity
+        col = g.column("value")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
+        delta = np.zeros_like(v)
         delta[1:] = v[1:] - v[:-1]
-        mask = np.zeros(len(v), dtype=bool)
-        mask[0] = True
+        mask = np.ones(len(v), dtype=bool)
+        mask[1:] = ~(valid[1:] & valid[:-1])
         return pa.table(
             {
                 "event_id": g.column("event_id"),
@@ -605,10 +622,17 @@ def q_views_before_click(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return bucketed_map_groups(
-        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
-        "user_id",
-        window_count,
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        bucketed_map_groups(
+            ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            window_count,
+        ),
+        # an events table with no clicks/views at all is legal input; the
+        # empty result must keep its column contract
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()), ("n_views", pa.int64())]),
     )
 
 
@@ -656,21 +680,6 @@ def q_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
             merged |= np.asarray(row, dtype=np.uint8)
     bloom_ref = ray.put(merged)
 
-    # exact verify set: distinct urgent keys built DISTRIBUTEDLY (groupby
-    # distinct of the already-filtered build side — the driver holds only
-    # the distinct set, never an orders column; at true scale the verify
-    # would be a shuffled hash-join of the bloom survivors instead)
-    from metareadability_ray.util import distinct_keys_ref
-
-    def urgent_keys(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
-        return batch.filter(mask).select(["o_orderkey"])
-
-    exact_ref = distinct_keys_ref(
-        urgent.map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True),
-        "o_orderkey",
-    )
-
     items = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -680,12 +689,50 @@ def q_bloom_semi_join(sf_dir: str) -> "ray.data.Dataset":
         hit = (
             ((bits[i1 >> 3] >> (i1 & 7)) & 1) & ((bits[i2 >> 3] >> (i2 & 7)) & 1)
         ).astype(bool)
-        survivors = batch.filter(pa.array(hit))
-        # exact pass over the (tiny) bloom-positive stream
-        verified = pc.is_in(survivors.column("l_orderkey"), value_set=ray.get(exact_ref))
-        return survivors.filter(verified)
+        return batch.filter(pa.array(hit))
 
-    return items.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    survivors = items.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exact verify of the bloom-positive stream: a SHUFFLED reduce-side
+    # semi-join against the distributed-distinct urgent keys (round-2
+    # verdict #10 — no driver-held exact set keyed by a fact table). The
+    # shuffle is bounded by bloom survivors + distinct build keys, i.e. the
+    # true semi-join output plus the bloom's false positives.
+    from metareadability_ray.pipelines.textops import bucketed_distinct, reduce_side_attach
+    from metareadability_ray.util import with_schema_seed
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return batch.filter(mask).select(["o_orderkey"])
+
+    urgent_distinct = bucketed_distinct(
+        urgent.map_batches(urgent_keys, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey",
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, np.int8), pa.int8())
+        )
+
+    verified = reduce_side_attach(
+        survivors,
+        "l_orderkey",
+        [("l_orderkey", pa.int64()), ("l_quantity", pa.float64())],
+        urgent_distinct.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey",
+        "__one",
+        "__hit",
+        pa.int8(),
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__hit"])
+
+    return with_schema_seed(
+        verified.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("l_orderkey", pa.int64()), ("l_quantity", pa.float64())]),
+    )
 
 
 # -------------------------------------------------------- z-score standardize
@@ -748,69 +795,96 @@ def q_zscore_events(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ------------------------------------------------------------- quantile sketch
-_QSK_SAMPLES_PER_BATCH = 512
+_QSK_BUCKET = 0.25  # fixed histogram width; value error ≤ one bucket
 
 
 def _quantile_partial(batch: pa.Table) -> pa.Table:
-    """Uniform-stride quantile sketch partial: per (batch, event_type), keep
-    every k-th order statistic of `value` with weight k (k sized so ≤512
-    samples leave the batch). Rank error per partial ≤ k, so the merged
-    estimate's rank error is bounded by (#partials × k)/2 ≪ n. Mergeable by
-    concatenation — the shuffle carries samples, not rows."""
-    types = np.asarray(batch.column("event_type").to_pylist())
-    vals = batch.column("value").to_numpy(zero_copy_only=False)
-    out_t: list[str] = []
-    out_v: list[float] = []
-    out_w: list[int] = []
-    for t in np.unique(types):
-        v = np.sort(vals[types == t])
-        k = max(1, int(np.ceil(len(v) / _QSK_SAMPLES_PER_BATCH)))
-        idx = np.arange(len(v) // k) * k + (k - 1)  # last element of each stride
-        out_t.extend([str(t)] * (len(idx) + (1 if len(v) % k else 0)))
-        out_v.extend(v[idx].tolist())
-        out_w.extend([k] * len(idx))
-        rem = len(v) % k
-        if rem:
-            out_v.append(float(v[-1]))
-            out_w.append(rem)
+    """Fixed-width-histogram quantile sketch partial: per (event_type,
+    bucket = floor(value/w)) count. Counts merge by addition, so — unlike a
+    per-batch stride/sample sketch — the merged sketch is IDENTICAL under
+    any batching/parallelism, which is what lets the registered query carry
+    an exact DuckDB oracle (round-2 verdict #3: the one driver `err` was
+    this query's missing oracle). Error model: the returned quantile is the
+    lower edge of the bucket where the cumulative count crosses q·n, i.e.
+    within one bucket width of the true quantile; sketch size is bounded by
+    the value range / w per key, never by row count. NULL values are
+    dropped (SQL aggregate semantics); NULL event_type is a group."""
+    t = batch.filter(pc.is_valid(batch.column("value")))
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+    b = pc.cast(pc.floor(pc.divide(t.column("value"), _QSK_BUCKET)), pa.int64())
+    part = pa.table({"event_type": t.column("event_type"), "b": b})
+    g = part.group_by(["event_type", "b"]).aggregate([("b", "count")])
     return pa.table(
         {
-            "event_type": pa.array(out_t, pa.string()),
-            "value": pa.array(out_v, pa.float64()),
-            "weight": pa.array(out_w, pa.int64()),
+            "event_type": g.column("event_type"),
+            "b": g.column("b"),
+            "c": g.column("b_count").cast(pa.int64()),
+        }
+    )
+
+
+def _quantile_merge(group: pa.Table) -> pa.Table:
+    """Merge one event_type's histogram partials and pick p50/p90/p99: the
+    first bucket (ascending) whose cumulative count reaches q·n, compared in
+    exact integer arithmetic (cum·100 ≥ q100·n) so the crossing is
+    bit-identical to the SQL twin's CASE filter."""
+    b = group.column("b").to_numpy(zero_copy_only=False)
+    c = group.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    b, c = b[order], c[order]
+    # partials of the same bucket from different blocks: sum by run-length
+    edges = np.concatenate(([True], b[1:] != b[:-1]))
+    ub = b[edges]
+    uc = np.add.reduceat(c, np.nonzero(edges)[0])
+    cum = np.cumsum(uc)
+    n = int(cum[-1])
+    out: dict[str, list] = {"event_type": [group.column("event_type")[0].as_py()]}
+    for q100, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+        i = int(np.searchsorted(cum * 100, q100 * n, side="left"))
+        out[col] = [f"{ub[i] * _QSK_BUCKET:.2f}"]
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "p50": pa.array(out["p50"], pa.string()),
+            "p90": pa.array(out["p90"], pa.string()),
+            "p99": pa.array(out["p99"], pa.string()),
         }
     )
 
 
 def q_quantile_sketch_value(sf_dir: str) -> "ray.data.Dataset":
     """Approximate p50/p90/p99 of `value` per event_type via a mergeable
-    uniform-stride sketch (the quantile twin of the HLL distinct sketch:
-    partial per batch, merge per key). Rows-only for the driver; rank
-    accuracy vs the exact quantile is pinned in tests."""
+    fixed-width-histogram sketch (the quantile twin of the HLL distinct
+    sketch: partial per batch, merge per key). Deterministic under any
+    batching, so the driver hash-checks it against an exact SQL twin; the
+    one-bucket error bound vs the true quantile is pinned in tests."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    from metareadability_ray.util import null_safe_map_groups, with_schema_seed
 
-    def merge(group: pa.Table) -> pa.Table:
-        v = group.column("value").to_numpy(zero_copy_only=False)
-        w = group.column("weight").to_numpy(zero_copy_only=False)
-        order = np.argsort(v, kind="stable")
-        v, w = v[order], w[order]
-        cum = np.cumsum(w)
-        total = cum[-1]
-        picks = [v[np.searchsorted(cum, q * total, side="left")] for q in (0.5, 0.9, 0.99)]
-        return pa.table(
-            {
-                "event_type": group.column("event_type").slice(0, 1),
-                "n": pa.array([int(total)], pa.int64()),
-                "p50": pa.array([picks[0]], pa.float64()),
-                "p90": pa.array([picks[1]], pa.float64()),
-                "p99": pa.array([picks[2]], pa.float64()),
-            }
-        )
-
-    return (
-        ds.map_batches(_quantile_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .map_groups(merge, batch_format="pyarrow")
+    merged = null_safe_map_groups(
+        ds.map_batches(_quantile_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        _quantile_merge,
+    )
+    return with_schema_seed(
+        merged,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("p50", pa.string()),
+                ("p90", pa.string()),
+                ("p99", pa.string()),
+            ]
+        ),
     )
 
 

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
+from metareadability_ray.functions.scalars import re2_tokens
 from metareadability_ray.util import auto_actor_concurrency
 
 _TOKEN_RE = r"\S+"
@@ -517,7 +518,7 @@ def q_winnow_fingerprint(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Datas
     def fp(batch: pa.Table) -> pa.Table:
         out_id, out_n, out_min = [], [], []
         for doc_id, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            toks = (t or "").split()
+            toks = re2_tokens(t)
             if len(toks) < k:
                 continue
             grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -648,7 +649,7 @@ def ngram_jaccard_pairs(
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            sh = _shingles((t or "").split(), k)
+            sh = _shingles(re2_tokens(t), k)
             out_s.extend(sh)
             out_d.extend([doc_id] * len(sh))
             out_z.extend([len(sh)] * len(sh))
@@ -843,7 +844,7 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         sigs = [
-            _doc_minhash((t or "").split(), self.a, self.b, self.k, self._cache)
+            _doc_minhash(re2_tokens(t), self.a, self.b, self.k, self._cache)
             for t in batch.column("text").to_pylist()
         ]
         return pa.table(
@@ -1017,7 +1018,7 @@ class SimHasher:
         ids = batch.column("doc_id").to_pylist()
         out = []
         for t in batch.column("text").to_pylist():
-            toks = (t or "").split()
+            toks = re2_tokens(t)
             if not toks:
                 out.append(0)
                 continue

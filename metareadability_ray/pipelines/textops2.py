@@ -23,6 +23,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from metareadability_ray.functions.scalars import re2_tokens
 from metareadability_ray.util import lookup_ref, lookup_take
 
 
@@ -32,15 +33,16 @@ def _p(sf_dir: str, table: str) -> str:
 
 def _batch_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """All (doc_id, token) occurrences of a batch as parallel numpy arrays.
-    ``str.split()`` splits on any whitespace run — identical token stream to
-    the ``\\S+`` regex used by every other textops kernel and the SQL
-    oracles' ``regexp_extract_all(text, '\\S+')``."""
+    ``re2_tokens`` is the exact RE2-``\\S+`` token stream of the SQL
+    oracles' ``regexp_extract_all(text, '\\S+')`` — NOT ``str.split()``,
+    which also splits on \\x0b and Unicode whitespace and diverges on
+    such text (verified vs DuckDB in tests/test_scalars_properties.py)."""
     doc_ids: list[int] = []
     toks: list[str] = []
     for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
         if not t:
             continue
-        parts = t.split()
+        parts = re2_tokens(t)
         doc_ids.extend([did] * len(parts))
         toks.extend(parts)
     return np.asarray(doc_ids, dtype=np.int64), np.asarray(toks, dtype=object)

@@ -41,7 +41,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from metareadability_ray.functions.scalars import stable_hash64
+from metareadability_ray.functions.scalars import re2_tokens, stable_hash64
 from metareadability_ray.pipelines.textops import I64, bucketed_distinct, bucketed_map_groups
 
 _NGRAM_N = 8
@@ -62,7 +62,7 @@ def _batch_shingle_hashes(batch: pa.Table, n: int = _NGRAM_N) -> tuple[np.ndarra
     for i, t in enumerate(batch.column("text").to_pylist()):
         if not t:
             continue
-        toks = t.split()
+        toks = re2_tokens(t)
         if len(toks) < n:
             continue
         gs = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
@@ -148,15 +148,51 @@ def q_decontaminate(sf_dir: str, n: int = _NGRAM_N, bench_mod: int = _BENCH_MOD)
 # -------------------------------------------------------------- shard export
 
 
+def _write_shard_atomic(group: pa.Table, out_dir: str) -> pa.Table:
+    """Write one shard group to ``out_dir/shard=NN/part-0.parquet``
+    atomically (tmp + rename) and return its one-row manifest. Resume rule:
+    an existing final file is NOT rewritten, and its manifest row (n_docs,
+    content_hash) is computed from the BYTES ON DISK — not from the current
+    group — so a rerun after the input changed can never report a hash that
+    disagrees with the file it skipped."""
+    import pyarrow.parquet as pq
+
+    shard = int(group.column("shard")[0].as_py())
+    sdir = os.path.join(out_dir, f"shard={shard:02d}")
+    final = os.path.join(sdir, "part-0.parquet")
+    if os.path.exists(final):  # resume: finished shards are skipped
+        g = pq.read_table(final, columns=["doc_id"]).sort_by("doc_id")
+    else:
+        g = group.drop_columns(["shard"]).sort_by("doc_id")
+        os.makedirs(sdir, exist_ok=True)
+        tmp = final + ".tmp"
+        pq.write_table(g, tmp)
+        os.replace(tmp, final)
+    ids = ",".join(str(d) for d in g.column("doc_id").to_pylist())
+    return pa.table(
+        {
+            "shard": pa.array([shard], I64),
+            "n_docs": pa.array([g.num_rows], I64),
+            "path": pa.array([final], pa.string()),
+            "content_hash": pa.array([hashlib.md5(ids.encode()).hexdigest()], pa.string()),
+        }
+    )
+
+
 def _shard_of(doc_ids: pa.ChunkedArray | pa.Array, num_shards: int) -> np.ndarray:
     """md5 top nibble of the decimal doc_id string, mod num_shards — the
     cross-engine-stable routing the DuckDB oracle reproduces with
-    ``strpos('0123456789abcdef', substr(md5(...),1,1))``."""
-    ids = doc_ids.to_pylist()
-    return np.asarray(
-        [int(hashlib.md5(str(d).encode()).hexdigest()[0], 16) % num_shards for d in ids],
-        dtype=np.int64,
-    )
+    ``strpos('0123456789abcdef', substr(md5(...),1,1))``. One md5
+    implementation repo-wide (scalars.md5_hex); the nibble extraction is
+    Arrow-vectorized (utf8_slice + index_in over the 16 hex digits)."""
+    import pyarrow.compute as pc
+
+    from metareadability_ray.functions.scalars import md5_hex
+
+    hexes = md5_hex(pc.cast(doc_ids, pa.string()))
+    first = pc.utf8_slice_codeunits(hexes, 0, 1)
+    nib = pc.index_in(first, value_set=pa.array(list("0123456789abcdef")))
+    return nib.to_numpy(zero_copy_only=False).astype(np.int64) % num_shards
 
 
 def q_shard_assignment(sf_dir: str, num_shards: int = 16):
@@ -216,32 +252,10 @@ def write_training_shards(sf_dir: str, out_dir: str, num_shards: int = 16) -> pa
             "shard", pa.array(_shard_of(batch.column("doc_id"), num_shards), I64)
         )
 
-    def write_shard(group: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        shard = int(group.column("shard")[0].as_py())
-        sdir = os.path.join(out_dir, f"shard={shard:02d}")
-        final = os.path.join(sdir, "part-0.parquet")
-        g = group.drop_columns(["shard"]).sort_by("doc_id")
-        if not os.path.exists(final):  # resume: finished shards are skipped
-            os.makedirs(sdir, exist_ok=True)
-            tmp = final + ".tmp"
-            pq.write_table(g, tmp)
-            os.replace(tmp, final)
-        ids = ",".join(str(d) for d in g.column("doc_id").to_pylist())
-        return pa.table(
-            {
-                "shard": pa.array([shard], I64),
-                "n_docs": pa.array([g.num_rows], I64),
-                "path": pa.array([final], pa.string()),
-                "content_hash": pa.array([hashlib.md5(ids.encode()).hexdigest()], pa.string()),
-            }
-        )
-
     manifest = bucketed_map_groups(
         docs.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True),
         "shard",
-        write_shard,
+        lambda g: _write_shard_atomic(g, out_dir),
         num_buckets=num_shards,
     )
     parts = [ray.get(r) for r in manifest.to_arrow_refs()]
@@ -268,19 +282,23 @@ def q_value_lead_dense(sf_dir: str):
             group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
         )
         g = group.take(order)
-        vals = g.column("value").to_numpy(zero_copy_only=False)
-        nxt = np.append(vals[1:], np.nan)
-        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)
-        _, inv = np.unique(types, return_inverse=True)
-        n = g.num_rows
+        # lead(value): shift via Arrow slice+concat so a NULL value stays
+        # NULL (SQL lead() semantics) instead of becoming NaN through numpy
+        vals = g.column("value").combine_chunks().cast(pa.float64())
+        nxt = pa.concat_arrays([vals.slice(1), pa.array([None], pa.float64())])
+        # dense_rank over event_type with DuckDB's default NULLS LAST: all
+        # NULL types share one rank AFTER every non-null distinct type
+        types = g.column("event_type").to_pylist()
+        nonnull = sorted({t for t in types if t is not None})
+        rank_of = {t: i + 1 for i, t in enumerate(nonnull)}
+        null_rank = len(nonnull) + 1
+        ranks = [rank_of[t] if t is not None else null_rank for t in types]
         return pa.table(
             {
                 "event_id": g.column("event_id").cast(I64),
                 "user_id": g.column("user_id").cast(I64),
-                "next_value": pa.array(
-                    [None if i == n - 1 else float(v) for i, v in enumerate(nxt)], pa.float64()
-                ),
-                "type_rank": pa.array(inv + 1, I64),
+                "next_value": nxt,
+                "type_rank": pa.array(ranks, I64),
             }
         )
 
@@ -334,33 +352,10 @@ def export_curated_shards(sf_dir: str, out_dir: str, num_shards: int = 16) -> pa
             "shard", pa.array(_shard_of(batch.column("doc_id"), num_shards), I64)
         )
 
-    def write_shard(group: pa.Table) -> pa.Table:
-        import hashlib as _h
-        import pyarrow.parquet as pq
-
-        shard = int(group.column("shard")[0].as_py())
-        sdir = os.path.join(out_dir, f"shard={shard:02d}")
-        final = os.path.join(sdir, "part-0.parquet")
-        g = group.drop_columns(["shard"]).sort_by("doc_id")
-        if not os.path.exists(final):
-            os.makedirs(sdir, exist_ok=True)
-            tmp = final + ".tmp"
-            pq.write_table(g, tmp)
-            os.replace(tmp, final)
-        ids = ",".join(str(d) for d in g.column("doc_id").to_pylist())
-        return pa.table(
-            {
-                "shard": pa.array([shard], I64),
-                "n_docs": pa.array([g.num_rows], I64),
-                "path": pa.array([final], pa.string()),
-                "content_hash": pa.array([_h.md5(ids.encode()).hexdigest()], pa.string()),
-            }
-        )
-
     manifest = bucketed_map_groups(
         clean.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True),
         "shard",
-        write_shard,
+        lambda g: _write_shard_atomic(g, out_dir),
         num_buckets=num_shards,
     )
     parts = [ray.get(r) for r in manifest.to_arrow_refs()]

@@ -46,7 +46,7 @@ def _batch_chunks(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
         if not t:
             continue
-        toks = t.split()
+        toks = re2_tokens(t)
         cs = [" ".join(toks[i : i + _CHUNK_W]) for i in range(0, len(toks), _CHUNK_W)]
         doc_ids.extend([did] * len(cs))
         chunks.extend(cs)
@@ -59,6 +59,7 @@ def _empty(schema: dict[str, pa.DataType]) -> pa.Table:
 
 # ------------------------------------------------ cross-doc repeated chunks
 # canonical impl lives in the scalar-function library
+from metareadability_ray.functions.scalars import re2_tokens  # noqa: E402
 from metareadability_ray.functions.scalars import stable_hash64 as _stable_hash64  # noqa: E402
 
 
@@ -278,7 +279,7 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         for t in batch.column("text").to_pylist():
             if not t:
                 continue
-            toks = t.split()
+            toks = re2_tokens(t)
             grams.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
         if not grams:
             return _empty({"bigram": pa.string(), "n": pa.int64()})
@@ -315,7 +316,7 @@ def q_token_entropy(sf_dir: str) -> "ray.data.Dataset":
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
             if not t:
                 continue
-            toks = t.split()
+            toks = re2_tokens(t)
             if not toks:
                 continue
             _, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
@@ -344,7 +345,7 @@ def q_top_bigram_fraction(sf_dir: str) -> "ray.data.Dataset":
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
             if not t:
                 continue
-            toks = t.split()
+            toks = re2_tokens(t)
             if len(toks) < 2:
                 continue
             grams = np.asarray([f"{a} {b}" for a, b in zip(toks, toks[1:])], dtype=object)
@@ -377,7 +378,7 @@ def q_gopher_repetition(sf_dir: str) -> "ray.data.Dataset":
         for n in (2, 3, 4):
             cols[f"n{n}"] = []
         for t in batch.column("text").to_pylist():
-            toks = t.split() if t else []
+            toks = re2_tokens(t)
             for n in (2, 3, 4):
                 if len(toks) < n:
                     cols[f"top{n}_n"].append(0)
@@ -501,7 +502,7 @@ def q_curated_corpus(sf_dir: str) -> "ray.data.Dataset":
         # the bigram vocabulary is doc-local, nothing crosses docs).
         bi_ok = np.zeros(len(ids), dtype=bool)
         for j, t in enumerate(texts):
-            toks = t.split() if t else []
+            toks = re2_tokens(t)
             if len(toks) < 2:
                 continue
             grams = np.asarray(
@@ -537,6 +538,11 @@ def q_event_quartiles(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def quart(group: pa.Table) -> pa.Table:
+        # ORDER BY value NULLS LAST (DuckDB default; Arrow sort_indices
+        # places nulls at_end) — null rows still occupy NTILE positions,
+        # but min()/max() skip them: a quartile slice's min is its first
+        # VALID value and its max its last valid one (nulls sort last
+        # within the slice too), or NULL for an all-null slice.
         idx = pc.sort_indices(
             group, sort_keys=[("value", "ascending"), ("event_id", "ascending")]
         )
@@ -547,7 +553,19 @@ def q_event_quartiles(sf_dir: str) -> "ray.data.Dataset":
         sizes = sizes[sizes > 0]
         ends = np.cumsum(sizes)
         starts = ends - sizes
-        v = g.column("value").to_numpy(zero_copy_only=False)
+        col = g.column("value")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
+        mins, maxs = [], []
+        for s, e in zip(starts, ends):
+            sl = valid[s:e]
+            if sl.any():
+                last = e - 1 - int(np.argmax(sl[::-1]))
+                mins.append(float(v[s]) if sl[0] else None)
+                maxs.append(float(v[last]))
+            else:
+                mins.append(None)
+                maxs.append(None)
         return pa.table(
             {
                 "event_type": pa.array(
@@ -555,12 +573,14 @@ def q_event_quartiles(sf_dir: str) -> "ray.data.Dataset":
                 ),
                 "quartile": pa.array(np.arange(1, len(sizes) + 1), pa.int64()),
                 "n": pa.array(sizes, pa.int64()),
-                "min_v": pa.array(v[starts], pa.float64()),
-                "max_v": pa.array(v[ends - 1], pa.float64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
             }
         )
 
-    return ds.groupby("event_type").map_groups(quart, batch_format="pyarrow")
+    from metareadability_ray.util import null_safe_map_groups
+
+    return null_safe_map_groups(ds, "event_type", quart)
 
 
 def q_value_ranks(sf_dir: str) -> "ray.data.Dataset":
@@ -574,26 +594,42 @@ def q_value_ranks(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def ranks(group: pa.Table) -> pa.Table:
+        # ORDER BY value NULLS LAST; SQL window ordering treats NULLs as
+        # EQUAL to each other, so all null rows form one trailing tie group:
+        # rank = (#non-null)+1, dense_rank = (#distinct non-null)+1.
         idx = pc.sort_indices(
             group, sort_keys=[("value", "ascending"), ("event_id", "ascending")]
         )
         g = group.take(idx)
-        v = g.column("value").to_numpy(zero_copy_only=False)
-        n = len(v)
-        rnk = np.searchsorted(v, v, side="left") + 1
-        _, inv = np.unique(v, return_inverse=True)
+        col = g.column("value")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        n = len(valid)
+        nn = int(valid.sum())  # nulls sort last → non-null is a prefix
+        vv = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)[:nn]
+        rnk = np.empty(n, dtype=np.int64)
+        drnk = np.empty(n, dtype=np.int64)
+        rnk[:nn] = np.searchsorted(vv, vv, side="left") + 1
+        rnk[nn:] = nn + 1
+        if nn:
+            _, inv = np.unique(vv, return_inverse=True)
+            drnk[:nn] = inv + 1
+            drnk[nn:] = int(inv.max()) + 2
+        else:
+            drnk[:] = 1
         pct = (rnk - 1) / (n - 1) if n > 1 else np.zeros(n, dtype=np.float64)
         return pa.table(
             {
                 "event_id": g.column("event_id"),
                 "event_type": g.column("event_type"),
                 "rnk": pa.array(rnk, pa.int64()),
-                "drnk": pa.array(inv + 1, pa.int64()),
+                "drnk": pa.array(drnk, pa.int64()),
                 "pct": pa.array(np.char.mod("%.6f", pct), pa.string()),
             }
         )
 
-    return ds.groupby("event_type").map_groups(ranks, batch_format="pyarrow")
+    from metareadability_ray.util import null_safe_map_groups
+
+    return null_safe_map_groups(ds, "event_type", ranks)
 
 
 def q_value_histogram(sf_dir: str) -> "ray.data.Dataset":
@@ -603,15 +639,31 @@ def q_value_histogram(sf_dir: str) -> "ray.data.Dataset":
     rows. Fully Arrow-vectorized (floor/divide/cast)."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["value"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.floor(pc.divide(batch.column("value"), pa.scalar(50.0))), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        u, c = np.unique(b, return_counts=True)
-        return pa.table({"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+    # NULL values form a legal (NULL, count) GROUP BY row. Ray's groupby
+    # can't shuffle a null key, so the bucket rides coalesced to INT64_MIN —
+    # unreachable from CAST(floor(double)) for any event value — and is
+    # restored after the aggregate.
+    _NULL_BUCKET = np.iinfo(np.int64).min
 
-    return (
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch.column("value"), pa.scalar(50.0))), pa.int64())
+        g = pa.table({"bucket": b}).group_by("bucket").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "bucket": pc.fill_null(g.column("bucket"), _NULL_BUCKET),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .aggregate(Sum("n", alias_name="n"))
     )
+
+    def dec(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket")
+        restored = pc.if_else(pc.equal(b, _NULL_BUCKET), pa.scalar(None, pa.int64()), b)
+        return pa.table({"bucket": restored, "n": batch.column("n").cast(pa.int64())})
+
+    return agg.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)

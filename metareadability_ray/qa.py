@@ -622,7 +622,32 @@ REGISTRY: dict[str, QASpec] = {
         "MR-G2(collect-set)",
     ),
     "quantile_sketch_value": QASpec(
-        R3.q_quantile_sketch_value, None, "MR-G4(quantile-sketch)"
+        R3.q_quantile_sketch_value,
+        # exact twin of the fixed-width-histogram sketch: same buckets
+        # (floor(value/0.25) — power-of-two width, so the division is exact
+        # in both engines), same integer crossing rule cum·100 ≥ q100·n,
+        # same lower-edge pick. The sketch is batching-invariant, which is
+        # what makes this an equality oracle rather than a tolerance check.
+        """
+        WITH h AS (
+            SELECT event_type, CAST(floor(value/0.25) AS BIGINT) AS b,
+                   count(*) AS c
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, b
+        ),
+        cum AS (
+            SELECT event_type, b,
+                   CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS cc,
+                   CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM h
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               printf('%.2f', 0.25*min(CASE WHEN cc*100 >= 50*n THEN b END)) AS p50,
+               printf('%.2f', 0.25*min(CASE WHEN cc*100 >= 90*n THEN b END)) AS p90,
+               printf('%.2f', 0.25*min(CASE WHEN cc*100 >= 99*n THEN b END)) AS p99
+        FROM cum GROUP BY event_type
+        """,
+        "MR-G4(quantile-sketch)",
     ),
     "hopping_window": QASpec(
         R3.q_hopping_window,

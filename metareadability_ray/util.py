@@ -145,3 +145,70 @@ def seeded_after_limit(ds: "ray.data.Dataset", schema: "pa.Schema") -> "ray.data
         return batch
 
     return with_schema_seed(ds.map_batches(_ident, batch_format="pyarrow"), schema)
+
+
+def null_safe_map_groups(
+    ds: "ray.data.Dataset",
+    key: str,
+    fn,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """``ds.groupby(key).map_groups(fn)`` that tolerates NULL group keys.
+
+    Ray 2.49's sort-based groupby crashes on a null key (its partition-
+    boundary searchsorted compares None < str). SQL GROUP BY makes NULL a
+    legal group, and the generated-data conformance suite produces such
+    rows, so grouped queries on nullable columns route through this: shuffle
+    on a 64-bit stable hash of the key (nulls → one fixed bucket), then
+    slice each bucket into per-key sub-tables with one Arrow sort (nulls
+    ordered last) — ``fn`` sees exactly the per-key tables map_groups would
+    pass, including one table whose key column is all-null. Same
+    corpus-cardinality discipline as textops.bucketed_map_groups: Ray's
+    per-group machinery runs once per BUCKET, not once per key."""
+    import numpy as np
+
+    from metareadability_ray.functions.scalars import stable_hash64
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        k = batch.column(key)
+        vals = k.to_numpy(zero_copy_only=False)
+        mask = np.asarray([v is None for v in vals.tolist()], dtype=bool)
+        h = stable_hash64(np.where(mask, "", vals.astype(object)).astype(object))
+        h = np.where(mask, np.int64(0), h % np.int64(num_buckets))
+        return batch.append_column("__b", pa.array(h.astype(np.int64), pa.int64()))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__b"])
+        order = pc.sort_indices(group, sort_keys=[(key, "ascending")])
+        sorted_t = group.take(order)
+        vals = sorted_t.column(key).to_pylist()
+        starts = [0] + [i for i in range(1, len(vals)) if vals[i] != vals[i - 1]]
+        ends = starts[1:] + [len(vals)]
+        outs = [fn(sorted_t.slice(s, e - s)) for s, e in zip(starts, ends)]
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    return (
+        ds.map_batches(add_b, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def enc_null_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Encode a NULLABLE string group-key column so Ray's sort-based groupby
+    (which crashes comparing None < str, Ray 2.49) can shuffle it: value v →
+    'V'+v, null → 'N'. Prefixing makes the encoding collision-free for every
+    possible string — no sentinel-in-data assumption — and order-preserving
+    with nulls FIRST ('N' < 'V'). Invert with :func:`dec_null_key`."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.binary_join_element_wise(pa.array(["V"] * len(col)), col.cast(pa.string()), "")
+    return pc.fill_null(enc, "N")
+
+
+def dec_null_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Inverse of :func:`enc_null_key`: 'N' → null, 'V'+v → v."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    val = pc.utf8_slice_codeunits(col, 1)
+    return pc.if_else(pc.equal(col, "N"), pa.scalar(None, pa.string()), val)

@@ -14,7 +14,11 @@ import pyarrow.parquet as pq
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-_WORD = st.sampled_from(["alpha", "beta", "Gé", "x", "1", "--", "a b"])
+_WORD = st.sampled_from(
+    # \xa0 / \x0b /   pin the RE2-\S+ tokenizer semantics: str.split()
+    # treats them as separators, DuckDB/pyarrow RE2 does NOT (scalars.re2_tokens)
+    ["alpha", "beta", "Gé", "x", "1", "--", "a b", "a\xa0b", "v\x0bt", "p q"]
+)
 _LONG = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # ≥8 tokens: exercises 8-gram paths
 _TEXT = st.one_of(
     st.none(),
@@ -129,14 +133,25 @@ def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory,
 def events_table(draw):
     """Adversarial event shapes: users with clicks but no views (the round-1
     ADVICE crash), duplicate timestamps, single-event users, value NaN-free
-    floats exactly representable both engines."""
+    floats exactly representable both engines, and NULL value / NULL
+    event_type rows (legal per the events schema; the round-2 ADVICE found
+    lead()/dense_rank() mishandled both)."""
     n = draw(st.integers(min_value=1, max_value=16))
     users = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
     types = draw(
-        st.lists(st.sampled_from(["click", "view", "purchase"]), min_size=n, max_size=n)
+        st.lists(
+            st.one_of(st.none(), st.sampled_from(["click", "view", "purchase"])),
+            min_size=n, max_size=n,
+        )
     )
     # duplicate-prone second offsets, including equal ts within a user
     secs = draw(st.lists(st.integers(0, 5000), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(0, 12).map(lambda v: v * 0.5)),
+            min_size=n, max_size=n,
+        )
+    )
     base = dt.datetime(2024, 1, 1)
     return pa.table(
         {
@@ -144,7 +159,7 @@ def events_table(draw):
             "ts": pa.array([base + dt.timedelta(seconds=s * 60) for s in secs], pa.timestamp("us")),
             "user_id": pa.array(users, pa.int64()),
             "event_type": pa.array(types, pa.string()),
-            "value": pa.array([float(i % 7) * 0.5 for i in range(n)], pa.float64()),
+            "value": pa.array(vals, pa.float64()),
             "props": pa.array(['{"k": %d}' % (i % 3) for i in range(n)], pa.string()),
         }
     )

@@ -92,3 +92,43 @@ def test_ivf_topk_recall(ray_session):
         recalls.append(len(hit) / len(e[q]))
         assert recalls[-1] >= 0.6, f"query {q} recall {recalls[-1]}"
     assert sum(recalls) / len(recalls) >= 0.75
+
+
+def test_ivf_partitioned_equals_inbatch_and_prunes_read(ray_session, tmp_path):
+    """The cluster-partitioned IVF (the registered query) returns EXACTLY the
+    in-batch variant's rows, and its scan plan lists only the probed cluster
+    directories — strictly fewer than the written partitions, with read
+    bytes a strict subset of the full index."""
+    import os
+
+    from metareadability_ray.pipelines.vectors import ivf_topk, ivf_topk_partitioned
+
+    idx = str(tmp_path / "ivf_index")
+    read_paths: list = []
+    part = pa.concat_tables(
+        list(
+            ivf_topk_partitioned(SF, index_dir=idx, read_paths_out=read_paths).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    inb = pa.concat_tables(list(ivf_topk(SF).iter_batches(batch_format="pyarrow")))
+
+    def canon(t):
+        return sorted(map(tuple, t.select(sorted(t.column_names)).to_pylist()), key=repr)
+
+    assert canon(part) == canon(inb)
+
+    all_parts = [d for d in os.listdir(idx) if d.startswith("cluster=")]
+    assert read_paths, "partitioned path read nothing"
+
+    read_dirs = {os.path.dirname(p) for p in read_paths}
+    assert len(read_dirs) < len(all_parts), (len(read_dirs), len(all_parts))
+
+    full = sum(
+        os.path.getsize(os.path.join(idx, d, f))
+        for d in all_parts
+        for f in os.listdir(os.path.join(idx, d))
+    )
+    pruned = sum(os.path.getsize(p) for p in read_paths)
+    assert pruned < full, (pruned, full)
