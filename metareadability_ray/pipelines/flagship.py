@@ -203,6 +203,29 @@ def build_extraction_dataset(
     )
 
 
+def _input_coverage(inputs: list[str], num_partitions: int) -> dict[str, list[int]]:
+    """Per input FILE, the sorted set of partition ids its urls hash to —
+    computed from a url-column-only scan (``include_paths``), so the pass
+    reads a sliver of the input bytes. The resulting map is driver-held but
+    bounded by #files × P ints, never by row count."""
+    import numpy as np
+
+    cov_ds = ray.data.read_parquet(inputs, columns=["url"], include_paths=True)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        b = assign_partition(batch, num_partitions)
+        t = pa.table({"path": b.column("path"), "pid": b.column("partition_id").cast(pa.int32())})
+        return t.group_by(["path", "pid"]).aggregate([])
+
+    cov: dict[str, set[int]] = {}
+    for b in cov_ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for path, pid in zip(b.column("path").to_pylist(), b.column("pid").to_pylist()):
+            cov.setdefault(path, set()).add(int(pid))
+    return {k: sorted(v) for k, v in cov.items()}
+
+
 def run_extraction(
     inputs: list[str] | str,
     out_dir: str,
@@ -238,8 +261,37 @@ def run_extraction(
         for sub in (mf.MANIFEST_DIR, mf.DATA_DIR):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
 
+    # shard-level input pruning (round-2 verdict #8): the coverage map
+    # (file → partition ids, from a url-only scan recorded on first resume)
+    # lets a resume read ONLY the files that contain rows of a missing
+    # partition, instead of re-scanning the whole input. Fresh runs skip
+    # the scan entirely — they read everything anyway.
+    effective_inputs = list(inputs)
+    if resume and done:
+        cov = mf.read_coverage(out_dir, num_partitions)
+        if cov is None:
+            cov = _input_coverage(inputs, num_partitions)
+            mf.write_coverage(out_dir, cov, num_partitions)
+        needed = [f for f, pids in cov.items() if any(p not in done for p in pids)]
+        if not needed:
+            # every partition that can have rows is manifested — nothing to run
+            from oracle import SIGNALS_VERSION
+
+            mf.rebuild_sidecars(out_dir, {"signals": SIGNALS_VERSION, "engine": ENGINE_VERSION})
+            return {
+                "out_dir": out_dir,
+                "partitions_run": 0,
+                "partitions_skipped": len(done),
+                "rows_written": 0,
+                "data_dir": os.path.join(out_dir, mf.DATA_DIR),
+                "input_files_scanned": [],
+            }
+        # paths recorded by the url scan are the expanded file paths
+        if len(needed) < len(cov):
+            effective_inputs = sorted(needed)
+
     ds = build_extraction_dataset(
-        inputs,
+        effective_inputs,
         num_partitions=num_partitions,
         concurrency=concurrency,
         batch_size=batch_size,
@@ -274,6 +326,7 @@ def run_extraction(
         "partitions_skipped": len(done),
         "rows_written": rows_written,
         "data_dir": os.path.join(out_dir, mf.DATA_DIR),
+        "input_files_scanned": effective_inputs,
     }
     if return_stats:
         out["stats"] = stats_text

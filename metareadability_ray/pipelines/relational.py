@@ -132,8 +132,13 @@ def q_three_way_join(sf_dir: str) -> "ray.data.Dataset":
     cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
 
     def add_nation(batch: pa.Table) -> pa.Table:
-        names = lookup_take(n_ref, batch.column("c_nationkey"), default="")
-        return batch.append_column("n_name", names)
+        # INNER semantics: a customer whose nation is missing from the dim
+        # is dropped like the SQL join (a default value would fabricate a
+        # phantom nation group — same class the conformance suite falsified
+        # in the broadcast part join)
+        names = lookup_take(n_ref, batch.column("c_nationkey"))
+        b = batch.append_column("n_name", names)
+        return b.filter(pc.is_valid(b.column("n_name")))
 
     cust = cust.map_batches(add_nation, batch_format="pyarrow", zero_copy_batch=True)
     orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
@@ -144,7 +149,12 @@ def q_three_way_join(sf_dir: str) -> "ray.data.Dataset":
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="revenue"),
     )
-    return _fmt_cols(agg, {"revenue": 2})
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        _fmt_cols(agg, {"revenue": 2}),
+        pa.schema([("n_name", pa.string()), ("n_orders", pa.int64()), ("revenue", pa.string())]),
+    )
 
 
 # ---------------------------------------------------------------------- MR-J2
@@ -218,9 +228,26 @@ def q_anti_join_customers(sf_dir: str) -> "ray.data.Dataset":
 
 # ---------------------------------------------------------------------- MR-G3
 def q_distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
-    """SELECT DISTINCT via groupby (distributed, no driver materialize)."""
+    """SELECT DISTINCT via groupby (distributed, no driver materialize).
+    NULL is a distinct value — the key rides null-encoded through the
+    shuffle (Ray's sort groupby can't order None vs str)."""
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
-    return ds.groupby("event_type").aggregate(Count(alias_name="__n")).drop_columns(["__n"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": enc_null_key(batch.column("event_type"))})
+
+    def dec(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": dec_null_key(batch.column("event_type"))})
+
+    return (
+        ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+        .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 # ---------------------------------------------------------------------- MR-O2

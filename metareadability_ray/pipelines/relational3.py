@@ -197,10 +197,17 @@ def q_full_outer_join(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return bucketed_map_groups(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        "user_id",
-        merge,
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        bucketed_map_groups(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "user_id",
+            merge,
+        ),
+        # no qualifying purchases/errors at all is legal input (conformance
+        # strategies generate it) — the empty result keeps its contract
+        pa.schema([("user_id", pa.int64()), ("n_purch", pa.int64()), ("n_err", pa.int64())]),
     )
 
 
@@ -311,11 +318,15 @@ def q_corr_lineitem(sf_dir: str) -> "ray.data.Dataset":
         dxx = batch.column("dxx").to_numpy(zero_copy_only=False)
         dyy = batch.column("dyy").to_numpy(zero_copy_only=False)
         dxy = batch.column("dxy").to_numpy(zero_copy_only=False)
-        corr = dxy / np.sqrt(dxx * dyy)
+        # DuckDB corr() is NULL whenever either variance is 0 (constant
+        # column or a single row) — verified directly
+        denom_sq = dxx * dyy
+        ok = denom_sq > 0
+        corr = np.where(ok, dxy / np.sqrt(np.where(ok, denom_sq, 1.0)), 0.0)
         return pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
-                "corr_qp": fmt_fixed(pa.array(corr, pa.float64()), 4),
+                "corr_qp": fmt_fixed(pa.array(corr, pa.float64(), mask=~ok), 4),
                 "n": lookup_take(n_ref, batch.column("l_returnflag")).cast(pa.int64()),
             }
         )
@@ -472,22 +483,46 @@ def q_cube_orders(sf_dir: str) -> "ray.data.Dataset":
 def _first_last_partial(batch: pa.Table) -> pa.Table:
     """Per-batch argmin/argmax combiner: one (min_ts, first_value, max_ts,
     last_value, n) row per user per batch — at scale the shuffle carries a
-    fixed-size partial per (block, user), never the event rows."""
+    fixed-size partial per (block, user), never the event rows.
+
+    DuckDB ``min_by(value, ts)`` / ``max_by`` SKIP rows whose VALUE is null
+    (verified directly), while ``count(*)`` counts them — so the argmin runs
+    over the valid-value rows only, with n counted over all rows; a user
+    whose batch rows are all null-valued gets a null (min_ts, first_value)
+    partial that the merge ignores."""
     uid = batch.column("user_id").to_numpy(zero_copy_only=False)
     ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-    val = batch.column("value").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ts, uid))
-    u, t, v = uid[order], ts[order], val[order]
-    starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
-    ends = np.r_[starts[1:], len(u)] - 1
+    vcol = batch.column("value")
+    valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+    val = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False)
+    # counts over ALL rows per user
+    all_u, all_n = np.unique(uid, return_counts=True)
+    # argmin/argmax over valid-value rows per user
+    uv, tv, vv = uid[valid], ts[valid], val[valid]
+    order = np.lexsort((tv, uv))
+    uv, tv, vv = uv[order], tv[order], vv[order]
+    starts = np.r_[0, np.flatnonzero(uv[1:] != uv[:-1]) + 1] if len(uv) else np.empty(0, np.int64)
+    ends = (np.r_[starts[1:], len(uv)] - 1) if len(uv) else np.empty(0, np.int64)
+    has = np.isin(all_u, uv[starts] if len(uv) else [])
+    pos = np.searchsorted(uv[starts] if len(uv) else np.empty(0, np.int64), all_u[has])
+    min_ts = np.zeros(len(all_u), np.int64)
+    first_v = np.zeros(len(all_u))
+    max_ts = np.zeros(len(all_u), np.int64)
+    last_v = np.zeros(len(all_u))
+    if len(uv):
+        min_ts[has] = tv[starts][pos]
+        first_v[has] = vv[starts][pos]
+        max_ts[has] = tv[ends][pos]
+        last_v[has] = vv[ends][pos]
+    mask = ~has
     return pa.table(
         {
-            "user_id": pa.array(u[starts], pa.int64()),
-            "min_ts": pa.array(t[starts], pa.int64()),
-            "first_value": pa.array(v[starts], pa.float64()),
-            "max_ts": pa.array(t[ends], pa.int64()),
-            "last_value": pa.array(v[ends], pa.float64()),
-            "n": pa.array(ends - starts + 1, pa.int64()),
+            "user_id": pa.array(all_u, pa.int64()),
+            "min_ts": pa.array(min_ts, pa.int64(), mask=mask),
+            "first_value": pa.array(first_v, pa.float64(), mask=mask),
+            "max_ts": pa.array(max_ts, pa.int64(), mask=mask),
+            "last_value": pa.array(last_v, pa.float64(), mask=mask),
+            "n": pa.array(all_n, pa.int64()),
         }
     )
 
@@ -500,19 +535,18 @@ def q_first_last_value(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     def merge(group: pa.Table) -> pa.Table:
-        min_ts = group.column("min_ts").to_numpy(zero_copy_only=False)
-        max_ts = group.column("max_ts").to_numpy(zero_copy_only=False)
-        first = group.column("first_value").to_numpy(zero_copy_only=False)
-        last = group.column("last_value").to_numpy(zero_copy_only=False)
+        rows = group.to_pylist()  # one partial per (block, user): tiny group
+        cand = [r for r in rows if r["min_ts"] is not None]
+        if cand:
+            fv = min(cand, key=lambda r: r["min_ts"])["first_value"]
+            lv = max(cand, key=lambda r: r["max_ts"])["last_value"]
+        else:  # every row of the user had a NULL value → min_by/max_by NULL
+            fv = lv = None
         return pa.table(
             {
                 "user_id": group.column("user_id").slice(0, 1),
-                "first_value": fmt_fixed(
-                    pa.array([first[np.argmin(min_ts)]], pa.float64()), 2
-                ),
-                "last_value": fmt_fixed(
-                    pa.array([last[np.argmax(max_ts)]], pa.float64()), 2
-                ),
+                "first_value": fmt_fixed(pa.array([fv], pa.float64()), 2),
+                "last_value": fmt_fixed(pa.array([lv], pa.float64()), 2),
                 "n_events": pa.array([int(pc.sum(group.column("n")).as_py())], pa.int64()),
             }
         )
@@ -742,12 +776,36 @@ def q_zscore_events(sf_dir: str) -> "ray.data.Dataset":
     q_corr_lineitem: pass 1 broadcasts per-group means, pass 2 sums centered
     squares per batch before one tiny groupby, then the final map looks up
     (μ, σ) vectorized — the fact table streams twice and never shuffles."""
+    from metareadability_ray.util import enc_null_key
+
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
 
+    # the group key rides ENCODED everywhere ('V'+v / 'N'): NULL event_type
+    # is a legal SQL partition and Ray's groupby / the lookup can't key on
+    # None. SQL aggregate semantics: avg/stddev skip NULL values, so the
+    # count n is the NON-NULL value count.
+    def enc_batch(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table(
+            {"event_type": enc_null_key(t.column("event_type")), "value": t.column("value")}
+        )
+
+    encoded = ds.map_batches(enc_batch, batch_format="pyarrow", zero_copy_batch=True)
+    _means_seed = pa.table(
+        {"event_type": pa.array([], pa.string()), "s": pa.array([], pa.float64()),
+         "n": pa.array([], pa.int64())}
+    )
+    # seed: with every value NULL the aggregate is empty, but the z map must
+    # still emit one NULL-z row per event
     means_t = pa.concat_tables(
-        ds.groupby("event_type")
-        .aggregate(Sum("value", alias_name="s"), Count(alias_name="n"))
-        .iter_batches(batch_format="pyarrow")
+        [_means_seed.cast(_means_seed.schema)]
+        + [
+            b.select(["event_type", "s", "n"]).cast(_means_seed.schema)
+            for b in encoded.groupby("event_type")
+            .aggregate(Sum("value", alias_name="s"), Count(alias_name="n"))
+            .iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
     )
     n_f = means_t.column("n").cast(pa.float64())
     mean_ref = lookup_ref(means_t.column("event_type"), pc.divide(means_t.column("s"), n_f))
@@ -759,20 +817,28 @@ def q_zscore_events(sf_dir: str) -> "ray.data.Dataset":
         g = part.group_by("event_type").aggregate([("dsq", "sum")])
         return g.rename_columns(["event_type", "dsq"])
 
-    var_t = pa.concat_tables(
-        ds.map_batches(centered_sq, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(Sum("dsq", alias_name="dsq"))
-        .iter_batches(batch_format="pyarrow")
+    _var_seed = pa.table(
+        {"event_type": pa.array([], pa.string()), "dsq": pa.array([], pa.float64())}
     )
-    # sample stddev (n−1), matching SQL stddev_samp
+    var_t = pa.concat_tables(
+        [_var_seed]
+        + [
+            b.select(["event_type", "dsq"]).cast(_var_seed.schema)
+            for b in encoded.map_batches(centered_sq, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("dsq", alias_name="dsq"))
+            .iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    # sample stddev (n−1), matching SQL stddev_samp: n==1 → NULL stddev
     nm1 = {
         t: n - 1
         for t, n in zip(means_t.column("event_type").to_pylist(), means_t.column("n").to_pylist())
     }
     std = pa.array(
         [
-            float(np.sqrt(d / nm1[t]))
+            float(np.sqrt(d / nm1[t])) if nm1[t] > 0 else None
             for t, d in zip(var_t.column("event_type").to_pylist(), var_t.column("dsq").to_pylist())
         ],
         pa.float64(),
@@ -780,14 +846,24 @@ def q_zscore_events(sf_dir: str) -> "ray.data.Dataset":
     std_ref = lookup_ref(var_t.column("event_type"), std)
 
     def zmap(batch: pa.Table) -> pa.Table:
-        v = batch.column("value").to_numpy(zero_copy_only=False)
-        mu = np.asarray(lookup_take(mean_ref, batch.column("event_type")))
-        sd = np.asarray(lookup_take(std_ref, batch.column("event_type")))
+        vcol = batch.column("value")
+        vvalid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False)
+        key = enc_null_key(batch.column("event_type"))
+        mu_a = lookup_take(mean_ref, key)
+        sd_a = lookup_take(std_ref, key)
+        mu = np.asarray(pc.fill_null(mu_a, 0.0))
+        sd_valid = pc.is_valid(sd_a).to_numpy(zero_copy_only=False)
+        sd = np.asarray(pc.fill_null(sd_a, 1.0))
+        # DuckDB double division by zero yields NULL (verified), so z is
+        # NULL when: value NULL, stddev NULL (n<2), or stddev == 0
+        ok = vvalid & sd_valid & (sd > 0)
+        z = np.where(ok, (v - mu) / np.where(sd > 0, sd, 1.0), 0.0)
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
                 "event_type": batch.column("event_type"),
-                "z": fmt_fixed(pa.array((v - mu) / sd, pa.float64()), 4),
+                "z": fmt_fixed(pa.array(z, pa.float64(), mask=~ok), 4),
             }
         )
 

@@ -996,7 +996,21 @@ def minhash_lsh_pairs(
             }
         )
 
-    return joined.map_batches(est, batch_format="pyarrow", zero_copy_batch=True)
+    from metareadability_ray.util import with_schema_seed
+
+    # a dup-free (or empty/all-null) corpus legitimately yields 0 candidate
+    # pairs; seed so the column contract survives (hypothesis-found)
+    return with_schema_seed(
+        joined.map_batches(est, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("est_jaccard", pa.float64()),
+                ("n_bands", pa.int64()),
+            ]
+        ),
+    )
 
 
 def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":

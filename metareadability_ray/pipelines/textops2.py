@@ -180,7 +180,13 @@ def q_approx_heavy_hitters(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         .groupby("token")
         .aggregate(Sum("est_n", alias_name="est_n"))
     )
-    return merged.sort(key=["est_n", "token"], descending=[True, False]).limit(k)
+    from metareadability_ray.util import seeded_after_limit
+
+    # an all-null corpus legitimately yields 0 heavy hitters; keep the contract
+    return seeded_after_limit(
+        merged.sort(key=["est_n", "token"], descending=[True, False]).limit(k),
+        pa.schema([("token", pa.string()), ("est_n", pa.int64())]),
+    )
 def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document top-k TF-IDF terms with linear idf (score = tf · N/df).
 

@@ -164,14 +164,23 @@ class HyperplaneLSH:
     Hyperplanes drawn once per actor from a fixed seed → identical across
     actors/retries. Bucket = sign-bit string of the projections."""
 
-    def __init__(self, dim: int = 64, n_planes: int = 12, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.H = rng.standard_normal((n_planes, dim))
+    def __init__(self, n_planes: int = 12, seed: int = 42):
+        self.n_planes = n_planes
+        self.seed = seed
+        self._H: dict[int, np.ndarray] = {}
         self.pw = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def _planes(self, dim: int) -> np.ndarray:
+        # drawn per OBSERVED dim from a fresh seeded RNG: identical across
+        # actors/retries/batches, and no hardcoded embedding width (the
+        # generated-data conformance smoke crashed the old dim=64 constant)
+        if dim not in self._H:
+            self._H[dim] = np.random.RandomState(self.seed).standard_normal((self.n_planes, dim))
+        return self._H[dim]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = _emb_matrix(batch)
-        bits = (M @ self.H.T) > 0  # (n, planes)
+        bits = (M @ self._planes(M.shape[1]).T) > 0  # (n, planes)
         bucket = (bits.astype(np.int64) * self.pw).sum(axis=1)
         return pa.table(
             {
@@ -199,19 +208,28 @@ class MultiTableLSH:
     one (bucket, vec_id, embedding) row per table, with the table id folded
     into the bucket key so tables never mix."""
 
-    def __init__(self, dim: int = 64, n_planes: int = 4, n_tables: int = 16, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.H = rng.standard_normal((n_tables, n_planes, dim))
+    def __init__(self, n_planes: int = 4, n_tables: int = 16, seed: int = 42):
         self.pw = 1 << np.arange(n_planes, dtype=np.int64)
         self.n_planes = n_planes
         self.n_tables = n_tables
+        self.seed = seed
+        self._H: dict[int, np.ndarray] = {}
+
+    def _planes(self, dim: int) -> np.ndarray:
+        # per-dim seeded draw (same rationale as HyperplaneLSH._planes)
+        if dim not in self._H:
+            self._H[dim] = np.random.RandomState(self.seed).standard_normal(
+                (self.n_tables, self.n_planes, dim)
+            )
+        return self._H[dim]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = _emb_matrix(batch)
         n = M.shape[0]
+        H = self._planes(M.shape[1])
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         # one matmul for ALL tables: (n, n_tables*n_planes) → (n, T, p)
-        proj = (M @ self.H.reshape(-1, M.shape[1]).T).reshape(n, self.n_tables, self.n_planes)
+        proj = (M @ H.reshape(-1, M.shape[1]).T).reshape(n, self.n_tables, self.n_planes)
         buckets = ((proj > 0).astype(np.int64) * self.pw).sum(axis=2)  # (n, T)
         buckets += np.arange(self.n_tables, dtype=np.int64)[None, :] << self.n_planes
         idx = np.repeat(np.arange(n), self.n_tables)

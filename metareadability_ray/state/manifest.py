@@ -103,3 +103,48 @@ def rebuild_sidecars(out_dir: str, stage_versions: dict[str, str]) -> None:
     )
     pq.write_table(lineage, os.path.join(out_dir, "lineage.parquet"))
     pq.write_table(metrics, os.path.join(out_dir, "metrics.parquet"))
+
+
+# ------------------------------------------------- input coverage (resume prune)
+
+COVERAGE_FILE = "input_coverage.json"
+
+
+def coverage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, COVERAGE_FILE)
+
+
+def write_coverage(out_dir: str, cov: dict[str, list[int]], num_partitions: int) -> None:
+    """Atomic write of the input-file → partition-id coverage map.
+
+    Recorded once per run (a url-column-only scan — a ~0.1% fraction of the
+    input bytes at Common-Crawl html sizes); on resume the main scan then
+    reads ONLY the files whose coverage intersects the missing partitions.
+    With uniform url-hash data every file covers every partition and the
+    prune is a no-op; with host- or shard-clustered crawl files it skips
+    whole files — the layout decides the win, the correctness is unconditional.
+    """
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    path = coverage_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"num_partitions": num_partitions, "files": {k: sorted(v) for k, v in cov.items()}},
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def read_coverage(out_dir: str, num_partitions: int) -> dict[str, list[int]] | None:
+    """Coverage map for this partition count, or None (absent / stale P)."""
+    path = coverage_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if int(d.get("num_partitions", -1)) != num_partitions:
+            return None
+        return {k: [int(p) for p in v] for k, v in d["files"].items()}
+    except (ValueError, KeyError, json.JSONDecodeError):
+        return None

@@ -202,7 +202,8 @@ def enc_null_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     with nulls FIRST ('N' < 'V'). Invert with :func:`dec_null_key`."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    enc = pc.binary_join_element_wise(pa.array(["V"] * len(col)), col.cast(pa.string()), "")
+    prefix = pa.array(["V"] * len(col), pa.string())  # typed: empty [] is null-typed otherwise
+    enc = pc.binary_join_element_wise(prefix, col.cast(pa.string()), "")
     return pc.fill_null(enc, "N")
 
 

@@ -19,7 +19,14 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=4,
+            # 8, not 4: Ray 2.49 leaks a MapWorker actor handle whenever a
+            # test failure's retained traceback pins a completed dataset;
+            # each pinned actor holds 1 CPU for the rest of the session, and
+            # at 4 CPUs a few of them starve every later actor-pool stage
+            # into a silent wedge (observed: conformance runs stalling in
+            # HyperplaneLSH). The headroom keeps one failure from cascading
+            # into a hung suite.
+            num_cpus=8,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",

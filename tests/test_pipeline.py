@@ -143,3 +143,62 @@ def test_resume_ignores_torn_tmp_file(ray_session, fixture_pages, tmp_path):
     assert not os.path.exists(os.path.join(out, "extracted", "part-00002.parquet.tmp")) or True
     t = pq.read_table(os.path.join(out, "extracted", "part-00002.parquet"))
     assert t.num_rows > 0
+
+
+def test_resume_prunes_input_files_by_coverage(ray_session, tmp_path):
+    """Shard-level input pruning: with inputs split so each file covers a
+    DISJOINT partition-id set, a resume missing one partition scans only
+    that partition's covering file — read work ∝ crashed partitions, not
+    total input."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines.flagship import run_extraction
+
+    P = 4
+    # craft urls so file i holds ONLY partition-i urls (search by crc32)
+    by_pid: dict[int, list[str]] = {p: [] for p in range(P)}
+    i = 0
+    while any(len(v) < 12 for v in by_pid.values()):
+        u = f"https://ex{i}.com/a{i}.html"
+        pid = zlib.crc32(u.encode()) % P
+        if len(by_pid[pid]) < 12:
+            by_pid[pid].append(u)
+        i += 1
+    import datetime as dt
+
+    files = []
+    for p in range(P):
+        urls = by_pid[p]
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([dt.datetime(2024, 1, 1)] * len(urls), pa.timestamp("us")),
+                "html": pa.array(
+                    [f"<title>T{j}</title><h1>T{j} H</h1>".encode() for j in range(len(urls))],
+                    pa.binary(),
+                ),
+            }
+        )
+        f = str(tmp_path / f"in-{p}.parquet")
+        pq.write_table(t, f)
+        files.append(f)
+
+    out = str(tmp_path / "out")
+    res1 = run_extraction(files, out, num_partitions=P)
+    assert res1["partitions_run"] == P
+
+    # crash partition 2
+    os.remove(os.path.join(out, "extracted", "part-00002.parquet"))
+    os.remove(os.path.join(out, "_manifest", "part-00002.json"))
+
+    res2 = run_extraction(files, out, num_partitions=P)
+    assert res2["partitions_run"] == 1
+    scanned = res2["input_files_scanned"]
+    assert len(scanned) == 1, scanned
+    assert scanned[0].endswith("in-2.parquet"), scanned
+    # and the recovered output is intact
+    t = pq.read_table(os.path.join(out, "extracted", "part-00002.parquet"))
+    assert t.num_rows == 12

@@ -94,6 +94,9 @@ def _run_both(name: str, docs: pa.Table, tmp_path_factory) -> None:
     )
     want = _canon(con.execute(spec.sql).fetch_arrow_table())
     con.close()
+    import gc
+
+    gc.collect()  # release any actor pool before the next hypothesis example
     assert got == want, f"{name} diverged on generated data"
 
 
@@ -115,7 +118,10 @@ _PROP = dict(
         "winnow_fingerprint", "redact_pii", "bpe_token_stats", "token_entropy",
         "langid", "median_hist", "word_count_topk", "tfidf_top_terms",
         "weighted_sample", "bigram_topk", "dup_chunk_ratio", "top_bigram_fraction",
-        "sample_deterministic", "train_test_split",
+        "sample_deterministic", "train_test_split", "dup_clusters",
+        "dedup_survivors", "stratified_sample", "topk_docs_per_lang",
+        "para_dedup_stats", "gopher_repetition", "source_mix", "curated_corpus",
+        "bottomk_sample", "shard_assignment",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -178,6 +184,9 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
     want = _canon(con.execute(spec.sql).fetch_arrow_table())
     con.close()
+    import gc
+
+    gc.collect()  # release any actor pool before the next hypothesis example
     assert got == want, f"{name} diverged on generated events"
 
 
@@ -189,7 +198,9 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "hopping_window", "funnel_stages", "value_ranks", "lag_value_delta",
         "pivot_event_sums", "rolling_avg_events", "views_before_click",
         "intersect_users", "except_users", "unpivot_event_sums", "value_histogram",
-        "json_props_sum", "event_quartiles",
+        "json_props_sum", "event_quartiles", "distinct_event_types",
+        "zscore_events", "first_last_value", "quantile_sketch_value",
+        "full_outer_join",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
@@ -260,25 +271,39 @@ def orders_customer_tables(draw):
             ),
         }
     )
-    return cust, orders
+    # nation: fewer rows than the customers reference (nationkey 0-2) so
+    # some customers point at a MISSING nation (three-way-join dropouts)
+    nn = draw(st.integers(min_value=1, max_value=3))
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(nn), pa.int32()),
+            "n_name": pa.array([f"NATION{i}" for i in range(nn)], pa.string()),
+            "n_regionkey": pa.array([i % 2 for i in range(nn)], pa.int32()),
+        }
+    )
+    return cust, orders, nation
 
 
-def _run_both_rel(name: str, cust: pa.Table, orders: pa.Table, tmp_path_factory) -> None:
+def _run_both_rel(name: str, cust: pa.Table, orders: pa.Table, nation: pa.Table, tmp_path_factory) -> None:
     from metareadability_ray.qa import REGISTRY
 
     d = tmp_path_factory.mktemp("propconf_rel")
     pq.write_table(cust, str(d / "customer.parquet"))
     pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(nation, str(d / "nation.parquet"))
 
     spec = REGISTRY[name]
     got = _canon(_ray_table(spec.fn(str(d))))
 
     con = duckdb.connect()
-    for t in ("customer", "orders"):
+    for t in ("customer", "orders", "nation"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
     want = _canon(con.execute(spec.sql).fetch_arrow_table())
     con.close()
-    assert got == want, f"{name} diverged on generated customer/orders"
+    import gc
+
+    gc.collect()  # release any actor pool before the next hypothesis example
+    assert got == want, f"{name} diverged on generated customer/orders/nation"
 
 
 @pytest.mark.parametrize(
@@ -287,14 +312,14 @@ def _run_both_rel(name: str, cust: pa.Table, orders: pa.Table, tmp_path_factory)
         "join_customer_orders", "left_outer_join", "semi_join_customers",
         "anti_join_customers", "topk_orders", "mode_priority",
         "collect_set_priorities", "rollup_orders", "grouping_sets_orders",
-        "cube_orders",
+        "cube_orders", "three_way_join", "union_priority", "range_join_bands",
     ],
 )
 def test_query_conformance_on_generated_relational(ray_session, tmp_path_factory, name):
     @settings(**_PROP)
     @given(orders_customer_tables())
     def inner(tables):
-        _run_both_rel(name, tables[0], tables[1], tmp_path_factory)
+        _run_both_rel(name, tables[0], tables[1], tables[2], tmp_path_factory)
 
     inner()
 
@@ -379,26 +404,54 @@ def lineitem_part_supplier_tables(draw):
             ),
         }
     )
-    return li, part, supplier
+    # orders covering the lineitem orderkeys (plus one extra), with a
+    # drawn priority mix so bloom_semi_join sees 0..all urgent builds
+    no2 = nl // 2 + 2
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(no2), pa.int64()),
+            "o_custkey": pa.array([i % 3 for i in range(no2)], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * no2, pa.string()),
+            "o_totalprice": pa.array([100.25 * (i + 1) for i in range(no2)], pa.float64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(2023, 6, 1) + dt.timedelta(days=i) for i in range(no2)],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                draw(
+                    st.lists(
+                        st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+                        min_size=no2, max_size=no2,
+                    )
+                ),
+                pa.string(),
+            ),
+        }
+    )
+    return li, part, supplier, orders
 
 
-def _run_both_lps(name, li, part, supplier, tmp_path_factory) -> None:
+def _run_both_lps(name, li, part, supplier, orders, tmp_path_factory) -> None:
     from metareadability_ray.qa import REGISTRY
 
     d = tmp_path_factory.mktemp("propconf_lps")
     pq.write_table(li, str(d / "lineitem.parquet"))
     pq.write_table(part, str(d / "part.parquet"))
     pq.write_table(supplier, str(d / "supplier.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
 
     spec = REGISTRY[name]
     got = _canon(_ray_table(spec.fn(str(d))))
 
     con = duckdb.connect()
-    for t in ("lineitem", "part", "supplier"):
+    for t in ("lineitem", "part", "supplier", "orders"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
     want = _canon(con.execute(spec.sql).fetch_arrow_table())
     con.close()
-    assert got == want, f"{name} diverged on generated lineitem/part/supplier"
+    import gc
+
+    gc.collect()  # release any actor pool before the next hypothesis example
+    assert got == want, f"{name} diverged on generated lineitem/part/supplier/orders"
 
 
 @pytest.mark.parametrize(
@@ -406,12 +459,162 @@ def _run_both_lps(name, li, part, supplier, tmp_path_factory) -> None:
     [
         "filter_project", "pricing_summary", "string_agg_status",
         "explode_part_names", "broadcast_join_part", "supplier_balance_stats",
+        "corr_lineitem", "bloom_semi_join",
     ],
 )
 def test_query_conformance_on_generated_lps(ray_session, tmp_path_factory, name):
     @settings(**_PROP)
     @given(lineitem_part_supplier_tables())
     def inner(tables):
-        _run_both_lps(name, tables[0], tables[1], tables[2], tmp_path_factory)
+        _run_both_lps(name, tables[0], tables[1], tables[2], tables[3], tmp_path_factory)
+
+    inner()
+
+
+# ----------------------------------------------------------- embeddings tables
+
+@st.composite
+def embeddings_table(draw):
+    """Adversarial vector shapes: duplicate vectors (exact near-dups),
+    single-vector labels, tiny corpora smaller than k, axis-aligned vectors
+    (cosine ties). Components are 0.25 steps so float32→float64 roundtrips
+    exactly and both engines sum identically; the zero vector is excluded
+    (normalization would divide by zero — the generators never produce it,
+    matching the driver's testdata)."""
+    n = draw(st.integers(min_value=2, max_value=12))
+    dim = 4
+    comps = draw(
+        st.lists(
+            st.lists(st.integers(-4, 4).map(lambda v: v * 0.25), min_size=dim, max_size=dim)
+            .filter(lambda v: any(x != 0 for x in v)),
+            min_size=n, max_size=n,
+        )
+    )
+    labels = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(comps, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+def _run_both_emb(name, emb, docs, tmp_path_factory) -> None:
+    from metareadability_ray.qa import REGISTRY
+
+    d = tmp_path_factory.mktemp("propconf_emb")
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    if docs is not None:
+        pq.write_table(docs, str(d / "documents.parquet"))
+
+    spec = REGISTRY[name]
+    got = _canon(_ray_table(spec.fn(str(d))))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')")
+    if docs is not None:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    want = _canon(con.execute(spec.sql).fetch_arrow_table())
+    con.close()
+    import gc
+
+    gc.collect()  # release any actor pool before the next hypothesis example
+    assert got == want, f"{name} diverged on generated embeddings"
+
+
+@pytest.mark.parametrize(
+    "name", ["knn_bruteforce", "neardup_cosine", "label_stats", "label_centroids"]
+)
+def test_query_conformance_on_generated_embeddings(ray_session, tmp_path_factory, name):
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(embeddings_table())
+    def inner(emb):
+        _run_both_emb(name, emb, None, tmp_path_factory)
+
+    inner()
+
+
+def test_doc_embedding_join_conformance_on_generated(ray_session, tmp_path_factory):
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(embeddings_table(), documents_table())
+    def inner(emb, docs):
+        _run_both_emb("doc_embedding_join", emb, docs, tmp_path_factory)
+
+    inner()
+
+
+# -------------------------------------------- rows-only queries: smoke harness
+
+# No SQL twin exists for these (sketches, LSH, model-ish kernels) — the
+# conformance property is weaker but still real: on generated data the query
+# must RUN and produce a schema-stable result (no null-key crashes, no
+# empty-input schema loss — the two failure classes every SQL-checked family
+# above actually hit).
+
+_ROWS_ONLY_DOCS = [
+    "approx_heavy_hitters", "minhash_lsh_pairs", "simhash", "dedup_survivors_lsh",
+    # actor-pool pipelines (synth media/pdf/pages from documents): the smoke
+    # asserts the full actor plumbing tolerates null/empty/unicode text
+    "media_features", "media_frame_sample", "pdf_layout_spans", "extract_pages",
+]
+_ROWS_ONLY_EVENTS = ["hll_distinct_users"]
+_ROWS_ONLY_EMB = ["lsh_bucket_stats", "lsh_neardup_pairs", "semdedup", "quantize_int8", "pca_project", "ivf_topk"]
+
+
+def _smoke(name, d):
+    import gc
+
+    from metareadability_ray.qa import REGISTRY
+
+    res = REGISTRY[name].fn(str(d))
+    t = _ray_table(res)
+    ncols = t.num_columns
+    # release the query's actor pool NOW: Ray 2.49 leaks MapWorker actor
+    # handles per completed dataset; across hypothesis examples the leaked
+    # actors hold every CPU and the next dataset wedges forever (same fix
+    # as run_extraction's explicit collect)
+    del res, t
+    gc.collect()
+    assert ncols > 0, f"{name} lost its schema on generated data"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_DOCS)
+def test_rows_only_smoke_on_generated_documents(ray_session, tmp_path_factory, name):
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(documents_table())
+    def inner(docs):
+        d = tmp_path_factory.mktemp("propsmoke_doc")
+        pq.write_table(docs, str(d / "documents.parquet"))
+        _smoke(name, d)
+
+    inner()
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_EVENTS)
+def test_rows_only_smoke_on_generated_events(ray_session, tmp_path_factory, name):
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(events_table())
+    def inner(events):
+        d = tmp_path_factory.mktemp("propsmoke_ev")
+        pq.write_table(events, str(d / "events.parquet"))
+        _smoke(name, d)
+
+    inner()
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_EMB)
+def test_rows_only_smoke_on_generated_embeddings(ray_session, tmp_path_factory, name):
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(embeddings_table())
+    def inner(emb):
+        d = tmp_path_factory.mktemp("propsmoke_emb")
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+        _smoke(name, d)
 
     inner()
