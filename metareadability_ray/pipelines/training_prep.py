@@ -362,3 +362,242 @@ def export_curated_shards(sf_dir: str, out_dir: str, num_shards: int = 16) -> pa
     parts = [t for t in parts if t.num_rows]
     out = pa.concat_tables(parts) if parts else pa.table({})
     return out.sort_by("shard") if out.num_rows else out
+
+
+# ----------------------------------------------- sequence packing (contexts)
+_PACK_BUDGET = 512  # tokens per training context window
+_PACK_BUCKETS = 256
+
+
+def _token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n) token counts per document, n > 0 only — ONE streaming
+    text pass; everything downstream operates on this 16-byte/doc reduced
+    stream, never the text again."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        ns: list[int] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            k = len(re2_tokens(t))
+            if k > 0:
+                ids.append(did)
+                ns.append(k)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "n": pa.array(ns, pa.int64())})
+
+    return ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pack_contexts(sf_dir: str, budget: int = _PACK_BUDGET) -> "ray.data.Dataset":
+    """Training context packing — the "concatenate and chunk" layout every
+    LLM pretraining run applies before batching: documents in doc_id order
+    are laid head-to-tail on one global token axis and cut into
+    ``budget``-token context windows; each doc reports its token interval
+    and the first/last window it lands in (a doc may straddle windows —
+    standard packing-with-overflow semantics, GPT-style).
+
+    The hard part at scale is the GLOBAL exclusive prefix sum over a
+    distributed, unordered block layout. Shape: a two-level distributed
+    scan —
+
+    1. one streaming text pass reduces the corpus to (doc_id, n_tokens)
+       (16 B/doc; materialized — this is the REDUCED stream, never text);
+    2. docs are range-bucketed by doc_id (monotonic ``(doc_id-min)//width``,
+       ≤256 buckets); the per-bucket token totals (≤256 rows) come to the
+       driver, which computes each bucket's exclusive prefix offset —
+       O(buckets) driver state, never O(docs);
+    3. one bucketed shuffle: each bucket sorts by doc_id, adds its offset
+       to a vectorized cumsum, and emits integer spans. No global sort of
+       the corpus, no driver-side row loop; at 256 nodes each bucket is
+       one task.
+
+    All outputs are integers — nothing float crosses the compare boundary.
+    """
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("tok_start", pa.int64()),
+            ("seq_first", pa.int64()),
+            ("seq_last", pa.int64()),
+        ]
+    )
+    nds = _token_counts(sf_dir).materialize()
+    if nds.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    mn = nds.min("doc_id")
+    mx = nds.max("doc_id")
+    width = max(1, (mx - mn) // _PACK_BUCKETS + 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__rb", pa.array((d - np.int64(mn)) // np.int64(width), pa.int64())
+        )
+
+    bucketed = nds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-bucket totals -> exclusive prefix offsets (O(buckets) driver state)
+    totals = {
+        int(r["__rb"]): int(r["n"])
+        for r in bucketed.groupby("__rb").aggregate(Sum("n", alias_name="n")).take_all()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+
+    def pack_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = int(group.column("__rb")[0].as_py())
+        base = offsets[b]
+        g = group.take(pc.sort_indices(group, sort_keys=[("doc_id", "ascending")]))
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        end = base + np.cumsum(n)
+        start = end - n
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "tok_start": pa.array(start, pa.int64()),
+                "seq_first": pa.array(start // np.int64(budget), pa.int64()),
+                "seq_last": pa.array((end - 1) // np.int64(budget), pa.int64()),
+            }
+        )
+
+    out = bucketed.groupby("__rb").map_groups(pack_bucket, batch_format="pyarrow")
+    return with_schema_seed(out, out_schema)
+
+
+# ------------------------------------- source-weighted token-budget sampling
+_MIX_DEN = 4  # keep ~1/4 of each source's tokens
+_MIX_BUCKETS = 256
+
+
+def q_token_budget_mix(sf_dir: str, den: int = _MIX_DEN) -> "ray.data.Dataset":
+    """Data-mixing sampler: per source, keep a deterministic ~1/``den`` of
+    the TOKENS (not docs) — the per-source token-budget draw every
+    pretraining mixture spec needs ("x billion tokens from source s").
+    Selection order within a source is md5(doc_id) — a deterministic
+    shuffle, reproducible across engines/reruns/cluster layouts — and a doc
+    is kept while the source's running token total stays ≤ its budget
+    ``ceil(total_tokens_s / den)`` (integer arithmetic on both sides).
+
+    Scale shape — the same two-level distributed scan as
+    :func:`q_pack_contexts`, keyed by (source, md5-prefix bucket): md5 is
+    uniform, so the first byte range-buckets each source's hash order into
+    256 equal slices; per-(source,bucket) totals (sources×256 rows) come to
+    the driver for exclusive prefix offsets, and — the payoff — every
+    bucket whose offset already exceeds its source's budget is PRUNED
+    before the shuffle: at den=4 three quarters of the reduced stream
+    never moves. NULL source is a legal group (SQL semantics), handled by
+    the collision-free 'V'/'N' key encoding."""
+    from metareadability_ray.functions.scalars import md5_hex
+    from metareadability_ray.util import enc_null_key, with_schema_seed
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("n_tokens", pa.int64())]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+
+    def reduce_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids: list[int] = []
+        srcs: list[str | None] = []
+        ns: list[int] = []
+        for did, src, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("source").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            if not t:
+                continue
+            k = len(re2_tokens(t))
+            if k > 0:
+                ids.append(did)
+                srcs.append(src)
+                ns.append(k)
+        t_ids = pa.array(ids, pa.int64())
+        h = md5_hex(pc.cast(t_ids, pa.string()))
+        hb = (
+            np.array([int(x[:2], 16) for x in h.to_pylist()], dtype=np.int64)
+            if len(h)
+            else np.empty(0, np.int64)
+        )
+        src_enc = enc_null_key(pa.array(srcs, pa.string()))
+        sb = pc.binary_join_element_wise(
+            src_enc,
+            pa.array([f"{int(x):03d}" for x in hb], pa.string()),
+            ":",
+        )
+        return pa.table(
+            {
+                "doc_id": t_ids,
+                "source": pa.array(srcs, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "h": h,
+                "__sb": sb,
+            }
+        )
+
+    nds = ds.map_batches(reduce_batch, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if nds.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # per-(source,bucket) totals -> budgets + exclusive prefix offsets
+    totals: dict[str, int] = {
+        r["__sb"]: int(r["n"])
+        for r in nds.groupby("__sb").aggregate(Sum("n", alias_name="n")).take_all()
+    }
+    per_source: dict[str, int] = {}
+    for sb, t in totals.items():
+        src = sb.rsplit(":", 1)[0]
+        per_source[src] = per_source.get(src, 0) + t
+    budgets = {src: (tot + den - 1) // den for src, tot in per_source.items()}
+    offsets: dict[str, int] = {}
+    acc_by_src: dict[str, int] = {}
+    for sb in sorted(totals):  # 'src:bbb' sorts by (src, bucket) — md5 order
+        src = sb.rsplit(":", 1)[0]
+        offsets[sb] = acc_by_src.get(src, 0)
+        acc_by_src[src] = offsets[sb] + totals[sb]
+    live = {sb for sb in totals if offsets[sb] < budgets[sb.rsplit(":", 1)[0]]}
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("__sb"), value_set=pa.array(sorted(live), pa.string()))
+        return batch.filter(keep)
+
+    def take_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sb = group.column("__sb")[0].as_py()
+        base = offsets[sb]
+        budget = budgets[sb.rsplit(":", 1)[0]]
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("h", "ascending"), ("doc_id", "ascending")])
+        )
+        cum = base + np.cumsum(g.column("n").to_numpy(zero_copy_only=False))
+        kept = g.filter(pa.array(cum <= budget))
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "source": kept.column("source"),
+                "n_tokens": kept.column("n").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        nds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__sb")
+        .map_groups(take_bucket, batch_format="pyarrow")
+    )
+    return with_schema_seed(out, out_schema)

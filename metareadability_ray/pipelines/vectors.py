@@ -333,7 +333,16 @@ def lsh_neardup_pairs(
             }
         )
 
-    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+    from metareadability_ray.util import with_schema_seed
+
+    # a pair-free corpus (e.g. two antipodal vectors) is a legitimate EMPTY
+    # result but must keep the (vec_a, vec_b, score) contract — the
+    # cross-bucket dedup groupby carries no schema when no group ever runs
+    # (hypothesis-found on generated embeddings)
+    return with_schema_seed(
+        agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()), ("score", pa.string())]),
+    )
 
 
 def q_lsh_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":

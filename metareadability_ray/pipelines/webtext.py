@@ -667,3 +667,104 @@ def q_value_histogram(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"bucket": restored, "n": batch.column("n").cast(pa.int64())})
 
     return agg.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- LM quality scoring (CCNet triad)
+def q_lm_perplexity(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document language-model quality score: mean bits-per-token under
+    an add-one-smoothed unigram LM trained on the corpus itself — the third
+    CCNet quality signal (Wenzek et al., 2020 score documents with a KenLM
+    5-gram; the unigram twin keeps the exact same distributed shape while
+    staying SQL-checkable). Low bits = common/natural text, high bits =
+    rare-token gibberish.
+
+    Two streaming passes, same discipline as tfidf_top_terms:
+
+    1. **train**: per-batch ``np.unique`` combiner collapses the token
+       stream to (token, count) partials → one vocabulary-sized
+       groupby(token) → the model table, shipped ONCE via ``ray.put``
+       (the classic broadcast small side; CCNet likewise ships a trained
+       model file to every node). At 100 TB the broadcast is bounded by a
+       count cut (rare tokens dropped from the table fall through to the
+       same smoothed (0+1)/(N+V) probability the SQL assigns genuine OOV —
+       the cut changes scores only for tokens near the cut, disclosed
+       here); at sf the full vocabulary ships, so the SQL twin is exact.
+    2. **score**: per batch, per-doc (token, k) pairs via one ``np.unique``
+       over the batch's (doc, token) stream, counts looked up vectorized
+       (``pc.index_in``), bits summed per doc in token-sorted order.
+
+    score(doc) = Σ_t k_t · −log2((c_t + 1) / (N + V)) / Σ_t k_t, rendered
+    %.4f on both sides (absorbs engine-vs-engine summation-order ulps, the
+    token_entropy precedent). Docs with no tokens are excluded, matching
+    the SQL's join-through-tokens shape.
+    """
+    from metareadability_ray.util import lookup_ref, lookup_take
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if t:
+                toks.extend(re2_tokens(t))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        u, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()), "c": pa.array(c, pa.int64())})
+
+    vocab_batches = [
+        b
+        for b in ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .iter_batches(batch_format="pyarrow")
+        if b.num_columns
+    ]
+    _vocab_schema = pa.schema([("token", pa.string()), ("c", pa.int64())])
+    vocab = pa.concat_tables(vocab_batches) if vocab_batches else _vocab_schema.empty_table()
+    n_total = int(pc.sum(vocab.column("c")).as_py() or 0)
+    v_size = vocab.num_rows
+    model_ref = lookup_ref(vocab.column("token"), vocab.column("c"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_schema = {"doc_id": pa.int64(), "bits_per_token": pa.string()}
+        doc_ids: list[int] = []
+        toks: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            parts = re2_tokens(t)
+            doc_ids.extend([did] * len(parts))
+            toks.extend(parts)
+        if not toks:
+            return _empty(out_schema)
+        pairs, k = np.unique(
+            np.rec.fromarrays(
+                [np.asarray(doc_ids, np.int64), np.asarray(toks, dtype=object).astype(str)]
+            ),
+            return_counts=True,
+        )
+        c = (
+            lookup_take(model_ref, pa.array(pairs.f1.astype(object), pa.string()), default=0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        bits = -np.log2((c + 1.0) / float(n_total + v_size))
+        pd_ids = pairs.f0
+        starts = np.flatnonzero(np.concatenate(([True], pd_ids[1:] != pd_ids[:-1])))
+        ends = np.append(starts[1:], len(pd_ids))
+        out_d: list[int] = []
+        out_b: list[str] = []
+        for s, e in zip(starts, ends):
+            ks = k[s:e].astype(np.float64)
+            out_d.append(int(pd_ids[s]))
+            out_b.append("%.4f" % (float((ks * bits[s:e]).sum()) / float(ks.sum())))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "bits_per_token": pa.array(out_b, pa.string()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

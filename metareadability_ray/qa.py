@@ -1182,3 +1182,57 @@ REGISTRY["media_features"] = QASpec(_q_media_features, None, "multimodal(decode-
 REGISTRY["media_frame_sample"] = QASpec(_q_media_frames, None, "multimodal(frame-sample,flat_map)")
 REGISTRY["pdf_layout_spans"] = QASpec(_q_pdf_layout, None, "pdf-layout(parse-stub,flat_map)")
 REGISTRY["extract_pages"] = QASpec(_q_extract_pages, None, "MR-X0(flagship)")
+REGISTRY["lm_perplexity"] = QASpec(
+    W.q_lm_perplexity,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+    dt AS (SELECT doc_id, token, count(*) AS k FROM toks GROUP BY doc_id, token),
+    gc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS n, count(DISTINCT token) AS v FROM toks)
+    SELECT dt.doc_id,
+           printf('%.4f', sum(dt.k * -log2((gc.c + 1.0) / (tot.n + tot.v))) / sum(dt.k))
+               AS bits_per_token
+    FROM dt JOIN gc USING (token) CROSS JOIN tot
+    GROUP BY dt.doc_id
+    """,
+    "custom(ccnet-lm-quality,unigram-addone)",
+)
+REGISTRY["pack_contexts"] = QASpec(
+    TP.q_pack_contexts,
+    r"""
+    WITH n AS (
+        SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n FROM documents),
+    c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n AS tok_start
+        FROM n WHERE n > 0)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_start // 512 AS BIGINT) AS seq_first,
+           CAST((tok_start + n - 1) // 512 AS BIGINT) AS seq_last
+    FROM c
+    """,
+    "custom(training-context-packing,distributed-prefix-scan)",
+)
+REGISTRY["token_budget_mix"] = QASpec(
+    TP.q_token_budget_mix,
+    r"""
+    WITH n AS (
+        SELECT doc_id, source, length(regexp_extract_all(text, '\S+')) AS n,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    nn AS (SELECT * FROM n WHERE n > 0),
+    t AS (SELECT source, (sum(n) + 3) // 4 AS budget FROM nn GROUP BY source),
+    c AS (SELECT doc_id, source, n,
+                 sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM nn)
+    SELECT c.doc_id, c.source, CAST(c.n AS BIGINT) AS n_tokens
+    FROM c JOIN t ON c.source IS NOT DISTINCT FROM t.source
+    WHERE c.cum <= t.budget
+    """,
+    "custom(token-budget-data-mixing,bucket-pruned-prefix-scan)",
+)
