@@ -40,11 +40,20 @@ def _p(sf_dir: str, table: str) -> str:
 def fmt_fixed(col: pa.ChunkedArray | pa.Array, nd: int) -> pa.Array:
     """Float column → fixed-decimal strings, vectorized via ``np.char.mod``
     (C printf ``%.Nf``, identical rounding to Python's f-string and DuckDB's
-    ``printf``); nulls propagate."""
+    ``printf``); nulls propagate.
+
+    Negative zero is rendered UNSIGNED: a value that cancels to ~0 can come
+    out ±1e-17 depending on each engine's summation path (e.g. Ray's
+    normalize-then-dot cosine vs DuckDB's dot-then-divide — hypothesis-found
+    '-0.0000' vs '0.0000' in knn_bruteforce), so both sides pin the rule
+    "anything that prints as -0.00… prints as 0.00…" (the SQL twins wrap
+    printf in an anchored regexp_replace)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
     strs = np.char.mod(f"%.{nd}f", vals)
+    neg_zero = f"-0.{'0' * nd}" if nd else "-0"
+    strs = np.where(strs == neg_zero, neg_zero[1:], strs)
     nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
     return pa.array(strs, pa.string(), mask=nulls)
 

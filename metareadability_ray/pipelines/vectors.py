@@ -34,6 +34,18 @@ def _p(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
+def _fmt4(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """%.4f with negative zero rendered unsigned — every similarity score
+    that crosses a compare boundary (DuckDB oracle or committed snapshot)
+    goes through this: a cosine that cancels to ~0 comes out ±1e-17
+    depending on the engine's summation path (normalize-then-dot here vs
+    dot-then-divide in list_cosine_similarity), and '-0.0000' vs '0.0000'
+    was a hypothesis-found real divergence in knn_bruteforce."""
+    from metareadability_ray.pipelines.relational import fmt_fixed
+
+    return fmt_fixed(col, 4)
+
+
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
     """(n, d) float64 matrix from the list<float> column (one copy)."""
     col = batch.column("embedding")
@@ -95,8 +107,12 @@ def knn_bruteforce(
             group, sort_keys=[("score_raw", "descending"), ("neighbor_id", "ascending")]
         )
         top = group.take(idx[:k])
-        # fixed-decimal string: ulp-robust vs the DuckDB oracle (see relational._fmt_cols)
-        score = pa.array([f"{v:.4f}" for v in top.column("score_raw").to_pylist()], pa.string())
+        # fixed-decimal string, negative zero unsigned: ulp-robust vs the
+        # DuckDB oracle (see relational.fmt_fixed — the -0.0000 class was
+        # hypothesis-found right here)
+        from metareadability_ray.pipelines.relational import fmt_fixed
+
+        score = fmt_fixed(top.column("score_raw"), 4)
         return pa.table(
             {
                 "query_id": top.column("query_id"),
@@ -147,7 +163,7 @@ def neardup_cosine_pairs(sf_dir: str, threshold: float = 0.45) -> "ray.data.Data
             {
                 "vec_a": pa.array(ids_b[bi].tolist(), pa.int64()),
                 "vec_b": pa.array(ids_a[ai].tolist(), pa.int64()),
-                "score": pa.array([f"{v:.4f}" for v in S[bi, ai]], pa.string()),
+                "score": _fmt4(pa.array(S[bi, ai], pa.float64())),
             }
         )
 
@@ -321,10 +337,7 @@ def lsh_neardup_pairs(
     )
 
     def fmt(batch: pa.Table) -> pa.Table:
-        score = pa.array(
-            np.char.mod("%.4f", batch.column("score_raw").to_numpy(zero_copy_only=False)),
-            pa.string(),
-        )
+        score = _fmt4(batch.column("score_raw"))
         return pa.table(
             {
                 "vec_a": batch.column("vec_a"),
@@ -480,10 +493,7 @@ def ivf_topk(
             group, sort_keys=[("score_raw", "descending"), ("neighbor_id", "ascending")]
         )
         top = group.take(idx[:k])
-        score = pa.array(
-            np.char.mod("%.4f", top.column("score_raw").to_numpy(zero_copy_only=False)),
-            pa.string(),
-        )
+        score = _fmt4(top.column("score_raw"))
         return pa.table(
             {
                 "query_id": top.column("query_id"),
@@ -652,10 +662,7 @@ def ivf_topk_partitioned(
             group, sort_keys=[("score_raw", "descending"), ("neighbor_id", "ascending")]
         )
         top = group.take(idx[:k])
-        score = pa.array(
-            np.char.mod("%.4f", top.column("score_raw").to_numpy(zero_copy_only=False)),
-            pa.string(),
-        )
+        score = _fmt4(top.column("score_raw"))
         return pa.table(
             {
                 "query_id": top.column("query_id"),
@@ -739,7 +746,7 @@ def q_label_centroids(sf_dir: str) -> "ray.data.Dataset":
             {
                 "label": pa.array([label] * d, pa.int64()),
                 "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
-                "centroid": pa.array(np.char.mod("%.4f", centroid), pa.string()),
+                "centroid": _fmt4(pa.array(centroid, pa.float64())),
             }
         )
 
@@ -836,8 +843,8 @@ def semdedup(
             {
                 "vec_id": pa.array(ids, pa.int64()),
                 "cluster": pa.array([cl] * n, pa.int64()),
-                "max_sim_prev": pa.array(
-                    [None if i == 0 else f"{best[i]:.4f}" for i in range(n)], pa.string()
+                "max_sim_prev": _fmt4(
+                    pa.array([None if i == 0 else best[i] for i in range(n)], pa.float64())
                 ),
                 "is_dup": pa.array(
                     [0 if i == 0 else int(best[i] >= threshold) for i in range(n)], pa.int64()

@@ -536,7 +536,7 @@ REGISTRY: dict[str, QASpec] = {
     "corr_lineitem": QASpec(
         R3.q_corr_lineitem,
         """
-        SELECT l_returnflag, printf('%.4f', corr(l_quantity, l_extendedprice)) AS corr_qp,
+        SELECT l_returnflag, regexp_replace(printf('%.4f', corr(l_quantity, l_extendedprice)), '^-(0(\\.0+)?)$', '\\1') AS corr_qp,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
         """,
@@ -949,8 +949,8 @@ REGISTRY: dict[str, QASpec] = {
         R3.q_zscore_events,
         """
         SELECT event_id, event_type,
-               printf('%.4f', (value - avg(value) OVER (PARTITION BY event_type))
-                              / stddev_samp(value) OVER (PARTITION BY event_type)) AS z
+               regexp_replace(printf('%.4f', (value - avg(value) OVER (PARTITION BY event_type))
+                              / stddev_samp(value) OVER (PARTITION BY event_type)), '^-(0(\\.0+)?)$', '\\1') AS z
         FROM events
         """,
         "custom(zscore-standardize)",
@@ -958,7 +958,7 @@ REGISTRY: dict[str, QASpec] = {
     "label_centroids": QASpec(
         V.q_label_centroids,
         """
-        SELECT label, i - 1 AS dim, printf('%.4f', avg(e)) AS centroid
+        SELECT label, i - 1 AS dim, regexp_replace(printf('%.4f', avg(e)), '^-(0(\\.0+)?)$', '\\1') AS centroid
         FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
@@ -1046,7 +1046,7 @@ REGISTRY: dict[str, QASpec] = {
             FROM embeddings WHERE vec_id < 5
         )
         SELECT qid AS query_id, vec_id AS neighbor_id,
-               printf('%.4f', list_cosine_similarity(qe, CAST(embedding AS DOUBLE[]))) AS score
+               regexp_replace(printf('%.4f', list_cosine_similarity(qe, CAST(embedding AS DOUBLE[]))), '^-(0(\\.0+)?)$', '\\1') AS score
         FROM q CROSS JOIN embeddings
         WHERE vec_id <> qid
         QUALIFY row_number() OVER (

@@ -103,8 +103,15 @@ def _run_both(name: str, docs: pa.Table, tmp_path_factory) -> None:
 # settings: each example runs a real Ray pipeline (~0.5 s at 4 CPUs), so the
 # example budget is small but the data shapes (nulls, dups, unicode, empty)
 # are exactly what sf testdata holds constant.
+# soak knob: CONF_MAX_EXAMPLES=40 python -m pytest tests/test_property_conformance.py
+# lets a long run search far more data shapes than the default CI budget
+# (hypothesis persists falsifying examples, so a soak find stays caught).
+import os as _os
+
+_N_EX = int(_os.environ.get("CONF_MAX_EXAMPLES", "8"))
+
 _PROP = dict(
-    max_examples=8,
+    max_examples=_N_EX,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -528,7 +535,7 @@ def _run_both_emb(name, emb, docs, tmp_path_factory) -> None:
     "name", ["knn_bruteforce", "neardup_cosine", "label_stats", "label_centroids"]
 )
 def test_query_conformance_on_generated_embeddings(ray_session, tmp_path_factory, name):
-    @settings(max_examples=6, deadline=None,
+    @settings(max_examples=max(6, _N_EX * 6 // 8), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(embeddings_table())
     def inner(emb):
@@ -538,7 +545,7 @@ def test_query_conformance_on_generated_embeddings(ray_session, tmp_path_factory
 
 
 def test_doc_embedding_join_conformance_on_generated(ray_session, tmp_path_factory):
-    @settings(max_examples=6, deadline=None,
+    @settings(max_examples=max(6, _N_EX * 6 // 8), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(embeddings_table(), documents_table())
     def inner(emb, docs):
@@ -584,7 +591,7 @@ def _smoke(name, d):
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_DOCS)
 def test_rows_only_smoke_on_generated_documents(ray_session, tmp_path_factory, name):
-    @settings(max_examples=4, deadline=None,
+    @settings(max_examples=max(4, _N_EX // 2), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(documents_table())
     def inner(docs):
@@ -597,7 +604,7 @@ def test_rows_only_smoke_on_generated_documents(ray_session, tmp_path_factory, n
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_EVENTS)
 def test_rows_only_smoke_on_generated_events(ray_session, tmp_path_factory, name):
-    @settings(max_examples=4, deadline=None,
+    @settings(max_examples=max(4, _N_EX // 2), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(events_table())
     def inner(events):
@@ -610,7 +617,7 @@ def test_rows_only_smoke_on_generated_events(ray_session, tmp_path_factory, name
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_EMB)
 def test_rows_only_smoke_on_generated_embeddings(ray_session, tmp_path_factory, name):
-    @settings(max_examples=4, deadline=None,
+    @settings(max_examples=max(4, _N_EX // 2), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(embeddings_table())
     def inner(emb):

@@ -120,3 +120,101 @@ def test_export_curated_shards_end_to_end(ray_session, tmp_path):
 
     man2 = export_curated_shards(SF_DIR, out)
     assert man2.column("content_hash").to_pylist() == man.column("content_hash").to_pylist()
+
+
+def _docs_table(texts, sources=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(sources or ["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+        }
+    )
+
+
+def _collect(ds):
+    import ray
+
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def test_pack_contexts_window_straddle(ray_session, tmp_path):
+    """Hand-checkable packing: budget 5, docs of 3/4/2/5 tokens laid
+    head-to-tail → spans [0,3) [3,7) [7,9) [9,14): doc 1 straddles the
+    window boundary at 5 (seq 0→1), doc 3 straddles 10 (seq 1→2)."""
+    from metareadability_ray.pipelines.training_prep import q_pack_contexts
+
+    pq.write_table(
+        _docs_table(["a b c", "a b c d", "x y", "p q r s t"]), str(tmp_path / "documents.parquet")
+    )
+    out = _collect(q_pack_contexts(str(tmp_path), budget=5)).sort_by("doc_id")
+    assert out.column("tok_start").to_pylist() == [0, 3, 7, 9]
+    assert out.column("seq_first").to_pylist() == [0, 0, 1, 1]
+    assert out.column("seq_last").to_pylist() == [0, 1, 1, 2]
+
+
+def test_pack_contexts_offsets_are_globally_consistent(ray_session, tmp_path):
+    """The two-level prefix scan must produce the same spans as a serial
+    cumsum regardless of bucket layout: spans are contiguous, gap-free,
+    and doc_id-ordered."""
+    from metareadability_ray.pipelines.training_prep import q_pack_contexts
+
+    texts = [" ".join(["w"] * (1 + i % 7)) for i in range(300)]
+    pq.write_table(_docs_table(texts), str(tmp_path / "documents.parquet"))
+    out = _collect(q_pack_contexts(str(tmp_path), budget=64)).sort_by("doc_id")
+    starts = np.asarray(out.column("tok_start").to_pylist())
+    ns = np.asarray(out.column("n_tokens").to_pylist())
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + ns[:-1]).all()  # contiguous, gap-free
+
+
+def test_token_budget_mix_keeps_budget_per_source(ray_session, tmp_path):
+    """Per source: kept token total ≤ ceil(total/4), and adding the NEXT
+    doc in md5 order would exceed it (maximality of the prefix rule)."""
+    import hashlib
+
+    from metareadability_ray.pipelines.training_prep import q_token_budget_mix
+
+    texts = [" ".join(["w"] * (1 + i % 9)) for i in range(200)]
+    sources = ["s%d" % (i % 3) for i in range(200)]
+    pq.write_table(_docs_table(texts, sources), str(tmp_path / "documents.parquet"))
+    out = _collect(q_token_budget_mix(str(tmp_path)))
+    kept = {
+        (r["source"], r["doc_id"]): r["n_tokens"] for r in out.to_pylist()
+    }
+    per_src_total: dict[str, int] = {}
+    docs = [(sources[i], i, 1 + i % 9) for i in range(200)]
+    for s, _, n in docs:
+        per_src_total[s] = per_src_total.get(s, 0) + n
+    budgets = {s: (t + 3) // 4 for s, t in per_src_total.items()}
+    for s in budgets:
+        order = sorted(
+            (d for d in docs if d[0] == s),
+            key=lambda d: (hashlib.md5(str(d[1]).encode()).hexdigest(), d[1]),
+        )
+        cum = 0
+        expect = set()
+        for _, did, n in order:
+            cum += n
+            if cum <= budgets[s]:
+                expect.add(did)
+        got = {did for (src, did) in kept if src == s}
+        assert got == expect, f"source {s}: prefix rule violated"
+        assert sum(n for (src, _), n in kept.items() if src == s) <= budgets[s]
+
+
+def test_lm_perplexity_rare_tokens_score_higher(ray_session, tmp_path):
+    """A doc of corpus-common tokens must score fewer bits/token than a doc
+    of corpus-rare tokens (the CCNet quality direction)."""
+    from metareadability_ray.pipelines.webtext import q_lm_perplexity
+
+    texts = ["the the the the"] * 20 + ["zq xv jj kk"]
+    pq.write_table(_docs_table(texts), str(tmp_path / "documents.parquet"))
+    out = _collect(q_lm_perplexity(str(tmp_path))).sort_by("doc_id")
+    bits = [float(b) for b in out.column("bits_per_token").to_pylist()]
+    assert bits[-1] > bits[0], "rare-token doc must score more bits/token"
