@@ -132,3 +132,42 @@ def test_ivf_partitioned_equals_inbatch_and_prunes_read(ray_session, tmp_path):
     )
     pruned = sum(os.path.getsize(p) for p in read_paths)
     assert pruned < full, (pruned, full)
+
+
+def test_knn_negative_zero_score_matches_duckdb(ray_session, tmp_path):
+    """Regression pin for the hypothesis-found '-0.0000' vs '0.0000'
+    divergence: cos(v2, v3) cancels to ~0, and Ray's normalize-then-dot
+    yields -1e-17 while DuckDB's dot-then-divide yields exact +0.0. Both
+    sides must render negative zero unsigned (relational.fmt_fixed / the
+    anchored regexp_replace in the oracle)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import ray
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(
+                [[0, 0, 0, 0.25], [0, 0, 0, 0.25], [0.25, 0.25, -0.75, 0], [0.75, 0, 0.25, 0]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    from metareadability_ray.qa import REGISTRY
+
+    spec = REGISTRY["knn_bruteforce"]
+    got = pa.concat_tables(
+        [t for t in (ray.get(r) for r in spec.fn(str(tmp_path)).to_arrow_refs()) if t.num_rows]
+    )
+    assert "-0.0000" not in set(got.column("score").to_pylist())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(spec.sql).fetch_arrow_table()
+    con.close()
+    key = lambda t: sorted(map(tuple, t.select(sorted(t.column_names)).to_pylist()))
+    assert key(got) == key(want)
