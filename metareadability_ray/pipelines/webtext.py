@@ -768,3 +768,68 @@ def q_lm_perplexity(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------- CCNet paragraph-dedup text REWRITE
+def q_para_dedup_rewrite(sf_dir: str, min_df: int = 2) -> "ray.data.Dataset":
+    """The CCNet cleaning step itself (not just its accounting —
+    :func:`q_para_dedup_stats` counts, THIS rewrites): per document, drop
+    every chunk that appears in ≥``min_df`` distinct documents and emit the
+    rebuilt text, in original chunk order, plus removal accounting. The
+    first corpus-informed TEXT-REWRITE operator in the registry
+    (``redact_pii`` rewrites from a static pattern; this one's pattern set
+    is learned from the corpus).
+
+    Scale shape = para_dedup_stats exactly: the boilerplate chunk set is
+    built distributedly (hash-first df shuffle, 8 B per distinct chunk per
+    block) and broadcast ONCE via ``ray.put`` — the set CCNet ships to
+    every worker — then one streaming pass rewrites each doc wholly
+    in-batch (a doc is one row; membership via vectorized ``pc.is_in``).
+    Text shuffles nowhere. Docs whose every chunk is boilerplate stay, with
+    ``clean_text = ''`` (the downstream length filter drops them, same as
+    CCNet); docs with no chunks at all (null/empty text) are not rows,
+    matching the SQL's join-through-chunks shape."""
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("clean_text", pa.string()),
+            ("n_chunks", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+    common = _common_chunk_ref(sf_dir, min_df=min_df)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        doc_ids, chunks = _batch_chunks(batch)  # doc-order-preserving
+        if len(chunks) == 0:
+            return _empty(
+                {f.name: f.type for f in out_schema}
+            )
+        is_common = np.asarray(keyset_mask(common, pa.array(chunks.astype(str), pa.string())))
+        starts = np.flatnonzero(np.concatenate(([True], doc_ids[1:] != doc_ids[:-1])))
+        ends = np.append(starts[1:], len(doc_ids))
+        out_d: list[int] = []
+        out_t: list[str] = []
+        out_n: list[int] = []
+        out_r: list[int] = []
+        for s, e in zip(starts, ends):
+            keep = ~is_common[s:e]
+            out_d.append(int(doc_ids[s]))
+            out_t.append(" ".join(chunks[s:e][keep]))
+            out_n.append(e - s)
+            out_r.append(int(is_common[s:e].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "clean_text": pa.array(out_t, pa.string()),
+                "n_chunks": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )

@@ -1236,3 +1236,20 @@ REGISTRY["token_budget_mix"] = QASpec(
     """,
     "custom(token-budget-data-mixing,bucket-pruned-prefix-scan)",
 )
+REGISTRY["para_dedup_rewrite"] = QASpec(
+    W.q_para_dedup_rewrite,
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+         ch AS (SELECT doc_id, g.i AS i, array_to_string(t[g.i:g.i+2], ' ') AS chunk
+                FROM toks, UNNEST(generate_series(1, length(t), 3)) AS g(i)),
+         common AS (SELECT chunk FROM ch GROUP BY chunk
+                    HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY i)
+                    FILTER (WHERE chunk NOT IN (SELECT chunk FROM common)), '') AS clean_text,
+           count(*) AS n_chunks,
+           count(*) FILTER (WHERE chunk IN (SELECT chunk FROM common)) AS n_removed
+    FROM ch GROUP BY doc_id
+    """,
+    "custom(ccnet-paragraph-dedup-rewrite,broadcast-boilerplate-set)",
+)

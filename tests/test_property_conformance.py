@@ -129,7 +129,7 @@ _PROP = dict(
         "dedup_survivors", "stratified_sample", "topk_docs_per_lang",
         "para_dedup_stats", "gopher_repetition", "source_mix", "curated_corpus",
         "bottomk_sample", "shard_assignment",
-        "lm_perplexity", "pack_contexts", "token_budget_mix",
+        "lm_perplexity", "pack_contexts", "token_budget_mix", "para_dedup_rewrite",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
