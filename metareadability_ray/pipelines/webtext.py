@@ -833,3 +833,287 @@ def q_para_dedup_rewrite(sf_dir: str, min_df: int = 2) -> "ray.data.Dataset":
     return with_schema_seed(
         ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True), out_schema
     )
+
+
+# ----------------------------------------- training chunker (sliding window)
+_CHUNK_WINDOW = 32
+_CHUNK_STRIDE = 24
+
+
+def q_chunk_documents(
+    sf_dir: str, window: int = _CHUNK_WINDOW, stride: int = _CHUNK_STRIDE
+) -> "ray.data.Dataset":
+    """Sliding token-window chunker — the complement of ``pack_contexts``:
+    where packing concatenates short docs up to a context budget, chunking
+    SPLITS long docs into overlapping ``window``-token pieces every
+    ``stride`` tokens (the standard pre-embedding / pre-training splitter;
+    overlap = window - stride preserves cross-boundary context). One row
+    per (doc, window start); trailing short windows kept (their tokens
+    appear nowhere else once past the overlap); empty/null docs vanish
+    (join-through-tokens shape, same as the SQL).
+
+    Scale shape: pure per-batch flat kernel over one pruned streaming pass —
+    a doc is one row, so every window is computable in-batch; nothing
+    shuffles, output size ≈ corpus × (1 + overlap fraction)."""
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("start_tok", pa.int64()),  # 1-based, = the SQL generate_series index
+            ("n_tokens", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_s: list[int] = []
+        out_n: list[int] = []
+        out_t: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            L = len(toks)
+            if L == 0:
+                continue
+            for s in range(0, L, stride):
+                out_d.append(did)
+                out_s.append(s + 1)
+                out_n.append(min(window, L - s))
+                out_t.append(" ".join(toks[s : s + window]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "start_tok": pa.array(out_s, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# ------------------------- exact duplicated-span coverage (Lee et al., 2022)
+_SPAN_K = 4
+
+
+def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
+    """Exact-substring dedup accounting (Lee et al., 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, how many
+    tokens sit inside a ``k``-token span that also occurs verbatim in
+    ANOTHER document. Differs from the CCNet chunk family: spans are
+    SLIDING k-grams (every offset), so coverage catches duplicated passages
+    at any alignment, not just on chunk boundaries.
+
+    Scale shape: the cross-doc duplicated-gram set is built with the same
+    hash-first two-phase discipline as :func:`q_common_chunks` — phase 1
+    shuffles only (u64 gram-hash, partial-df) per distinct gram per block
+    (Lee et al.'s suffix array is replaced by the hash-df set, which is the
+    corpus-bounded object here), phase 2 recounts candidates BY STRING so
+    hash collisions cannot create false duplicates; the final set (bounded
+    by the duplicated vocabulary, not the corpus) broadcasts once via
+    ``ray.put``. Coverage is then a per-batch kernel: a doc is one row, so
+    token coverage needs a difference-array sweep per doc and no shuffle.
+    """
+    from metareadability_ray.util import with_schema_seed
+
+    def _batch_grams(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_id, start_offset_0based, gram) for every sliding k-gram."""
+        doc_ids: list[int] = []
+        offs: list[int] = []
+        grams: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            if len(toks) < k:
+                continue
+            gs = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+            doc_ids.extend([did] * len(gs))
+            offs.extend(range(len(gs)))
+            grams.extend(gs)
+        return (
+            np.asarray(doc_ids, dtype=np.int64),
+            np.asarray(offs, dtype=np.int64),
+            np.asarray(grams, dtype=object),
+        )
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def phase1_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, _, grams = _batch_grams(batch)
+        if len(grams) == 0:
+            return _empty({"h": pa.int64(), "n_docs": pa.int64(), "__b": pa.int64()})
+        hs = _stable_hash64(grams)
+        pairs = np.unique(np.rec.fromarrays([doc_ids, hs]))
+        u, c = np.unique(pairs.f1, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u, pa.int64()),
+                "n_docs": pa.array(c, pa.int64()),
+                "__b": pa.array(u % np.int64(_PAIR_BUCKETS), pa.int64()),
+            }
+        )
+
+    def sum_bucket(group: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(group.select(["h", "n_docs"]), "h").aggregate([("n_docs", "sum")])
+        return pa.table({"h": t.column("h"), "n_docs": t.column("n_docs_sum").cast(pa.int64())})
+
+    cand_batches = list(
+        ds.map_batches(phase1_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(sum_bucket, batch_format="pyarrow")
+        .filter(expr="n_docs >= 2")
+        .iter_batches(batch_format="pyarrow")
+    )
+    cand = (
+        pa.concat_tables(cand_batches)
+        if cand_batches
+        else _empty({"h": pa.int64(), "n_docs": pa.int64()})
+    )
+    col = cand.column("h")
+    cand_ref = ray.put(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+
+    # phase 2: exact string recount of candidate grams only (collision filter)
+    def phase2_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, _, grams = _batch_grams(batch)
+        if len(grams) == 0:
+            return _empty({"gram": pa.string(), "n_docs": pa.int64()})
+        hs = _stable_hash64(grams)
+        mask = np.asarray(keyset_mask(cand_ref, pa.array(hs, pa.int64())))
+        doc_ids, grams = doc_ids[mask], grams[mask]
+        if len(grams) == 0:
+            return _empty({"gram": pa.string(), "n_docs": pa.int64()})
+        pairs = np.unique(np.rec.fromarrays([doc_ids, grams.astype(str)]))
+        u, c = np.unique(pairs.f1, return_counts=True)
+        return pa.table({"gram": pa.array(u, pa.string()), "n_docs": pa.array(c, pa.int64())})
+
+    dup_batches = list(
+        ds.map_batches(phase2_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .filter(expr="n_docs >= 2")
+        .iter_batches(batch_format="pyarrow")
+    )
+    dup = (
+        pa.concat_tables(dup_batches)
+        if dup_batches
+        else _empty({"gram": pa.string(), "n_docs": pa.int64()})
+    )
+    gcol = dup.column("gram")
+    dup_ref = ray.put(gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("n_dup_tokens", pa.int64())]
+    )
+
+    def coverage(batch: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_n: list[int] = []
+        out_c: list[int] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            L = len(toks)
+            if L == 0:
+                continue
+            out_d.append(did)
+            out_n.append(L)
+            if L < k:
+                out_c.append(0)
+                continue
+            gs = np.asarray(
+                [" ".join(toks[j : j + k]) for j in range(L - k + 1)], dtype=object
+            )
+            hit = np.asarray(keyset_mask(dup_ref, pa.array(gs.astype(str), pa.string())))
+            # difference-array coverage sweep: +1 at each hit start, -1 at
+            # start+k; token covered where the running sum is > 0
+            diff = np.zeros(L + 1, dtype=np.int64)
+            starts = np.flatnonzero(hit)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + k, -1)
+            out_c.append(int((np.cumsum(diff[:L]) > 0).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "n_dup_tokens": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(coverage, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# --------------------------------- Gopher quality filter (Rae et al., 2021)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_quality_filter(sf_dir: str) -> "ray.data.Dataset":
+    """The published Gopher quality-filter rule panel (Rae et al., 2021,
+    Table A1), as exact integer arithmetic so no float crosses the compare
+    boundary: word count in [50, 100000]; mean word length in [3, 10]
+    (expressed as word_chars between 3·n_words and 10·n_words); ≥80% of
+    words contain an alphabetic character (5·n_alpha_words ≥ 4·n_words);
+    and ≥2 DISTINCT members of the Gopher stop-word list present. Emits the
+    per-rule counters plus the composed ``keep_i`` flag (what a curation
+    pipeline filters on). Docs with no tokens vanish (join-through-tokens,
+    same as the SQL). Distinct from ``quality_score`` (ad-hoc signals) —
+    this is the literature's rule set, verbatim thresholds.
+
+    Scale shape: single pruned streaming pass, per-batch kernel, zero
+    shuffle — every rule is a function of the doc's own tokens."""
+    from metareadability_ray.util import with_schema_seed
+
+    stop = frozenset(_GOPHER_STOPWORDS)
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_words", pa.int64()),
+            ("word_chars", pa.int64()),
+            ("n_alpha_words", pa.int64()),
+            ("n_stop_distinct", pa.int64()),
+            ("keep_i", pa.int32()),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    import re as _re
+
+    alpha = _re.compile(r"[A-Za-z]")
+
+    def panel(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {f.name: [] for f in out_schema}
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            n = len(toks)
+            if n == 0:
+                continue
+            wc = sum(len(w) for w in toks)
+            na = sum(1 for w in toks if alpha.search(w))
+            ns = len({w.lower() for w in toks if w.lower() in stop})
+            keep = int(
+                50 <= n <= 100000
+                and 3 * n <= wc <= 10 * n
+                and 5 * na >= 4 * n
+                and ns >= 2
+            )
+            out["doc_id"].append(did)
+            out["n_words"].append(n)
+            out["word_chars"].append(wc)
+            out["n_alpha_words"].append(na)
+            out["n_stop_distinct"].append(ns)
+            out["keep_i"].append(keep)
+        return pa.table({f.name: pa.array(out[f.name], f.type) for f in out_schema})
+
+    return with_schema_seed(
+        ds.map_batches(panel, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )

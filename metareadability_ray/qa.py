@@ -1253,3 +1253,55 @@ REGISTRY["para_dedup_rewrite"] = QASpec(
     """,
     "custom(ccnet-paragraph-dedup-rewrite,broadcast-boilerplate-set)",
 )
+REGISTRY["chunk_documents"] = QASpec(
+    W.q_chunk_documents,
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)
+    SELECT doc_id, g.i AS start_tok,
+           least(32, length(t) - g.i + 1) AS n_tokens,
+           array_to_string(t[g.i:g.i+31], ' ') AS chunk_text
+    FROM toks, UNNEST(generate_series(1, length(t), 24)) AS g(i)
+    """,
+    "custom(sliding-window-training-chunker)",
+)
+REGISTRY["dup_span_stats"] = QASpec(
+    W.q_dup_span_stats,
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                  WHERE text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
+         g AS (SELECT doc_id, g.i AS i, array_to_string(t[g.i:g.i+3], ' ') AS gram
+               FROM toks, UNNEST(generate_series(1, length(t) - 3, 1)) AS g(i)),
+         common AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT d.doc_id, d.i + u.o AS j
+                 FROM (SELECT doc_id, i FROM g
+                       WHERE gram IN (SELECT gram FROM common)) d,
+                      UNNEST(generate_series(0, 3)) AS u(o))
+    SELECT toks.doc_id, length(toks.t) AS n_tokens,
+           coalesce(c.n, 0) AS n_dup_tokens
+    FROM toks LEFT JOIN (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id) c
+      ON toks.doc_id = c.doc_id
+    """,
+    "custom(exact-substring-dedup-coverage,hash-first-df,broadcast-dup-set)",
+)
+REGISTRY["gopher_quality_filter"] = QASpec(
+    W.q_gopher_quality_filter,
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+         w AS (SELECT doc_id, u.w AS w FROM toks, UNNEST(t) AS u(w)),
+         agg AS (SELECT doc_id, count(*) AS n_words,
+                        CAST(sum(length(w)) AS BIGINT) AS word_chars,
+                        count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]')) AS n_alpha_words,
+                        CAST(count(DISTINCT CASE WHEN lower(w) IN
+                          ('the','be','to','of','and','that','have','with')
+                          THEN lower(w) END) AS BIGINT) AS n_stop_distinct
+                 FROM w GROUP BY doc_id)
+    SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_distinct,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND word_chars BETWEEN 3 * n_words AND 10 * n_words
+                      AND 5 * n_alpha_words >= 4 * n_words
+                      AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS INT) AS keep_i
+    FROM agg
+    """,
+    "custom(gopher-quality-rule-panel,rae-2021-table-a1)",
+)

@@ -130,6 +130,7 @@ _PROP = dict(
         "para_dedup_stats", "gopher_repetition", "source_mix", "curated_corpus",
         "bottomk_sample", "shard_assignment",
         "lm_perplexity", "pack_contexts", "token_budget_mix", "para_dedup_rewrite",
+        "chunk_documents", "dup_span_stats", "gopher_quality_filter",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
