@@ -130,6 +130,13 @@ BENCH_QUERIES = [
     "dedup_survivors_lsh",
     "string_agg_status",
     "grouping_sets_orders",
+    "lm_perplexity",
+    "pack_contexts",
+    "token_budget_mix",
+    "para_dedup_rewrite",
+    "chunk_documents",
+    "dup_span_stats",
+    "gopher_quality_filter",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",
