@@ -1016,6 +1016,11 @@ def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
         out_d: list[int] = []
         out_n: list[int] = []
         out_c: list[int] = []
+        # ONE membership probe per batch (not per doc): all grams of all
+        # docs go through a single vectorized pc.is_in, then the per-doc
+        # difference-array sweeps slice the shared hit mask
+        docs: list[tuple[int, int, int]] = []  # (doc_id, L, n_grams)
+        grams: list[str] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
             if not t:
                 continue
@@ -1023,19 +1028,25 @@ def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
             L = len(toks)
             if L == 0:
                 continue
+            gs = [" ".join(toks[j : j + k]) for j in range(L - k + 1)] if L >= k else []
+            docs.append((did, L, len(gs)))
+            grams.extend(gs)
+        hit = (
+            np.asarray(keyset_mask(dup_ref, pa.array(grams, pa.string())))
+            if grams
+            else np.empty(0, dtype=bool)
+        )
+        pos = 0
+        for did, L, ng in docs:
             out_d.append(did)
             out_n.append(L)
-            if L < k:
+            if ng == 0:
                 out_c.append(0)
                 continue
-            gs = np.asarray(
-                [" ".join(toks[j : j + k]) for j in range(L - k + 1)], dtype=object
-            )
-            hit = np.asarray(keyset_mask(dup_ref, pa.array(gs.astype(str), pa.string())))
-            # difference-array coverage sweep: +1 at each hit start, -1 at
-            # start+k; token covered where the running sum is > 0
+            # +1 at each hit start, -1 at start+k; covered where running sum > 0
             diff = np.zeros(L + 1, dtype=np.int64)
-            starts = np.flatnonzero(hit)
+            starts = np.flatnonzero(hit[pos : pos + ng])
+            pos += ng
             np.add.at(diff, starts, 1)
             np.add.at(diff, starts + k, -1)
             out_c.append(int((np.cumsum(diff[:L]) > 0).sum()))
