@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "dup_span_stats",
     "gopher_quality_filter",
+    "intra_doc_dedup",
+    "length_percentile_filter",
+    "source_overlap",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1128,3 +1128,231 @@ def q_gopher_quality_filter(sf_dir: str) -> "ray.data.Dataset":
     return with_schema_seed(
         ds.map_batches(panel, batch_format="pyarrow", zero_copy_batch=True), out_schema
     )
+
+
+# ------------------------------------- within-document dedup (RefinedWeb)
+def q_intra_doc_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """RefinedWeb-style WITHIN-document dedup (Penedo et al., 2023, "line-wise
+    deduplication" — here over the corpus's 3-token pseudo-paragraph chunks,
+    same pluggable unit as the CCNet ops): per document, keep only the FIRST
+    occurrence of each chunk, in original order, and emit the rebuilt text
+    plus removal accounting. Complements :func:`q_para_dedup_rewrite`, which
+    removes CROSS-document boilerplate — this one needs no corpus state at
+    all.
+
+    Scale shape: the ideal operator — one pruned streaming pass, per-batch
+    kernel, ZERO shuffle and zero broadcast (each doc's dedup is a function
+    of the doc alone). Docs with no chunks (null/empty text) are not rows,
+    matching the SQL's join-through-chunks shape."""
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("clean_text", pa.string()),
+            ("n_chunks", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_t: list[str] = []
+        out_n: list[int] = []
+        out_r: list[int] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            if not toks:
+                continue
+            cs = [" ".join(toks[i : i + _CHUNK_W]) for i in range(0, len(toks), _CHUNK_W)]
+            seen: set[str] = set()
+            kept: list[str] = []
+            for c in cs:
+                if c not in seen:
+                    seen.add(c)
+                    kept.append(c)
+            out_d.append(did)
+            out_t.append(" ".join(kept))
+            out_n.append(len(cs))
+            out_r.append(len(cs) - len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "clean_text": pa.array(out_t, pa.string()),
+                "n_chunks": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# --------------------------- exact distributed percentile length filter
+def q_length_percentile_filter(
+    sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95
+) -> "ray.data.Dataset":
+    """Percentile-band length trim (the standard "drop the pathological
+    tails" curation step): keep documents whose ``n_chars`` lies within the
+    corpus's exact [p05, p95] band, thresholds computed with DuckDB's
+    ``quantile_cont`` linear-interpolation semantics.
+
+    Scale shape: exact quantiles over an INTEGER column need no sketch and
+    no sort — pass 1 reduces the corpus to a value histogram (per-batch
+    ``np.unique`` combiner, then a groupby over the ~10^3-10^4 distinct
+    lengths), the driver folds the tiny histogram into two thresholds
+    (O(distinct) work), and pass 2 re-filters the pruned 2-column stream.
+    Both passes stream; nothing corpus-sized ever materializes. Contrast
+    ``quantile_sketch_value`` (mergeable sketch, for non-integer or
+    unbounded-cardinality columns)."""
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        col = batch.column("n_chars")
+        arr = col.to_numpy(zero_copy_only=False)
+        arr = arr[~pa.compute.is_null(col).to_numpy(zero_copy_only=False)] if col.null_count else arr
+        vals, cnts = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"n_chars": pa.array(vals, pa.int64()), "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # small: one row per DISTINCT length
+    )
+    vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    if n == 0:
+        # quantile over the empty set is NULL; the SQL's WHERE keeps nothing
+        return with_schema_seed(ds.limit(0).map_batches(lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"), out_schema)
+    cum = np.cumsum(cnts)  # cum[i] = #values <= vals[i]
+
+    def quantile_cont(q: float) -> float:
+        # DuckDB semantics: pos = q*(n-1) over the sorted multiset;
+        # val = v[floor] + frac * (v[ceil] - v[floor])
+        pos = q * (n - 1)
+        k = int(np.floor(pos))
+        frac = pos - k
+        lo_v = vals[np.searchsorted(cum, k + 1, side="left")]
+        if frac == 0.0:
+            return float(lo_v)
+        hi_v = vals[np.searchsorted(cum, k + 2, side="left")]
+        return float(lo_v) + frac * (float(hi_v) - float(lo_v))
+
+    lo, hi = quantile_cont(lo_q), quantile_cont(hi_q)
+
+    def band(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_chars")
+        keep = pc.and_kleene(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+        keep = pc.fill_null(keep, False)
+        return batch.filter(keep)
+
+    return with_schema_seed(
+        ds.map_batches(band, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# ----------------------------- cross-source contamination (shared chunks)
+def q_source_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of DISTINCT 3-token chunks that occur in both (the "how much of
+    source B is already in source A" audit run before mixing corpora —
+    the source-level analogue of benchmark decontamination). Null-source
+    docs are excluded, matching the SQL's ``a.source < b.source``
+    comparison semantics.
+
+    Scale shape: per-batch combiner collapses each block to its DISTINCT
+    (chunk, source) pairs before anything moves; the only shuffle is that
+    deduped vocabulary stream, bucketed by chunk-hash so each of the
+    ``_PAIR_BUCKETS`` reduce tasks sees complete chunk groups (in-bucket
+    lexsort + run-length grouping, exact string equality — no collision
+    risk). Per-chunk work is O(sources-containing-chunk²) with the source
+    universe small by construction; bucket partials then collapse in a
+    final source-pair groupby over ≤ buckets × |sources|² tiny rows."""
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_shared", pa.int64()),
+        ]
+    )
+    nb = _PAIR_BUCKETS
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def chunk_source(batch: pa.Table) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        for src, t in zip(batch.column("source").to_pylist(), batch.column("text").to_pylist()):
+            if not t or src is None:
+                continue
+            toks = re2_tokens(t)
+            for i in range(0, len(toks), _CHUNK_W):
+                pairs.add((" ".join(toks[i : i + _CHUNK_W]), src))
+        if not pairs:
+            return _empty({"chunk": pa.string(), "source": pa.string(), "__b": pa.int64()})
+        chunks_np = np.asarray([p[0] for p in pairs], dtype=object)
+        h = _stable_hash64(chunks_np)
+        return pa.table(
+            {
+                "chunk": pa.array(chunks_np, pa.string()),
+                "source": pa.array([p[1] for p in pairs], pa.string()),
+                "__b": pa.array(h % np.int64(nb), pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        cs = np.asarray(group.column("chunk").to_pylist(), dtype=object)
+        ss = np.asarray(group.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((ss, cs))
+        cs, ss = cs[order], ss[order]
+        # cross-block re-dedup of (chunk, source)
+        keep = np.concatenate(([True], (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1])))
+        cs, ss = cs[keep], ss[keep]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        ends = np.append(starts[1:], len(cs))
+        agg: dict[tuple[str, str], int] = {}
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            srcs = ss[s:e]  # already sorted, distinct
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    k = (srcs[i], srcs[j])
+                    agg[k] = agg.get(k, 0) + 1
+        if not agg:
+            return _empty(
+                {"source_a": pa.string(), "source_b": pa.string(), "n_shared": pa.int64()}
+            )
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "source_a": pa.array([k[0] for k in ks], pa.string()),
+                "source_b": pa.array([k[1] for k in ks], pa.string()),
+                "n_shared": pa.array([agg[k] for k in ks], pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(chunk_source, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return with_schema_seed(
+        partials.groupby(["source_a", "source_b"]).aggregate(
+            Sum("n_shared", alias_name="n_shared")
+        ),
+        out_schema,
+    )

@@ -1305,3 +1305,47 @@ REGISTRY["gopher_quality_filter"] = QASpec(
     """,
     "custom(gopher-quality-rule-panel,rae-2021-table-a1)",
 )
+REGISTRY["intra_doc_dedup"] = QASpec(
+    W.q_intra_doc_dedup,
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                  WHERE text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
+         cl AS (SELECT doc_id, list_transform(generate_series(1, length(t), 3),
+                                              i -> array_to_string(t[i:i+2], ' ')) AS cs
+                FROM toks),
+         e AS (SELECT doc_id, unnest(cs) AS chunk,
+                      unnest(generate_series(1, length(cs))) AS i FROM cl),
+         f AS (SELECT doc_id, chunk, min(i) AS fi FROM e GROUP BY doc_id, chunk),
+         agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY fi) AS clean_text,
+                        count(*) AS n_kept FROM f GROUP BY doc_id),
+         n AS (SELECT doc_id, count(*) AS n_chunks FROM e GROUP BY doc_id)
+    SELECT n.doc_id, agg.clean_text, n.n_chunks, n.n_chunks - agg.n_kept AS n_removed
+    FROM n JOIN agg ON n.doc_id = agg.doc_id
+    """,
+    "custom(refinedweb-intra-doc-dedup,zero-shuffle-rewrite)",
+)
+REGISTRY["length_percentile_filter"] = QASpec(
+    W.q_length_percentile_filter,
+    r"""
+    WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi FROM documents)
+    SELECT doc_id, n_chars FROM documents, q
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+    "custom(exact-histogram-quantile-trim,two-pass-broadcast)",
+)
+REGISTRY["source_overlap"] = QASpec(
+    W.q_source_overlap,
+    r"""
+    WITH toks AS (SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
+                  WHERE text IS NOT NULL),
+         ch AS (SELECT source, unnest(list_transform(generate_series(1, length(t), 3),
+                                                     i -> array_to_string(t[i:i+2], ' '))) AS chunk
+                FROM toks),
+         sc AS (SELECT DISTINCT source, chunk FROM ch)
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM sc a JOIN sc b ON a.chunk = b.chunk AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    "custom(cross-source-contamination-matrix,chunk-hash-bucketed)",
+)

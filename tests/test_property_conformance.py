@@ -131,6 +131,7 @@ _PROP = dict(
         "bottomk_sample", "shard_assignment",
         "lm_perplexity", "pack_contexts", "token_budget_mix", "para_dedup_rewrite",
         "chunk_documents", "dup_span_stats", "gopher_quality_filter",
+        "intra_doc_dedup", "length_percentile_filter", "source_overlap",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
