@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "intra_doc_dedup",
     "length_percentile_filter",
     "source_overlap",
+    "simhash_hamming_pairs",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

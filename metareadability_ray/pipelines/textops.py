@@ -1054,3 +1054,129 @@ def q_simhash(sf_dir: str) -> "ray.data.Dataset":
         concurrency=auto_actor_concurrency(cap=4),
         max_restarts=0,
     )
+
+
+# ----------------------------- SimHash Hamming near-dup pairs (Manku 2007)
+_SH_BANDS = 4  # 16-bit bands over the 64-bit fingerprint
+_SH_MAXH = 3  # pairs with Hamming distance <= 3 (Manku et al., 2007, k=3)
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+class _SimhashBandExpander:
+    """Fingerprint + band expansion in one actor kernel: emits one row per
+    (doc, band) carrying the full fingerprint, keyed by
+    ``band_id * 2^16 + band_value`` so a single int64 key co-locates every
+    candidate sharing that band. Docs with no tokens are skipped (their
+    SimHasher value is the 0 sentinel, not a fingerprint). Hash values are
+    identical to :class:`SimHasher` (same memoised token-hash kernel)."""
+
+    def __init__(self):
+        self._h = SimHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fp = self._h(batch)  # doc_id, simhash — SimHasher semantics exactly
+        toks_empty = [
+            not t or not re2_tokens(t) for t in batch.column("text").to_pylist()
+        ]
+        keep = ~np.asarray(toks_empty, dtype=bool)
+        ids = fp.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        sh = fp.column("simhash").to_numpy(zero_copy_only=False)[keep].view(np.uint64)
+        n = len(ids)
+        out_id = np.repeat(ids, _SH_BANDS)
+        out_sh = np.repeat(sh, _SH_BANDS)
+        bands = np.tile(np.arange(_SH_BANDS, dtype=np.uint64), n)
+        bvals = (out_sh >> (bands * np.uint64(16))) & np.uint64(0xFFFF)
+        key = (bands.astype(np.int64) << 16) | bvals.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, I64),
+                "simhash": pa.array(out_sh.view(np.int64), I64),
+                "key": pa.array(key, I64),
+            }
+        )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy 1.x has no
+    bitwise_count): byte-LUT over the raw view."""
+    return _POPCNT8[x.view(np.uint8)].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
+
+
+def q_simhash_hamming_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """All document pairs whose 64-bit SimHash fingerprints differ in at
+    most ``_SH_MAXH`` = 3 bits — the fingerprint-side near-dup detector of
+    Manku, Jain & Das Sarma (WWW 2007), completing the repo's SimHash path
+    (``simhash`` emits fingerprints; THIS finds the close pairs). Candidate
+    generation is the paper's pigeonhole band trick: with 4 disjoint 16-bit
+    bands, any pair within Hamming distance 3 agrees exactly on >= 1 band,
+    so only docs sharing a (band_id, band_value) key ever meet. Each
+    surviving pair is emitted exactly once — at its FIRST matching band —
+    so no cross-band distinct pass is needed.
+
+    Scale shape: 4 fixed-width rows (24 B) per doc shuffle once, keyed by
+    an int64 that ``bucketed_map_groups`` reduces with one vectorized pass
+    per bucket; in-group verify is XOR + byte-LUT popcount in row-chunks
+    (memory O(chunk x group)). Group sizes are the docs sharing a 16-bit
+    band value; identical-fingerprint clusters (exact duplicates) belong to
+    the upstream ``exact_dedup`` pass, same contract as minhash LSH. Docs
+    with no tokens are excluded (no fingerprint), matching the other
+    near-dup operators' join-through-tokens shape."""
+    from metareadability_ray.util import auto_actor_concurrency, with_schema_seed
+
+    out_schema = pa.schema(
+        [("doc_a", I64), ("doc_b", I64), ("hamming", I64)]
+    )
+    expanded = _docs(sf_dir).map_batches(
+        _SimhashBandExpander,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=auto_actor_concurrency(cap=4),
+        max_restarts=0,
+    )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"doc_a": pa.array([], I64), "doc_b": pa.array([], I64), "hamming": pa.array([], I64)})
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        band_id = int(group.column("key")[0].as_py()) >> 16
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        CH = 2048
+        for s in range(0, n, CH):
+            a_sh = sh[s : s + CH, None]
+            x = a_sh ^ sh[None, :]  # (chunk, n) uint64
+            ham = _popcount64(x)
+            ai, bj = np.nonzero((ham <= _SH_MAXH) & ((s + np.arange(len(a_sh)))[:, None] < np.arange(n)[None, :]))
+            if len(ai) == 0:
+                continue
+            xv = x[ai, bj]
+            # first-matching-band dedup: emit here only if every EARLIER
+            # band of the xor is nonzero (pair not already found there)
+            first = np.ones(len(ai), dtype=bool)
+            for k in range(band_id):
+                first &= ((xv >> np.uint64(16 * k)) & np.uint64(0xFFFF)) != 0
+            if not first.any():
+                continue
+            out_a.append(ids[s + ai[first]])
+            out_b.append(ids[bj[first]])
+            out_h.append(ham[ai[first], bj[first]])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], I64), "doc_b": pa.array([], I64), "hamming": pa.array([], I64)})
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), I64),
+                "doc_b": pa.array(np.concatenate(out_b), I64),
+                "hamming": pa.array(np.concatenate(out_h), I64),
+            }
+        )
+
+    return with_schema_seed(
+        bucketed_map_groups(expanded, "key", per_group), out_schema
+    )

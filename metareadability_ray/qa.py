@@ -1349,3 +1349,6 @@ REGISTRY["source_overlap"] = QASpec(
     """,
     "custom(cross-source-contamination-matrix,chunk-hash-bucketed)",
 )
+REGISTRY["simhash_hamming_pairs"] = QASpec(
+    T.q_simhash_hamming_pairs, None, "simhash-neardup(manku-2007,4x16-band,popcount)"
+)

@@ -179,3 +179,43 @@ def test_registry_fully_covered():
         assert _registry()[name].sql is not None, name
     for name in ROWS_ONLY:
         assert _registry()[name].sql is None, name
+
+
+def test_simhash_hamming_pairs_exact_vs_bruteforce(ray_session):
+    """The Manku-2007 band search must be EXACT for hamming <= 3 (pigeonhole
+    over 4 disjoint 16-bit bands guarantees recall 1; the in-group verify
+    guarantees precision 1): pipeline output == all-pairs popcount over the
+    q_simhash fingerprints of token-bearing docs, each pair exactly once."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines.textops import (
+        _popcount64,
+        q_simhash,
+        q_simhash_hamming_pairs,
+    )
+
+    got_t = _to_table(q_simhash_hamming_pairs(SF_DIR))
+    fp = _to_table(q_simhash(SF_DIR))
+    docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"])
+    has_tok = {
+        d: bool(t and re.findall(r"\S+", t))
+        for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    }
+    ids = np.array(fp.column("doc_id").to_pylist())
+    sh = np.array(fp.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
+    keep = np.array([has_tok[i] for i in ids])
+    ids, sh = ids[keep], sh[keep]
+    ham = _popcount64(sh[:, None] ^ sh[None, :])
+    ai, bj = np.nonzero((ham <= 3) & (ids[:, None] < ids[None, :]))
+    expected = sorted(zip(ids[ai].tolist(), ids[bj].tolist(), ham[ai, bj].tolist()))
+    got = sorted(
+        zip(
+            got_t.column("doc_a").to_pylist(),
+            got_t.column("doc_b").to_pylist(),
+            got_t.column("hamming").to_pylist(),
+        )
+    )
+    assert expected == got and len(got) > 0
