@@ -410,22 +410,28 @@ def q_source_mix(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        # dropna=False: NULL source (or lang) is a legal group under SQL
+        # GROUP BY — pandas' default silently drops it (hypothesis-found
+        # with the null-source documents strategy)
         df = batch.to_pandas()
-        g = df.groupby(["source", "lang"], sort=False)["n_chars"].agg(["count", "sum"])
+        g = df.groupby(["source", "lang"], sort=False, dropna=False)["n_chars"].agg(
+            ["count", "sum"]
+        )
         g = g.reset_index()
+        src = pa.array([None if isinstance(v, float) else v for v in g["source"]], pa.string())
+        lng = pa.array([None if isinstance(v, float) else v for v in g["lang"]], pa.string())
         return pa.table(
             {
-                "source": pa.array(g["source"], pa.string()),
-                "lang": pa.array(g["lang"], pa.string()),
+                "source": src,
+                "lang": lng,
                 "n": pa.array(g["count"].astype(np.int64), pa.int64()),
                 "chars": pa.array(g["sum"].astype(np.int64), pa.int64()),
             }
         )
 
     def finish(group: pa.Table) -> pa.Table:
-        langs = group.column("lang")
+        # count(DISTINCT lang) ignores NULL langs, per SQL
+        langs = {v for v in group.column("lang").to_pylist() if v is not None}
         return pa.table(
             {
                 "source": pa.array([group.column("source")[0].as_py()], pa.string()),
@@ -433,14 +439,16 @@ def q_source_mix(sf_dir: str) -> "ray.data.Dataset":
                 "sum_chars": pa.array(
                     [int(pc.sum(group.column("chars")).as_py())], pa.int64()
                 ),
-                "n_langs": pa.array([len(set(langs.to_pylist()))], pa.int64()),
+                "n_langs": pa.array([len(langs)], pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("source")
-        .map_groups(finish, batch_format="pyarrow")
+    from metareadability_ray.util import null_safe_map_groups
+
+    return null_safe_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "source",
+        finish,
     )
 
 

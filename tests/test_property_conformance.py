@@ -39,7 +39,12 @@ def documents_table(draw):
             "doc_id": pa.array(range(n), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
-            "source": pa.array(["s%d" % (i % 2) for i in range(n)], pa.string()),
+            # every 5th doc has a NULL source: legal per the schema, its own
+            # group under DuckDB GROUP BY, excluded by </> comparisons —
+            # probes the null-key semantics of every source-keyed query
+            "source": pa.array(
+                [None if i % 5 == 4 else "s%d" % (i % 2) for i in range(n)], pa.string()
+            ),
             "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
         }
     )
