@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "length_percentile_filter",
     "source_overlap",
     "simhash_hamming_pairs",
+    "oov_rate",
+    "zipf_slope",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -276,3 +276,138 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
             ]
         ),
     )
+
+
+# ---------------------------------------- vocabulary coverage / OOV rate
+_OOV_VOCAB = 64
+
+
+def _corpus_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(token, n) corpus counts: per-batch np.unique combiner, one
+    vocabulary-stream groupby — the word-count shuffle every consumer
+    below shares."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, toks = _batch_tokens(batch)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        u, c = np.unique(toks.astype(str), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_oov_rate(sf_dir: str, vocab_size: int = _OOV_VOCAB) -> "ray.data.Dataset":
+    """Vocabulary-coverage report: build the corpus's top-``vocab_size``
+    token vocabulary (count desc, token asc — deterministic at the cut) and
+    score every document's out-of-vocabulary token count against it. The
+    tokenizer-design / corpus-drift diagnostic: a rising OOV rate is how a
+    fixed vocab (or BPE merge table) tells you the data moved.
+
+    Scale shape: the vocabulary build is the word-count pattern (in-batch
+    combiner, vocabulary-sized groupby, top-V cut on the aggregate only);
+    the tiny vocab is then broadcast into a second streaming pass whose
+    per-batch probe is one vectorized ``np.isin`` over the batch's token
+    stream + a segment reduce per doc. Text never shuffles. Docs with no
+    tokens are not rows (join-through-tokens, same as the SQL)."""
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("n_oov", pa.int64())]
+    )
+    top = (
+        _corpus_token_counts(sf_dir)
+        .sort(key=["n", "token"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()
+    )
+    vocab = np.sort(np.asarray([r["token"] for r in top], dtype=object).astype(str))
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids, toks = _batch_tokens(batch)
+        if len(doc_ids) == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        inv = ~np.isin(toks.astype(str), vocab)
+        starts = np.flatnonzero(np.concatenate(([True], doc_ids[1:] != doc_ids[:-1])))
+        ends = np.append(starts[1:], len(doc_ids))
+        cum = np.concatenate(([0], np.cumsum(inv)))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[starts], pa.int64()),
+                "n_tokens": pa.array(ends - starts, pa.int64()),
+                "n_oov": pa.array(cum[ends] - cum[starts], pa.int64()),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# ------------------------------------------------- Zipf rank-frequency fit
+def q_zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf's-law fit of the corpus rank-frequency curve: the least-squares
+    slope of ln(frequency) on ln(rank) over ALL distinct tokens (rank 1 =
+    most frequent; ties ranked deterministically count desc, token asc).
+    Natural text sits near slope −1 (Zipf, 1949); synthetic or heavily
+    templated corpora flatten — a one-number corpus-health diagnostic.
+
+    Scale shape: the insight is that the regression never needs per-token
+    ranks — the (ln rank, ln freq) point multiset is fully determined by
+    the COUNT-OF-COUNTS histogram (m tokens sharing count c occupy a
+    contiguous rank run regardless of tie order). So: word-count shuffle →
+    per-batch np.unique over counts → count-of-counts groupby (≤ thousands
+    of rows at any corpus size) → exact driver fold in fixed descending-
+    count order (deterministic float64 summation). Output formatted %.4f,
+    matching DuckDB ``regr_slope`` within rounding; NULL when fewer than 2
+    distinct tokens (zero rank variance), NULL row on an empty corpus —
+    both per SQL."""
+    cnts = _corpus_token_counts(sf_dir)
+
+    def cc_partial(batch: pa.Table) -> pa.Table:
+        u, m = np.unique(batch.column("n").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"cnt": pa.array(u, pa.int64()), "m": pa.array(m, pa.int64())})
+
+    hist = (
+        cnts.map_batches(cc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cnt")
+        .aggregate(Sum("m", alias_name="m"))
+        .take_all()
+    )
+    from metareadability_ray.pipelines.relational import fmt_fixed
+
+    cvals = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    ms = np.array([r["m"] for r in hist], dtype=np.int64)
+    order = np.argsort(-cvals)  # rank runs in count-descending order
+    cvals, ms = cvals[order], ms[order]
+    n_types = int(ms.sum())
+    n_tokens = int((cvals * ms).sum()) if n_types else None
+    if n_types < 2:
+        slope = None
+    else:
+        sx = sxx = sxy = sy = 0.0
+        r0 = 0
+        for c, m in zip(cvals.tolist(), ms.tolist()):
+            x = np.log(np.arange(r0 + 1, r0 + m + 1, dtype=np.float64))
+            y = float(np.log(c))
+            sx += float(x.sum())
+            sxx += float((x * x).sum())
+            sxy += y * float(x.sum())
+            sy += y * m
+            r0 += m
+        denom = sxx - sx * sx / n_types
+        slope = None if denom == 0.0 else (sxy - sx * sy / n_types) / denom
+    slope_col = fmt_fixed(pa.array([slope], pa.float64()), 4)
+    return pa.table(
+        {
+            "zipf_slope": slope_col,
+            "n_types": pa.array([n_types if n_types else 0], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+        }
+    )

@@ -1352,3 +1352,29 @@ REGISTRY["source_overlap"] = QASpec(
 REGISTRY["simhash_hamming_pairs"] = QASpec(
     T.q_simhash_hamming_pairs, None, "simhash-neardup(manku-2007,4x16-band,popcount)"
 )
+REGISTRY["oov_rate"] = QASpec(
+    T2.q_oov_rate,
+    r"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                  FROM documents),
+         cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+         vocab AS (SELECT w FROM cnt ORDER BY n DESC, w ASC LIMIT 64)
+    SELECT doc_id, count(*) AS n_tokens,
+           count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab)) AS n_oov
+    FROM toks GROUP BY doc_id
+    """,
+    "custom(vocabulary-coverage,top-v-broadcast-probe)",
+)
+REGISTRY["zipf_slope"] = QASpec(
+    T2.q_zipf_slope,
+    r"""
+    WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+         cnt AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS rnk FROM cnt)
+    SELECT regexp_replace(printf('%.4f', regr_slope(ln(n), ln(rnk))),
+                          '^-(0(\.0+)?)$', '\1') AS zipf_slope,
+           count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM r
+    """,
+    "custom(zipf-rank-frequency-fit,count-of-counts-reduce)",
+)

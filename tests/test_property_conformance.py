@@ -72,6 +72,8 @@ def _canon(t: pa.Table):
 def _ray_table(res) -> pa.Table:
     import ray
 
+    if isinstance(res, pa.Table):  # driver-fold queries return a Table
+        return res
     tabs = [ray.get(r) for r in res.to_arrow_refs()]
     nonempty = [t for t in tabs if t.num_rows]
     if nonempty:
@@ -137,6 +139,7 @@ _PROP = dict(
         "lm_perplexity", "pack_contexts", "token_budget_mix", "para_dedup_rewrite",
         "chunk_documents", "dup_span_stats", "gopher_quality_filter",
         "intra_doc_dedup", "length_percentile_filter", "source_overlap",
+        "oov_rate", "zipf_slope",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
