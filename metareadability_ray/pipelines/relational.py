@@ -320,8 +320,22 @@ def q_union_priority(sf_dir: str) -> "ray.data.Dataset":
 
     a = base.map_batches(mk("F"), batch_format="pyarrow", zero_copy_batch=True)
     b = base.map_batches(mk("O"), batch_format="pyarrow", zero_copy_batch=True)
-    return a.union(b).groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Count(alias_name="n")
+    from metareadability_ray.util import with_schema_seed
+
+    # when BOTH slices filter to nothing the grouped result is a legitimate
+    # 0 rows, but Ray's aggregate drops the schema (intermittently, by block
+    # order — hypothesis-found in a full-suite run); seed the contract
+    return with_schema_seed(
+        a.union(b).groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+            Count(alias_name="n")
+        ),
+        pa.schema(
+            [
+                ("o_orderstatus", pa.string()),
+                ("o_orderpriority", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
     )
 
 
