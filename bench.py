@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "simhash_hamming_pairs",
     "oov_rate",
     "zipf_slope",
+    "quality_by_source",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

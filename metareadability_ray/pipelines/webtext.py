@@ -1364,3 +1364,79 @@ def q_source_overlap(sf_dir: str) -> "ray.data.Dataset":
         ),
         out_schema,
     )
+
+
+# ------------------------------- per-source quality dashboard (composed)
+def q_quality_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source Gopher-panel pass rates — the mix-dashboard view a
+    curation run actually reports ("source X loses 40% of docs to the
+    length rule"): composes :func:`q_gopher_quality_filter`'s per-doc rule
+    panel with a provenance rollup. NULL source is a legal group (SQL
+    GROUP BY semantics, via the encoded-key shuffle).
+
+    Scale shape: the panel pass streams (zero shuffle) with ``source``
+    riding along; the only shuffle is the tiny (source, partial-counts)
+    stream a per-batch combiner has already collapsed to one row per
+    source per block. Token-less docs are not rows upstream, so they count
+    in neither numerator nor denominator — same join-through-tokens shape
+    as the panel itself."""
+    from metareadability_ray.util import dec_null_key, enc_null_key, with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_keep", pa.int64()),
+        ]
+    )
+    stop = frozenset(_GOPHER_STOPWORDS)
+    import re as _re
+
+    alpha = _re.compile(r"[A-Za-z]")
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["source", "text"]
+    )
+
+    def panel_rollup(batch: pa.Table) -> pa.Table:
+        agg: dict[str | None, list[int]] = {}
+        for src, t in zip(batch.column("source").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            n = len(toks)
+            if n == 0:
+                continue
+            wc = sum(len(w) for w in toks)
+            na = sum(1 for w in toks if alpha.search(w))
+            ns = len({w.lower() for w in toks if w.lower() in stop})
+            keep = int(
+                50 <= n <= 100000
+                and 3 * n <= wc <= 10 * n
+                and 5 * na >= 4 * n
+                and ns >= 2
+            )
+            c = agg.setdefault(src, [0, 0])
+            c[0] += 1
+            c[1] += keep
+        ks = list(agg)
+        return pa.table(
+            {
+                "source": enc_null_key(pa.array(ks, pa.string())),
+                "n_docs": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "n_keep": pa.array([agg[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    rolled = (
+        ds.map_batches(panel_rollup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_keep", alias_name="n_keep"))
+    )
+
+    def dec(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("source")
+        return batch.set_column(i, "source", dec_null_key(batch.column("source")))
+
+    return with_schema_seed(
+        rolled.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )

@@ -1378,3 +1378,25 @@ REGISTRY["zipf_slope"] = QASpec(
     """,
     "custom(zipf-rank-frequency-fit,count-of-counts-reduce)",
 )
+REGISTRY["quality_by_source"] = QASpec(
+    W.q_quality_by_source,
+    r"""
+    WITH toks AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t
+                  FROM documents),
+         w AS (SELECT doc_id, source, u.w AS w FROM toks, UNNEST(t) AS u(w)),
+         agg AS (SELECT doc_id, any_value(source) AS source, count(*) AS n_words,
+                        CAST(sum(length(w)) AS BIGINT) AS word_chars,
+                        count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]')) AS n_alpha_words,
+                        count(DISTINCT CASE WHEN lower(w) IN
+                          ('the','be','to','of','and','that','have','with')
+                          THEN lower(w) END) AS n_stop_distinct
+                 FROM w GROUP BY doc_id)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                     AND word_chars BETWEEN 3 * n_words AND 10 * n_words
+                     AND 5 * n_alpha_words >= 4 * n_words
+                     AND n_stop_distinct >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM agg GROUP BY source
+    """,
+    "custom(gopher-panel-by-source,composed-rollup)",
+)

@@ -139,7 +139,7 @@ _PROP = dict(
         "lm_perplexity", "pack_contexts", "token_budget_mix", "para_dedup_rewrite",
         "chunk_documents", "dup_span_stats", "gopher_quality_filter",
         "intra_doc_dedup", "length_percentile_filter", "source_overlap",
-        "oov_rate", "zipf_slope",
+        "oov_rate", "zipf_slope", "quality_by_source",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
