@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "oov_rate",
     "zipf_slope",
     "quality_by_source",
+    "pagerank_dup",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

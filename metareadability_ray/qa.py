@@ -1400,3 +1400,6 @@ REGISTRY["quality_by_source"] = QASpec(
     """,
     "custom(gopher-panel-by-source,composed-rollup)",
 )
+REGISTRY["pagerank_dup"] = QASpec(
+    C.q_pagerank_dup, None, "pagerank(dup-graph,power-iteration,size-adaptive)"
+)

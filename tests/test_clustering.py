@@ -67,3 +67,59 @@ def test_lsh_survivors_agree_with_exact(ray_session):
     inter = len(removed_exact & removed_lsh)
     assert inter / len(removed_exact) >= 0.75, (removed_exact, removed_lsh)
     assert len(removed_lsh - removed_exact) <= max(3, len(removed_exact) // 4)
+
+
+def _pr(ray_session, pair_rows, **kw):
+    import ray
+    import ray.data
+
+    from metareadability_ray.pipelines.clustering import pagerank
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in pair_rows], pa.int64()),
+            "doc_b": pa.array([b for _, b in pair_rows], pa.int64()),
+        }
+    )
+    res = pagerank(ray.data.from_arrow(pairs), **kw)
+    tabs = [t for t in res.iter_batches(batch_format="pyarrow") if t.num_rows]
+    t = pa.concat_tables(tabs) if tabs else pa.table({"doc_id": [], "pagerank": []})
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("pagerank").to_pylist()))
+
+
+def test_pagerank_star_graph(ray_session):
+    """Star 1-{2,3,4}: the center's rank must exceed the leaves', ranks sum
+    to 1, and the values match the closed-form fixed point (deg-1 leaves
+    send everything to the center): c = (1-d)/4 + d*3*l, l = (1-d)/4 + d*c/3."""
+    r = _pr(ray_session, [(1, 2), (1, 3), (1, 4)])
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[1] > r[2] == r[3] == r[4]
+    d = 0.85
+    # replay the operator's exact schedule: 20 synchronous rounds from the
+    # uniform start (c and leaves update from the PREVIOUS round together)
+    c, leaf = 0.25, 0.25
+    for _ in range(20):
+        c, leaf = (1 - d) / 4 + d * 3 * leaf, (1 - d) / 4 + d * c / 3
+    assert abs(r[1] - c) < 1e-12 and abs(r[2] - leaf) < 1e-12
+
+
+def test_pagerank_distributed_equals_local(ray_session):
+    """The distributed rounds (local_threshold=0) must reproduce the numpy
+    power iteration within float tolerance on an irregular multi-component
+    graph."""
+    rows = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12)]
+    loc = _pr(ray_session, rows)
+    dist = _pr(ray_session, rows, local_threshold=0)
+    assert set(loc) == set(dist)
+    for k in loc:
+        assert abs(loc[k] - dist[k]) < 1e-9, (k, loc[k], dist[k])
+
+
+def test_pagerank_empty_and_querypath(ray_session):
+    from metareadability_ray.qa import REGISTRY
+
+    assert _pr(ray_session, []) == {}
+    ds = REGISTRY["pagerank_dup"].fn("/root/testdata/sf0.001")
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert t.num_rows > 0
+    assert abs(sum(t.column("pagerank").to_pylist()) - 1.0) < 1e-9
