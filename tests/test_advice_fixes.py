@@ -158,3 +158,71 @@ def test_funnel_stages_crafted(ray_session, tmp_path):
     t = pa.concat_tables(list(R2.q_funnel_stages(str(tmp_path)).iter_batches(batch_format="pyarrow")))
     m = dict(zip(t.column("stage").to_pylist(), t.column("n_users").to_pylist()))
     assert m == {3: 1, 2: 1, 1: 2, 0: 1}
+
+
+# ---------------------------------------------------------------- round-3 pins
+# hypothesis's falsifying-example DB is gitignored, so data-varied finds get
+# committed as explicit cases (same policy as the knn negative-zero pin)
+
+
+def test_union_priority_keeps_schema_when_both_slices_empty(ray_session, tmp_path):
+    """Round-3 full-suite find: with every order in status 'P' both the F
+    and O slices are empty and the grouped 0-row result intermittently lost
+    its columns (block-order dependent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([0], pa.int64()),
+                "o_custkey": pa.array([0], pa.int64()),
+                "o_orderstatus": pa.array(["P"], pa.string()),
+                "o_totalprice": pa.array([1.0], pa.float64()),
+                "o_orderdate": pa.array([0], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"], pa.string()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from metareadability_ray.pipelines.relational import q_union_priority
+
+    import ray
+
+    for _ in range(3):
+        res = q_union_priority(str(tmp_path))
+        # to_arrow_refs, not iter_batches: the schema of a legitimately
+        # 0-row result rides on empty blocks, which iter_batches elides
+        tabs = [t for t in (ray.get(r) for r in res.to_arrow_refs()) if t.num_columns]
+        t = pa.concat_tables(tabs, promote_options="permissive")
+        assert t.num_rows == 0
+        assert set(t.column_names) == {"o_orderstatus", "o_orderpriority", "n"}
+
+
+def test_source_mix_keeps_null_source_group(ray_session, tmp_path):
+    """Round-3 null-source strategy find: the NULL-source group was silently
+    dropped by pandas' groupby dropna default; it is a legal SQL GROUP BY
+    group and must be reported."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a", "b", "c"], pa.string()),
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+                "source": pa.array(["s0", None, None], pa.string()),
+                "n_chars": pa.array([1, 1, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from metareadability_ray.pipelines.webtext import q_source_mix
+
+    res = q_source_mix(str(tmp_path))
+    t = pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+    rows = {r["source"]: r for r in t.to_pylist()}
+    assert set(rows) == {"s0", None}
+    assert rows[None]["n_docs"] == 2 and rows[None]["n_langs"] == 2
+    assert rows["s0"]["n_docs"] == 1
