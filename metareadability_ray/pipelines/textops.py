@@ -1028,21 +1028,21 @@ class SimHasher:
         self._cache: dict[str, int] = {}
         self._pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
+    def fingerprint(self, toks: list[str]) -> int:
+        """int64-encoded 64-bit SimHash of one token list (0 for no tokens)."""
+        if not toks:
+            return 0
+        th = _token_hash_array(toks, self._cache)
+        bits = np.unpackbits(
+            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )  # (n_tokens, 64), column b = bit b of each hash
+        acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+        sh = int(self._pow2[acc > 0].sum())
+        return sh - (1 << 64) if sh >= (1 << 63) else sh  # store as int64
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        out = []
-        for t in batch.column("text").to_pylist():
-            toks = re2_tokens(t)
-            if not toks:
-                out.append(0)
-                continue
-            th = _token_hash_array(toks, self._cache)
-            bits = np.unpackbits(
-                th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            )  # (n_tokens, 64), column b = bit b of each hash
-            acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
-            sh = int(self._pow2[acc > 0].sum())
-            out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)  # store as int64
+        out = [self.fingerprint(re2_tokens(t)) for t in batch.column("text").to_pylist()]
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()), "simhash": pa.array(out, pa.int64())}
         )
@@ -1076,13 +1076,18 @@ class _SimhashBandExpander:
         self._h = SimHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fp = self._h(batch)  # doc_id, simhash — SimHasher semantics exactly
-        toks_empty = [
-            not t or not re2_tokens(t) for t in batch.column("text").to_pylist()
-        ]
-        keep = ~np.asarray(toks_empty, dtype=bool)
-        ids = fp.column("doc_id").to_numpy(zero_copy_only=False)[keep]
-        sh = fp.column("simhash").to_numpy(zero_copy_only=False)[keep].view(np.uint64)
+        ids_l: list[int] = []
+        sh_l: list[int] = []
+        # one tokenize per doc: the token list feeds both the empty check
+        # and SimHasher.fingerprint (identical values to q_simhash)
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            toks = re2_tokens(t) if t else []
+            if not toks:
+                continue
+            ids_l.append(did)
+            sh_l.append(self._h.fingerprint(toks))
+        ids = np.asarray(ids_l, dtype=np.int64)
+        sh = np.asarray(sh_l, dtype=np.int64).view(np.uint64)
         n = len(ids)
         out_id = np.repeat(ids, _SH_BANDS)
         out_sh = np.repeat(sh, _SH_BANDS)
