@@ -205,17 +205,21 @@ def q_token_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-lang token counting (whitespace tokens), fully vectorized."""
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
 
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     def add_tokens(batch: pa.Table) -> pa.Table:
         toks = pc.count_substring_regex(batch.column("text"), _TOKEN_RE)
+        # NULL lang is a legal GROUP BY group; Ray's sort groupby is not
+        # null-safe, so the key rides encoded (null-lang strategy find)
         return pa.table(
             {
-                "lang": batch.column("lang"),
+                "lang": enc_null_key(batch.column("lang")),
                 "n_tokens": pc.cast(toks, pa.int64()),
                 "n_chars": batch.column("n_chars"),
             }
         )
 
-    return (
+    agg = (
         ds.map_batches(add_tokens, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("lang")
         .aggregate(
@@ -224,6 +228,12 @@ def q_token_stats(sf_dir: str) -> "ray.data.Dataset":
             Sum("n_chars", alias_name="sum_chars"),
         )
     )
+
+    def dec(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("lang")
+        return batch.set_column(i, "lang", dec_null_key(batch.column("lang")))
+
+    return agg.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_quality_score(sf_dir: str) -> "ray.data.Dataset":
@@ -393,7 +403,10 @@ def q_topk_docs_per_lang(sf_dir: str) -> "ray.data.Dataset":
         )
         return group.take(idx[:5])
 
-    return ds.groupby("lang").map_groups(top5, batch_format="pyarrow")
+    # null-safe: NULL lang is a legal group (null-lang strategy find)
+    from metareadability_ray.util import null_safe_map_groups
+
+    return null_safe_map_groups(ds, "lang", top5)
 
 
 # --------------------------------------------------------- median aggregate
@@ -405,16 +418,22 @@ def q_median_doc_length(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
 
     def med(group: pa.Table) -> pa.Table:
-        v = group.column("n_chars").to_numpy(zero_copy_only=False)
+        col = group.column("n_chars")
+        # SQL median ignores NULL values; a group of only NULLs yields NULL
+        v = col.drop_null().to_numpy(zero_copy_only=False)
+        m = None if len(v) == 0 else f"{float(np.median(v)):.1f}"
         return pa.table(
             {
                 "lang": pa.array([group.column("lang")[0].as_py()], pa.string()),
-                "median_chars": pa.array([f"{float(np.median(v)):.1f}"], pa.string()),
-                "n_docs": pa.array([len(v)], pa.int64()),
+                "median_chars": pa.array([m], pa.string()),
+                "n_docs": pa.array([group.num_rows], pa.int64()),
             }
         )
 
-    return ds.groupby("lang").map_groups(med, batch_format="pyarrow")
+    # null-safe: NULL lang is a legal group (null-lang strategy find)
+    from metareadability_ray.util import null_safe_map_groups
+
+    return null_safe_map_groups(ds, "lang", med)
 
 
 def q_median_hist(sf_dir: str) -> "ray.data.Dataset":
@@ -432,14 +451,21 @@ def q_median_hist(sf_dir: str) -> "ray.data.Dataset":
     the map_groups variant; both share one SQL oracle."""
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
 
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     def hist_partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        # dropna=False + encoded key: NULL lang is a legal group, and Ray's
+        # sort groupby downstream is not null-safe (null-lang strategy find)
         df = batch.to_pandas()
-        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
+        g = df.groupby(["lang", "n_chars"], sort=False, dropna=False).size().reset_index(name="n")
+        lang = pa.array(
+            [None if isinstance(v, float) else v for v in g["lang"]], pa.string()
+        )
         return pa.table(
             {
-                "lang": pa.array(g["lang"], pa.string()),
+                "lang": enc_null_key(lang),
                 "v": pa.array(g["n_chars"].astype(np.int64), pa.int64()),
                 "n": pa.array(g["n"].astype(np.int64), pa.int64()),
             }
@@ -463,13 +489,20 @@ def q_median_hist(sf_dir: str) -> "ray.data.Dataset":
         hi = v[np.searchsorted(cum, hi_rank + 1)]
         return pa.table(
             {
+                # encoded 'V'+lang / 'N' — decoded below
                 "lang": pa.array([group.column("lang")[0].as_py()], pa.string()),
                 "median_chars": pa.array([f"{(int(lo) + int(hi)) / 2:.1f}"], pa.string()),
                 "n_docs": pa.array([total], pa.int64()),
             }
         )
 
-    return merged.groupby("lang").map_groups(med_of_hist, batch_format="pyarrow")
+    out = merged.groupby("lang").map_groups(med_of_hist, batch_format="pyarrow")
+
+    def dec(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("lang")
+        return batch.set_column(i, "lang", dec_null_key(batch.column("lang")))
+
+    return out.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ----------------------------------------------------------------- PII redaction

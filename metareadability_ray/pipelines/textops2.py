@@ -120,22 +120,32 @@ def q_train_test_split(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
 
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     def assign(batch: pa.Table) -> pa.Table:
         splits = []
         for i in batch.column("doc_id").to_pylist():
             h = hashlib.md5(str(i).encode()).hexdigest()[0]
             splits.append("train" if h < "c" else ("val" if h < "e" else "test"))
+        # NULL lang is a legal GROUP BY key; encoded for Ray's sort groupby
+        # (null-lang strategy find)
         return pa.table(
-            {"split": pa.array(splits, pa.string()), "lang": batch.column("lang")}
+            {"split": pa.array(splits, pa.string()), "lang": enc_null_key(batch.column("lang"))}
         )
 
     from ray.data.aggregate import Count
 
-    return (
+    agg = (
         ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["split", "lang"])
         .aggregate(Count(alias_name="n"))
     )
+
+    def dec(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("lang")
+        return batch.set_column(i, "lang", dec_null_key(batch.column("lang")))
+
+    return agg.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------- Misra-Gries heavy hitters

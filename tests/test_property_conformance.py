@@ -33,7 +33,11 @@ _TEXT = st.one_of(
 def documents_table(draw):
     n = draw(st.integers(min_value=1, max_value=14))
     texts = draw(st.lists(_TEXT, min_size=n, max_size=n))
-    langs = draw(st.lists(st.sampled_from(["en", "de", "fr"]), min_size=n, max_size=n))
+    # NULL lang is legal (raw web corpora ship un-identified docs): its own
+    # group under SQL GROUP BY, excluded by count(DISTINCT lang)
+    langs = draw(
+        st.lists(st.one_of(st.none(), st.sampled_from(["en", "de", "fr"])), min_size=n, max_size=n)
+    )
     return pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
