@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "zipf_slope",
     "quality_by_source",
     "pagerank_dup",
+    "dedup_survivors_central",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

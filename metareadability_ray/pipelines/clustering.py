@@ -503,3 +503,58 @@ def q_pagerank_dup(sf_dir: str) -> "ray.data.Dataset":
     and distributed-path equality are property-tested."""
     pairs = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5)
     return pagerank(pairs)
+
+
+def q_dedup_survivors_central(sf_dir: str) -> "ray.data.Dataset":
+    """Centrality-based survivor pick: per dup cluster keep the member with
+    the HIGHEST PageRank in the dup graph (tie → smallest doc_id) instead
+    of blindly the smallest id — the "keep the most canonical copy" policy
+    (the most-duplicated variant of a page is usually the canonical one).
+    Composes :func:`pagerank` with the CC cluster table; the rest of the
+    corpus streams through the same broadcast anti filter as
+    ``dedup_survivors``.
+
+    Scale shape: ranks and clusters both live on the DUP SUBSET (one row
+    per doc in ≥1 pair); the per-cluster argmax is a vectorized lexsort
+    run-length pass over that small table, and only the loser id set (≤ dup
+    count) is broadcast. Rows-only (PageRank has no SQL twin); the policy
+    invariants are unit-tested."""
+    import os
+
+    import ray as _ray
+    import ray.data
+
+    from metareadability_ray.util import keyset_mask
+
+    clusters = _clusters_table(sf_dir)
+    pairs = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5)
+    pr_tabs = list(pagerank(pairs).iter_batches(batch_format="pyarrow"))
+    pr = (
+        pa.concat_tables(pr_tabs, promote_options="permissive")
+        if pr_tabs
+        else pa.table({"doc_id": pa.array([], I64), "pagerank": pa.array([], pa.float64())})
+    )
+    # attach rank to each cluster member (both tables are the dup subset)
+    rank_of = dict(zip(pr.column("doc_id").to_pylist(), pr.column("pagerank").to_pylist()))
+    ids = clusters.column("doc_id").to_numpy(zero_copy_only=False)
+    cids = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
+    ranks = np.asarray([rank_of.get(int(i), 0.0) for i in ids])
+    # per-cluster argmax(rank), tie → min doc_id: sort by (cluster, -rank, id)
+    if len(ids) == 0:  # dup-free corpus: no clusters, nothing to remove
+        keep_ids: set[int] = set()
+    else:
+        order = np.lexsort((ids, -ranks, cids))
+        cs, is_ = cids[order], ids[order]
+        first = np.concatenate(([True], cs[1:] != cs[:-1]))
+        keep_ids = set(is_[first].tolist())
+    losers = pa.array([int(i) for i in ids if int(i) not in keep_ids], I64)
+    loser_ref = _ray.put(losers)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
+
+    return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)

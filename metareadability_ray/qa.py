@@ -1403,3 +1403,6 @@ REGISTRY["quality_by_source"] = QASpec(
 REGISTRY["pagerank_dup"] = QASpec(
     C.q_pagerank_dup, None, "pagerank(dup-graph,power-iteration,size-adaptive)"
 )
+REGISTRY["dedup_survivors_central"] = QASpec(
+    C.q_dedup_survivors_central, None, "dedup(pagerank-centrality-survivor,composed)"
+)

@@ -123,3 +123,40 @@ def test_pagerank_empty_and_querypath(ray_session):
     t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
     assert t.num_rows > 0
     assert abs(sum(t.column("pagerank").to_pylist()) - 1.0) < 1e-9
+
+
+def test_central_survivors_one_per_cluster(ray_session):
+    """Centrality survivor policy invariants: exactly one survivor per dup
+    cluster, same total corpus size as the min-id policy, and the kept
+    member has the cluster-max PageRank."""
+    import numpy as np
+
+    from metareadability_ray.pipelines.clustering import (
+        _clusters_table,
+        ngram_jaccard_pairs,
+        pagerank,
+    )
+    from metareadability_ray.qa import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    surv_min = pa.concat_tables(
+        list(REGISTRY["dedup_survivors"].fn(sf).iter_batches(batch_format="pyarrow"))
+    )
+    surv_c = pa.concat_tables(
+        list(REGISTRY["dedup_survivors_central"].fn(sf).iter_batches(batch_format="pyarrow"))
+    )
+    assert surv_c.num_rows == surv_min.num_rows  # same one-per-cluster count
+    clusters = _clusters_table(sf)
+    kept = set(surv_c.column("doc_id").to_pylist())
+    pr = pa.concat_tables(
+        list(pagerank(ngram_jaccard_pairs(sf, k=3, thresh_num=1, thresh_den=5)).iter_batches(batch_format="pyarrow"))
+    )
+    rank_of = dict(zip(pr.column("doc_id").to_pylist(), pr.column("pagerank").to_pylist()))
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in zip(clusters.column("doc_id").to_pylist(), clusters.column("cluster_id").to_pylist()):
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        winners = [m for m in members if m in kept]
+        assert len(winners) == 1, (c, members, winners)
+        mx = max(rank_of.get(m, 0.0) for m in members)
+        assert abs(rank_of.get(winners[0], 0.0) - mx) < 1e-15

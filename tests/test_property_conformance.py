@@ -578,7 +578,7 @@ def test_doc_embedding_join_conformance_on_generated(ray_session, tmp_path_facto
 
 _ROWS_ONLY_DOCS = [
     "approx_heavy_hitters", "minhash_lsh_pairs", "simhash", "dedup_survivors_lsh",
-    "simhash_hamming_pairs", "pagerank_dup",
+    "simhash_hamming_pairs", "pagerank_dup", "dedup_survivors_central",
     # actor-pool pipelines (synth media/pdf/pages from documents): the smoke
     # asserts the full actor plumbing tolerates null/empty/unicode text
     "media_features", "media_frame_sample", "pdf_layout_spans", "extract_pages",
