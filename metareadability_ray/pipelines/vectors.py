@@ -964,9 +964,20 @@ def q_doc_embedding_join(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    from metareadability_ray.util import dec_null_key, enc_null_key
+
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        # NULL lang is a legal GROUP BY key; Ray's sort groupby below is not
+        # null-safe, so the key rides encoded (null-lang strategy find)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang": enc_null_key(batch.column("lang"))}
+        )
+
+    docs = docs.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
     joined = reduce_side_attach(
         emb.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True),
         "vec_id",
@@ -984,7 +995,7 @@ def q_doc_embedding_join(sf_dir: str) -> "ray.data.Dataset":
     def fmt(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "lang": batch.column("lang"),
+                "lang": dec_null_key(batch.column("lang")),
                 "n_docs": batch.column("n_docs").cast(pa.int64()),
                 "sum_norm_sq": pa.array(
                     [f"{v:.2f}" for v in batch.column("sum_norm_sq").to_pylist()], pa.string()
