@@ -1075,6 +1075,34 @@ def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+
+_GOPHER_ALPHA = None  # compiled lazily per process
+
+
+def _gopher_counts(toks: list[str]) -> tuple[int, int, int, int, int]:
+    """The Rae-2021 Table A1 rule arithmetic shared by
+    ``q_gopher_quality_filter`` (per-doc panel) and ``q_quality_by_source``
+    (per-source rollup) — one implementation so the rules cannot drift:
+    (n_words, word_chars, n_alpha_words, n_stop_distinct, keep)."""
+    global _GOPHER_ALPHA
+    if _GOPHER_ALPHA is None:
+        import re as _re
+
+        _GOPHER_ALPHA = _re.compile(r"[A-Za-z]")
+    n = len(toks)
+    wc = sum(len(w) for w in toks)
+    na = sum(1 for w in toks if _GOPHER_ALPHA.search(w))
+    stop = _GOPHER_STOPWORDS
+    ns = len({w.lower() for w in toks if w.lower() in stop})
+    keep = int(
+        50 <= n <= 100000
+        and 3 * n <= wc <= 10 * n
+        and 5 * na >= 4 * n
+        and ns >= 2
+    )
+    return n, wc, na, ns, keep
+
+
 def q_gopher_quality_filter(sf_dir: str) -> "ray.data.Dataset":
     """The published Gopher quality-filter rule panel (Rae et al., 2021,
     Table A1), as exact integer arithmetic so no float crosses the compare
@@ -1091,7 +1119,6 @@ def q_gopher_quality_filter(sf_dir: str) -> "ray.data.Dataset":
     shuffle — every rule is a function of the doc's own tokens."""
     from metareadability_ray.util import with_schema_seed
 
-    stop = frozenset(_GOPHER_STOPWORDS)
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -1103,9 +1130,6 @@ def q_gopher_quality_filter(sf_dir: str) -> "ray.data.Dataset":
         ]
     )
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    import re as _re
-
-    alpha = _re.compile(r"[A-Za-z]")
 
     def panel(batch: pa.Table) -> pa.Table:
         out: dict[str, list] = {f.name: [] for f in out_schema}
@@ -1113,18 +1137,9 @@ def q_gopher_quality_filter(sf_dir: str) -> "ray.data.Dataset":
             if not t:
                 continue
             toks = re2_tokens(t)
-            n = len(toks)
-            if n == 0:
+            if len(toks) == 0:
                 continue
-            wc = sum(len(w) for w in toks)
-            na = sum(1 for w in toks if alpha.search(w))
-            ns = len({w.lower() for w in toks if w.lower() in stop})
-            keep = int(
-                50 <= n <= 100000
-                and 3 * n <= wc <= 10 * n
-                and 5 * na >= 4 * n
-                and ns >= 2
-            )
+            n, wc, na, ns, keep = _gopher_counts(toks)
             out["doc_id"].append(did)
             out["n_words"].append(n)
             out["word_chars"].append(wc)
@@ -1389,10 +1404,6 @@ def q_quality_by_source(sf_dir: str) -> "ray.data.Dataset":
             ("n_keep", pa.int64()),
         ]
     )
-    stop = frozenset(_GOPHER_STOPWORDS)
-    import re as _re
-
-    alpha = _re.compile(r"[A-Za-z]")
     ds = ray.data.read_parquet(
         _p(sf_dir, "documents"), columns=["source", "text"]
     )
@@ -1403,18 +1414,9 @@ def q_quality_by_source(sf_dir: str) -> "ray.data.Dataset":
             if not t:
                 continue
             toks = re2_tokens(t)
-            n = len(toks)
-            if n == 0:
+            if len(toks) == 0:
                 continue
-            wc = sum(len(w) for w in toks)
-            na = sum(1 for w in toks if alpha.search(w))
-            ns = len({w.lower() for w in toks if w.lower() in stop})
-            keep = int(
-                50 <= n <= 100000
-                and 3 * n <= wc <= 10 * n
-                and 5 * na >= 4 * n
-                and ns >= 2
-            )
+            _n, _wc, _na, _ns, keep = _gopher_counts(toks)
             c = agg.setdefault(src, [0, 0])
             c[0] += 1
             c[1] += keep
