@@ -1215,6 +1215,30 @@ def q_intra_doc_dedup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+
+
+def hist_quantile_cont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
+    """DuckDB ``quantile_cont`` over a (sorted values, counts) histogram:
+    pos = q*(n-1) on the sorted multiset; val = (1-frac)·v[floor] +
+    frac·v[ceil] — that exact weighted form, NOT the algebraically-equal
+    ``lo + frac*(hi-lo)``, which differs in the last ulp (hypothesis found
+    [1, 14] @ q=0.1: 2.3 vs DuckDB's 2.3000000000000003; a 400-case probe
+    matches the weighted form bit-for-bit). Property-tested for exact
+    float equality against DuckDB itself (tests/test_hypothesis_props.py)
+    so the band filter in ``q_length_percentile_filter`` cannot diverge at
+    a threshold boundary. ``vals`` must be ascending; n ≥ 1."""
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)  # cum[i] = #values <= vals[i]
+    pos = q * (n - 1)
+    k = int(np.floor(pos))
+    frac = pos - k
+    lo_v = vals[np.searchsorted(cum, k + 1, side="left")]
+    if frac == 0.0:
+        return float(lo_v)
+    hi_v = vals[np.searchsorted(cum, k + 2, side="left")]
+    return (1.0 - frac) * float(lo_v) + frac * float(hi_v)
+
+
 # --------------------------- exact distributed percentile length filter
 def q_length_percentile_filter(
     sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95
@@ -1260,21 +1284,8 @@ def q_length_percentile_filter(
     if n == 0:
         # quantile over the empty set is NULL; the SQL's WHERE keeps nothing
         return with_schema_seed(ds.limit(0).map_batches(lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"), out_schema)
-    cum = np.cumsum(cnts)  # cum[i] = #values <= vals[i]
-
-    def quantile_cont(q: float) -> float:
-        # DuckDB semantics: pos = q*(n-1) over the sorted multiset;
-        # val = v[floor] + frac * (v[ceil] - v[floor])
-        pos = q * (n - 1)
-        k = int(np.floor(pos))
-        frac = pos - k
-        lo_v = vals[np.searchsorted(cum, k + 1, side="left")]
-        if frac == 0.0:
-            return float(lo_v)
-        hi_v = vals[np.searchsorted(cum, k + 2, side="left")]
-        return float(lo_v) + frac * (float(hi_v) - float(lo_v))
-
-    lo, hi = quantile_cont(lo_q), quantile_cont(hi_q)
+    lo = hist_quantile_cont(vals, cnts, lo_q)
+    hi = hist_quantile_cont(vals, cnts, hi_q)
 
     def band(batch: pa.Table) -> pa.Table:
         c = batch.column("n_chars")

@@ -223,3 +223,28 @@ def test_md5_hex_matches_duckdb(vals):
         None if v is None else con.execute("SELECT md5(?)", [v]).fetchone()[0] for v in vals
     ]
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=60),
+    st.sampled_from([0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]),
+)
+def test_hist_quantile_cont_matches_duckdb_exactly(vals, q):
+    """The histogram quantile fold behind q_length_percentile_filter must be
+    bit-identical to DuckDB quantile_cont — repr equality, not tolerance:
+    the value is used as a >=/<= band threshold, so a 1-ulp divergence
+    could flip a boundary row's membership."""
+    import duckdb
+    import numpy as np
+
+    from metareadability_ray.pipelines.webtext import hist_quantile_cont
+
+    u, c = np.unique(np.asarray(vals, dtype=np.int64), return_counts=True)
+    got = hist_quantile_cont(u, c, q)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(int(v),) for v in vals])
+    want = con.execute("SELECT quantile_cont(v, ?) FROM t", [q]).fetchone()[0]
+    con.close()
+    assert repr(float(want)) == repr(got), (vals, q, want, got)
