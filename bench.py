@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "quality_by_source",
     "pagerank_dup",
     "dedup_survivors_central",
+    "correlated_users",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1019,3 +1019,132 @@ def q_grouping_sets_orders(sf_dir: str) -> "ray.data.Dataset":
     out = pa.concat_tables(parts)
     out = out.set_column(out.column_names.index("n"), "n_orders", out.column("n").cast(pa.int64()))
     return ray.data.from_arrow(out)
+
+
+# --------------------------- cross-user time-series correlation (similarity)
+_CORR_MIN_HOURS = 3
+
+
+def q_correlated_users(sf_dir: str, min_hours: int = _CORR_MIN_HOURS) -> "ray.data.Dataset":
+    """Time-series similarity search over user activity: Pearson correlation
+    of every user pair's hourly mean-value series, over the hours BOTH were
+    active (the distributed all-pairs series-correlation join of the
+    streaming-similarity literature, e.g. Time Series Similarity Search for
+    Streaming Data, EDBT 2019). Pairs need ≥ ``min_hours`` common hours;
+    zero-variance (SQL-NULL-corr) pairs are excluded, matching the oracle.
+
+    Scale shape, stage by stage: (1) the corpus reduces to hourly points —
+    an in-batch (user, hour) combiner then one vocabulary-sized groupby, so
+    the shuffle carries one row per ACTIVE (user, hour), never raw events;
+    (2) per-hour pair expansion inside hour-bucketed groups — O(active
+    users that hour²) rows of 32 B; this is the stage the literature prunes
+    with a series sketch at 10^12 scale (hyperplane-LSH over the hourly
+    vector, exactly the machinery `vectors.lsh_neardup_pairs` demonstrates:
+    bucket by sketch, expand only in-bucket) — THIS exact variant is the
+    correctness surface, same contract as ngram_jaccard_pairs vs
+    minhash_lsh_pairs; (3) per-pair groups (hour-sorted, so the float
+    summation order is deterministic) compute centered two-pass Pearson —
+    the corr_lineitem stability discipline. Pair keys pack (a, b) into one
+    int64 (ids < 2³¹, true for the events contract)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    US_PER_HOUR = np.int64(3_600_000_000)
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        val = batch.column("value")
+        keep = pc.invert(pc.is_null(val))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "hr": pa.array([], pa.int64()),
+                 "sv": pa.array([], pa.float64()), "cnt": pa.array([], pa.int64())}
+            )
+        hr = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False) // US_PER_HOUR
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "hr": pa.array(hr, pa.int64()),
+                "sv": b.column("value").cast(pa.float64()),
+            }
+        )
+        g = t.group_by(["user_id", "hr"]).aggregate([("sv", "sum"), ("sv", "count")])
+        return g.rename_columns(["user_id", "hr", "sv", "cnt"])
+
+    hourly = (
+        ds.map_batches(hour_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hr"])
+        .aggregate(Sum("sv", alias_name="sv"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def to_mean(batch: pa.Table) -> pa.Table:
+        v = pc.divide(batch.column("sv"), pc.cast(batch.column("cnt"), pa.float64()))
+        return pa.table(
+            {"user_id": batch.column("user_id"), "hr": batch.column("hr"), "v": v}
+        )
+
+    points = hourly.map_batches(to_mean, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_hour(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return pa.table(
+                {"pk": pa.array([], pa.int64()), "hr": pa.array([], pa.int64()),
+                 "va": pa.array([], pa.float64()), "vb": pa.array([], pa.float64())}
+            )
+        ids = group.column("user_id").to_numpy(zero_copy_only=False)
+        vs = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, vs = ids[order], vs[order]
+        ai, bi = np.triu_indices(m, k=1)
+        pk = (ids[ai].astype(np.int64) << 32) | ids[bi].astype(np.int64)
+        hrv = np.full(len(ai), group.column("hr")[0].as_py(), dtype=np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "hr": pa.array(hrv, pa.int64()),
+                "va": pa.array(vs[ai], pa.float64()),
+                "vb": pa.array(vs[bi], pa.float64()),
+            }
+        )
+
+    pairs = bucketed_map_groups(points, "hr", per_hour)
+
+    def per_pair(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_a": pa.array([], pa.int64()), "user_b": pa.array([], pa.int64()),
+             "n_hours": pa.array([], pa.int64()), "corr4": pa.array([], pa.string())}
+        )
+        n = group.num_rows
+        if n < min_hours:
+            return empty
+        hrs = group.column("hr").to_numpy(zero_copy_only=False)
+        order = np.argsort(hrs)  # deterministic summation order
+        va = group.column("va").to_numpy(zero_copy_only=False)[order]
+        vb = group.column("vb").to_numpy(zero_copy_only=False)[order]
+        dx = va - va.mean()
+        dy = vb - vb.mean()
+        den2 = (dx * dx).sum() * (dy * dy).sum()
+        if den2 == 0.0:  # SQL corr is NULL on zero variance — excluded
+            return empty
+        c = (dx * dy).sum() / np.sqrt(den2)
+        pk = int(group.column("pk")[0].as_py())
+        return pa.table(
+            {
+                "user_a": pa.array([pk >> 32], pa.int64()),
+                "user_b": pa.array([pk & 0xFFFFFFFF], pa.int64()),
+                "n_hours": pa.array([n], pa.int64()),
+                "corr4": fmt_fixed(pa.array([float(c)], pa.float64()), 4),
+            }
+        )
+
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("user_a", pa.int64()),
+            ("user_b", pa.int64()),
+            ("n_hours", pa.int64()),
+            ("corr4", pa.string()),
+        ]
+    )
+    return with_schema_seed(bucketed_map_groups(pairs, "pk", per_pair), out_schema)

@@ -1406,3 +1406,18 @@ REGISTRY["pagerank_dup"] = QASpec(
 REGISTRY["dedup_survivors_central"] = QASpec(
     C.q_dedup_survivors_central, None, "dedup(pagerank-centrality-survivor,composed)"
 )
+REGISTRY["correlated_users"] = QASpec(
+    R3.q_correlated_users,
+    r"""
+    WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hr, avg(value) AS v
+               FROM events WHERE value IS NOT NULL GROUP BY user_id, hr),
+         p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+                      corr(a.v, b.v) AS c, count(*) AS n_hours
+               FROM h a JOIN h b ON a.hr = b.hr AND a.user_id < b.user_id
+               GROUP BY 1, 2)
+    SELECT user_a, user_b, n_hours,
+           regexp_replace(printf('%.4f', c), '^-(0(\.0+)?)$', '\1') AS corr4
+    FROM p WHERE n_hours >= 3 AND c IS NOT NULL
+    """,
+    "custom(series-correlation-join,hour-bucketed-expand,pair-reduce)",
+)

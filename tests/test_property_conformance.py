@@ -222,7 +222,7 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "intersect_users", "except_users", "unpivot_event_sums", "value_histogram",
         "json_props_sum", "event_quartiles", "distinct_event_types",
         "zscore_events", "first_last_value", "quantile_sketch_value",
-        "full_outer_join",
+        "full_outer_join", "correlated_users",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
