@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "pagerank_dup",
     "dedup_survivors_central",
     "correlated_users",
+    "similar_users_sketch",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1025,27 +1025,10 @@ def q_grouping_sets_orders(sf_dir: str) -> "ray.data.Dataset":
 _CORR_MIN_HOURS = 3
 
 
-def q_correlated_users(sf_dir: str, min_hours: int = _CORR_MIN_HOURS) -> "ray.data.Dataset":
-    """Time-series similarity search over user activity: Pearson correlation
-    of every user pair's hourly mean-value series, over the hours BOTH were
-    active (the distributed all-pairs series-correlation join of the
-    streaming-similarity literature, e.g. Time Series Similarity Search for
-    Streaming Data, EDBT 2019). Pairs need ≥ ``min_hours`` common hours;
-    zero-variance (SQL-NULL-corr) pairs are excluded, matching the oracle.
-
-    Scale shape, stage by stage: (1) the corpus reduces to hourly points —
-    an in-batch (user, hour) combiner then one vocabulary-sized groupby, so
-    the shuffle carries one row per ACTIVE (user, hour), never raw events;
-    (2) per-hour pair expansion inside hour-bucketed groups — O(active
-    users that hour²) rows of 32 B; this is the stage the literature prunes
-    with a series sketch at 10^12 scale (hyperplane-LSH over the hourly
-    vector, exactly the machinery `vectors.lsh_neardup_pairs` demonstrates:
-    bucket by sketch, expand only in-bucket) — THIS exact variant is the
-    correctness surface, same contract as ngram_jaccard_pairs vs
-    minhash_lsh_pairs; (3) per-pair groups (hour-sorted, so the float
-    summation order is deterministic) compute centered two-pass Pearson —
-    the corr_lineitem stability discipline. Pair keys pack (a, b) into one
-    int64 (ids < 2³¹, true for the events contract)."""
+def _hourly_points(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, hr, v) hourly mean-value points — the shared stage-1 of the
+    series-correlation operators: in-batch (user, hour) combiner, one
+    vocabulary-sized groupby, means derived from exact (sum, count)."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     US_PER_HOUR = np.int64(3_600_000_000)
@@ -1082,7 +1065,31 @@ def q_correlated_users(sf_dir: str, min_hours: int = _CORR_MIN_HOURS) -> "ray.da
             {"user_id": batch.column("user_id"), "hr": batch.column("hr"), "v": v}
         )
 
-    points = hourly.map_batches(to_mean, batch_format="pyarrow", zero_copy_batch=True)
+    return hourly.map_batches(to_mean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_correlated_users(sf_dir: str, min_hours: int = _CORR_MIN_HOURS) -> "ray.data.Dataset":
+    """Time-series similarity search over user activity: Pearson correlation
+    of every user pair's hourly mean-value series, over the hours BOTH were
+    active (the distributed all-pairs series-correlation join of the
+    streaming-similarity literature, e.g. Time Series Similarity Search for
+    Streaming Data, EDBT 2019). Pairs need ≥ ``min_hours`` common hours;
+    zero-variance (SQL-NULL-corr) pairs are excluded, matching the oracle.
+
+    Scale shape, stage by stage: (1) the corpus reduces to hourly points —
+    an in-batch (user, hour) combiner then one vocabulary-sized groupby, so
+    the shuffle carries one row per ACTIVE (user, hour), never raw events;
+    (2) per-hour pair expansion inside hour-bucketed groups — O(active
+    users that hour²) rows of 32 B; this is the stage the literature prunes
+    with a series sketch at 10^12 scale (hyperplane-LSH over the hourly
+    vector, exactly the machinery `vectors.lsh_neardup_pairs` demonstrates:
+    bucket by sketch, expand only in-bucket) — THIS exact variant is the
+    correctness surface, same contract as ngram_jaccard_pairs vs
+    minhash_lsh_pairs; (3) per-pair groups (hour-sorted, so the float
+    summation order is deterministic) compute centered two-pass Pearson —
+    the corr_lineitem stability discipline. Pair keys pack (a, b) into one
+    int64 (ids < 2³¹, true for the events contract)."""
+    points = _hourly_points(sf_dir)
 
     def per_hour(group: pa.Table) -> pa.Table:
         m = group.num_rows
@@ -1147,4 +1154,205 @@ def q_correlated_users(sf_dir: str, min_hours: int = _CORR_MIN_HOURS) -> "ray.da
             ("corr4", pa.string()),
         ]
     )
+    return with_schema_seed(bucketed_map_groups(pairs, "pk", per_pair), out_schema)
+
+
+def q_similar_users_sketch(
+    sf_dir: str,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    min_hours: int = _CORR_MIN_HOURS,
+) -> "ray.data.Dataset":
+    """The 10^12-scale companion of :func:`q_correlated_users`: approximate
+    SERIES-SIMILARITY search, where the candidate metric and the verified
+    metric are the SAME — centered full-series cosine (each user's hourly
+    vector, mean-centered over its active hours, zeros elsewhere). A
+    sign-sketch prunes candidates, then candidates alone are verified
+    exactly, so no stage is quadratic in the hour cohort. (The exact
+    common-hour PEARSON operator deliberately stays separate: hyperplane
+    LSH approximates the angle of the vector it projects, and a round-3
+    measurement showed full-vector sketches cannot discriminate
+    common-hour correlation — recall 43% at useful prune rates — while
+    for this cosine they prune AND recall, as the pinned test shows.)
+
+    Stages: (1) hourly points (shared stage); (2) per-user ``n_bits``-dim
+    hyperplane sketch accumulated STREAMING — projection j's ±1
+    coefficient for hour h is a deterministic hash bit, so each point
+    contributes to every bit in one vectorized pass and no dense
+    hour-indexed vector ever materializes; (3) sign bits → ``n_bands``
+    bands; a pair is a candidate when some band matches directly (similar)
+    or complemented (anti-similar); (4) the per-hour expansion runs
+    FILTERED to the broadcast candidate set and per-pair groups emit
+    cos = Σ dva·dvb / (‖dva‖·‖dvb‖) with user norms broadcast. Rows-only
+    (LSH is probabilistic); recall vs an exact numpy oracle is pinned in
+    tests/test_queries.py."""
+    import ray as _ray
+
+    from metareadability_ray.functions.scalars import stable_hash64
+    from metareadability_ray.util import keyset_mask, with_schema_seed
+
+    points = _hourly_points(sf_dir).materialize()
+
+    # --- per-user mean (centering) and centered norm, one small aggregate
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["user_id", "v"])
+            .group_by("user_id")
+            .aggregate([("v", "sum"), ("v", "count")])
+        )
+        return g.rename_columns(["user_id", "sv", "cnt"])
+
+    um = (
+        points.map_batches(mean_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("sv", alias_name="sv"), Sum("cnt", alias_name="cnt"))
+    )
+    out_schema = pa.schema(
+        [
+            ("user_a", pa.int64()),
+            ("user_b", pa.int64()),
+            ("n_hours", pa.int64()),
+            ("cos4", pa.string()),
+        ]
+    )
+    um_tabs = [b for b in um.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not um_tabs:  # no scoreable points at all (empty / all-null values)
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    um_t = pa.concat_tables(um_tabs)
+    mean_ref = lookup_ref(
+        um_t.column("user_id"),
+        pc.divide(um_t.column("sv"), pc.cast(um_t.column("cnt"), pa.float64())),
+    )
+
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        dv = batch.column("v").to_numpy(zero_copy_only=False) - np.asarray(
+            lookup_take(mean_ref, batch.column("user_id"))
+        )
+        t = pa.table(
+            {"user_id": batch.column("user_id"), "sq": pa.array(dv * dv, pa.float64())}
+        )
+        g = t.group_by("user_id").aggregate([("sq", "sum")])
+        return g.rename_columns(["user_id", "sq"])
+
+    un = (
+        points.map_batches(sq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("sq", alias_name="sq"))
+    )
+    un_t = pa.concat_tables([b for b in un.iter_batches(batch_format="pyarrow")])
+    norm_ref = lookup_ref(
+        un_t.column("user_id"), pc.sqrt(un_t.column("sq"))
+    )
+
+    # --- streaming hyperplane sketch of the centered series
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        hrs = batch.column("hr").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        dv = v - np.asarray(lookup_take(mean_ref, batch.column("user_id")))
+        hh = stable_hash64(np.char.mod("h%d", hrs).astype(object)).astype(np.uint64)
+        bits = (hh[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :]) & np.uint64(1)
+        signs = bits.astype(np.float64) * 2.0 - 1.0
+        contrib = signs * dv[:, None]
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                **{f"s{j}": pa.array(contrib[:, j], pa.float64()) for j in range(n_bits)},
+            }
+        )
+        g = t.group_by("user_id").aggregate([(f"s{j}", "sum") for j in range(n_bits)])
+        return g.rename_columns(["user_id"] + [f"s{j}" for j in range(n_bits)])
+
+    sk = (
+        points.map_batches(sketch_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*[Sum(f"s{j}", alias_name=f"s{j}") for j in range(n_bits)])
+    )
+    sk_t = pa.concat_tables([b for b in sk.iter_batches(batch_format="pyarrow")])
+    uids = sk_t.column("user_id").to_numpy(zero_copy_only=False)
+    S = np.stack(
+        [sk_t.column(f"s{j}").to_numpy(zero_copy_only=False) for j in range(n_bits)],
+        axis=1,
+    )
+    code = (S > 0).astype(np.uint32) @ (1 << np.arange(n_bits, dtype=np.uint32))
+
+    # --- band match (direct or complemented) → candidate pair keys
+    bw = n_bits // n_bands
+    mask = (1 << bw) - 1
+    cand: set[int] = set()
+    for b in range(n_bands):
+        vals = (code >> (b * bw)) & mask
+        buckets: dict[int, list[int]] = {}
+        for u, val in zip(uids.tolist(), vals.tolist()):
+            buckets.setdefault(int(val), []).append(u)
+            buckets.setdefault(int(val) ^ mask, []).append(u)
+        for members in buckets.values():
+            ms = sorted(set(members))
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    cand.add((ms[i] << 32) | ms[j])
+    cand_ref = _ray.put(pa.array(sorted(cand), pa.int64()))
+
+    # --- exact centered-cosine verify, expansion filtered to candidates
+    def per_hour(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pk": pa.array([], pa.int64()), "hr": pa.array([], pa.int64()),
+             "da": pa.array([], pa.float64()), "db": pa.array([], pa.float64())}
+        )
+        m = group.num_rows
+        if m < 2:
+            return empty
+        ids = group.column("user_id").to_numpy(zero_copy_only=False)
+        dv = group.column("v").to_numpy(zero_copy_only=False) - np.asarray(
+            lookup_take(mean_ref, group.column("user_id"))
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, dv = ids[order], dv[order]
+        ai, bi = np.triu_indices(m, k=1)
+        pk = (ids[ai].astype(np.int64) << 32) | ids[bi].astype(np.int64)
+        keep = np.asarray(keyset_mask(cand_ref, pa.array(pk, pa.int64())))
+        if not keep.any():
+            return empty
+        ai, bi, pk = ai[keep], bi[keep], pk[keep]
+        hrv = np.full(len(ai), group.column("hr")[0].as_py(), dtype=np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "hr": pa.array(hrv, pa.int64()),
+                "da": pa.array(dv[ai], pa.float64()),
+                "db": pa.array(dv[bi], pa.float64()),
+            }
+        )
+
+    pairs = bucketed_map_groups(points, "hr", per_hour)
+
+    def per_pair(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_a": pa.array([], pa.int64()), "user_b": pa.array([], pa.int64()),
+             "n_hours": pa.array([], pa.int64()), "cos4": pa.array([], pa.string())}
+        )
+        n = group.num_rows
+        if n < min_hours:
+            return empty
+        hrs = group.column("hr").to_numpy(zero_copy_only=False)
+        order = np.argsort(hrs)  # deterministic summation order
+        da = group.column("da").to_numpy(zero_copy_only=False)[order]
+        db = group.column("db").to_numpy(zero_copy_only=False)[order]
+        pk = int(group.column("pk")[0].as_py())
+        ua, ub = pk >> 32, pk & 0xFFFFFFFF
+        na = float(np.asarray(lookup_take(norm_ref, pa.array([ua], pa.int64())))[0])
+        nb = float(np.asarray(lookup_take(norm_ref, pa.array([ub], pa.int64())))[0])
+        if na == 0.0 or nb == 0.0:
+            return empty
+        c = float((da * db).sum() / (na * nb))
+        return pa.table(
+            {
+                "user_a": pa.array([ua], pa.int64()),
+                "user_b": pa.array([ub], pa.int64()),
+                "n_hours": pa.array([n], pa.int64()),
+                "cos4": fmt_fixed(pa.array([c], pa.float64()), 4),
+            }
+        )
+
     return with_schema_seed(bucketed_map_groups(pairs, "pk", per_pair), out_schema)

@@ -1421,3 +1421,8 @@ REGISTRY["correlated_users"] = QASpec(
     """,
     "custom(series-correlation-join,hour-bucketed-expand,pair-reduce)",
 )
+REGISTRY["similar_users_sketch"] = QASpec(
+    R3.q_similar_users_sketch,
+    None,
+    "custom(series-cosine-lsh,streaming-sketch,candidate-filtered-verify)",
+)

@@ -219,3 +219,91 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(ray_session):
         )
     )
     assert expected == got and len(got) > 0
+
+
+def test_similar_users_sketch_recovers_planted_pairs(ray_session, tmp_path):
+    """Planted-signal recovery: users 0/1 share one hourly pattern and users
+    2/3 its negation (anti-similar); users 4-7 are independent noise. The
+    sketch must surface every planted high-|cos| pair (direct AND
+    complemented band match), never invent pairs the exact metric scores
+    low, and report cos4 values that match an in-test numpy oracle."""
+    import collections
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines.relational3 import (
+        _hourly_points,
+        q_similar_users_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+    pattern = rng.rand(48) * 4.0
+    rows = []
+    eid = 0
+    for u in range(8):
+        for h in range(48):
+            if u in (0, 1):
+                v = pattern[h] + rng.rand() * 0.05
+            elif u in (2, 3):
+                v = 4.0 - pattern[h] + rng.rand() * 0.05  # negated pattern
+            else:
+                v = rng.rand() * 4.0
+            rows.append((eid, base + dt.timedelta(hours=h), u, "view", float(v)))
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = _to_table(q_similar_users_sketch(str(tmp_path)))
+    got_pairs = {
+        (a, b): c
+        for a, b, c in zip(
+            got.column("user_a").to_pylist(),
+            got.column("user_b").to_pylist(),
+            got.column("cos4").to_pylist(),
+        )
+    }
+
+    # exact centered-cosine oracle
+    pts = _to_table(_hourly_points(str(tmp_path)))
+    series: dict[int, dict[int, float]] = collections.defaultdict(dict)
+    for u, h, v in zip(
+        pts.column("user_id").to_pylist(), pts.column("hr").to_pylist(), pts.column("v").to_pylist()
+    ):
+        series[u][h] = v
+    cent = {}
+    for u, d in series.items():
+        m = float(np.mean(list(d.values())))
+        cent[u] = {h: v - m for h, v in d.items()}
+    exact = {}
+    users = sorted(series)
+    for i in range(len(users)):
+        for j in range(i + 1, len(users)):
+            a, b = cent[users[i]], cent[users[j]]
+            common = set(a) & set(b)
+            na = float(np.sqrt(sum(x * x for x in a.values())))
+            nb = float(np.sqrt(sum(x * x for x in b.values())))
+            if len(common) < 3 or na == 0.0 or nb == 0.0:
+                continue
+            exact[(users[i], users[j])] = sum(a[h] * b[h] for h in common) / (na * nb)
+
+    planted = {(0, 1), (2, 3), (0, 2), (0, 3), (1, 2), (1, 3)}
+    for p in planted:
+        assert abs(exact[p]) > 0.9  # the construction really plants them
+        assert p in got_pairs, (p, sorted(got_pairs))
+    # every reported value matches the oracle at the printed precision
+    for p, c4 in got_pairs.items():
+        want = f"{exact[p]:.4f}"
+        want = "0.0000" if want == "-0.0000" else want
+        assert c4 == want, (p, c4, want)
