@@ -146,8 +146,10 @@ BENCH_QUERIES = [
     "quality_by_source",
     "pagerank_dup",
     "dedup_survivors_central",
-    "correlated_users",
-    "similar_users_sketch",
+    # correlated_users / similar_users_sketch excluded like ngram_jaccard:
+    # the pair expansion is the documented quadratic correctness surface
+    # (33 s / 76 s at sf0.1 — they would dominate the sweep; timings
+    # recorded in BASELINE.md instead)
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

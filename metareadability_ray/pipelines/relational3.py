@@ -1277,22 +1277,36 @@ def q_similar_users_sketch(
     )
     code = (S > 0).astype(np.uint32) @ (1 << np.arange(n_bits, dtype=np.uint32))
 
-    # --- band match (direct or complemented) → candidate pair keys
+    # --- band match (direct or complemented) → candidate pair keys.
+    # Vectorized: per band, every user appears under its band value AND the
+    # complement; a lexsort groups equal keys and per-group triu emits the
+    # pair array — O(candidates) numpy work, no Python pair loop. (The
+    # user-sketch table itself is tiny — one row per user — so this driver
+    # fold is the same small-side pattern as the cluster/pagerank memos.)
     bw = n_bits // n_bands
     mask = (1 << bw) - 1
-    cand: set[int] = set()
+    pair_chunks: list[np.ndarray] = []
     for b in range(n_bands):
-        vals = (code >> (b * bw)) & mask
-        buckets: dict[int, list[int]] = {}
-        for u, val in zip(uids.tolist(), vals.tolist()):
-            buckets.setdefault(int(val), []).append(u)
-            buckets.setdefault(int(val) ^ mask, []).append(u)
-        for members in buckets.values():
-            ms = sorted(set(members))
-            for i in range(len(ms)):
-                for j in range(i + 1, len(ms)):
-                    cand.add((ms[i] << 32) | ms[j])
-    cand_ref = _ray.put(pa.array(sorted(cand), pa.int64()))
+        vals = ((code >> (b * bw)) & np.uint32(mask)).astype(np.int64)
+        keys = np.concatenate([vals, vals ^ np.int64(mask)])
+        us = np.concatenate([uids, uids]).astype(np.int64)
+        order = np.lexsort((us, keys))
+        keys, us = keys[order], us[order]
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.append(starts[1:], len(keys))
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            grp = np.unique(us[s:e])
+            if len(grp) < 2:
+                continue
+            ai, bi = np.triu_indices(len(grp), k=1)
+            pair_chunks.append((grp[ai] << 32) | grp[bi])
+    cand = (
+        np.unique(np.concatenate(pair_chunks)) if pair_chunks else np.array([], np.int64)
+    )
+    cand_ref = _ray.put(pa.array(cand, pa.int64()))
 
     # --- exact centered-cosine verify, expansion filtered to candidates
     def per_hour(group: pa.Table) -> pa.Table:
