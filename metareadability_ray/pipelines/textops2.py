@@ -49,19 +49,21 @@ def _batch_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 # -------------------------------------------------------------- heavy hitters
-def _block_topk(ds: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
-    """Per-block (count desc, token asc) top-k prefilter ahead of a global
-    top-k sort. After the token groupby each distinct token lives in exactly
-    one block, so the union of block top-ks contains the global top-k — the
-    all-to-all sort then runs over ≤ k·blocks rows instead of the whole
-    vocabulary (the difference between sorting 10^8 distinct tokens and a
-    few thousand rows at 100 TB)."""
+def _block_topk(
+    ds: "ray.data.Dataset", k: int, n_col: str = "n", key_col: str = "token"
+) -> "ray.data.Dataset":
+    """Per-block (count desc, key asc) top-k prefilter ahead of a global
+    top-k sort. After the vocabulary groupby each distinct key lives in
+    exactly one block, so the union of block top-ks contains the global
+    top-k — the all-to-all sort then runs over ≤ k·blocks rows instead of
+    the whole vocabulary (the difference between sorting 10^8 distinct
+    tokens and a few thousand rows at 100 TB)."""
 
     def local_topk(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= k:
             return batch
         idx = pc.sort_indices(
-            batch, sort_keys=[("n", "descending"), ("token", "ascending")]
+            batch, sort_keys=[(n_col, "descending"), (key_col, "ascending")]
         )
         return batch.take(idx[:k])
 

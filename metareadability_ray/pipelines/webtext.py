@@ -288,10 +288,17 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
 
     from metareadability_ray.util import seeded_after_limit
 
-    out = (
+    from metareadability_ray.pipelines.textops2 import _block_topk
+
+    counts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
+    )
+    # per-block top-k prefilter: the global sort sees k·blocks rows, not
+    # the bigram vocabulary (the largest token space in the registry)
+    out = (
+        _block_topk(counts, k, key_col="bigram")
         .sort(key=["n", "bigram"], descending=[True, False])
         .limit(k)
     )
