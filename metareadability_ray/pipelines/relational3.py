@@ -1185,7 +1185,16 @@ def q_similar_users_sketch(
     FILTERED to the broadcast candidate set and per-pair groups emit
     cos = Σ dva·dvb / (‖dva‖·‖dvb‖) with user norms broadcast. Rows-only
     (LSH is probabilistic); recall vs an exact numpy oracle is pinned in
-    tests/test_queries.py."""
+    tests/test_queries.py.
+
+    Driver-fold contract: the per-user sketch table (one 16-double row per
+    user) and the candidate build live on the driver — the small-side
+    pattern of the cluster/pagerank memos, valid while the USER universe
+    is memo-sized. At a billion-user universe the band grouping would run
+    distributed instead (groupby band value — exactly the minhash band
+    shuffle of ``minhash_lsh_pairs``) and the candidate set would ride as
+    a bucketed table rather than one ``ray.put``; the per-hour and
+    per-pair stages are unchanged."""
     import ray as _ray
 
     from metareadability_ray.functions.scalars import stable_hash64
