@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     # the pair expansion is the documented quadratic correctness surface
     # (33 s / 76 s at sf0.1 — they would dominate the sweep; timings
     # recorded in BASELINE.md instead)
+    "dedup_cascade",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

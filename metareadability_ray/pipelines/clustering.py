@@ -571,3 +571,61 @@ def q_dedup_survivors_central(sf_dir: str) -> "ray.data.Dataset":
         return batch.filter(keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
 
     return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_cascade(sf_dir: str) -> pa.Table:
+    """The standard production dedup CASCADE, composed end-to-end with
+    per-stage accounting — the Dolma/FineWeb shape: (1) exact text dedup,
+    (2) MinHash-LSH near-dup components, (3) SemDeDup semantic dedup —
+    each stage applied to the previous stage's SURVIVORS, reporting
+    (stage, n_removed, n_remaining). The one-table answer to "where did
+    my corpus go".
+
+    Scale shape: every stage is an existing scale-shaped operator; what a
+    stage hands the next is only its SURVIVOR-ID delta (bounded by the dup
+    count, the same broadcast-anti-filter contract as dedup_survivors) —
+    never text or vectors. The cascade table itself is 3 rows. Rows-only
+    (stages 2-3 are probabilistic/model ops with no SQL twin); invariants
+    (monotone remaining, removed sums, subset chains) are unit-tested."""
+    import ray.data
+
+    from metareadability_ray.pipelines.textops import q_exact_dedup
+    from metareadability_ray.pipelines.vectors import q_semdedup
+
+    def ids_of(ds, col: str) -> set[int]:
+        out: set[int] = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.update(b.column(col).to_pylist())
+        return out
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    s1 = ids_of(q_exact_dedup(sf_dir), "keep_doc_id")  # exact survivors
+    s2 = ids_of(q_dedup_survivors_lsh(sf_dir), "doc_id")  # LSH survivors
+    sem = q_semdedup(sf_dir)
+    sem_dup: set[int] = set()
+    for b in sem.iter_batches(batch_format="pyarrow"):
+        for vid, dup in zip(b.column("vec_id").to_pylist(), b.column("is_dup").to_pylist()):
+            if dup:
+                sem_dup.add(vid)
+
+    rem0 = n_docs
+    rem1 = s1
+    rem2 = rem1 & s2
+    rem3 = rem2 - sem_dup
+    stages = [
+        ("exact", rem0 - len(rem1), len(rem1)),
+        ("neardup_lsh", len(rem1) - len(rem2), len(rem2)),
+        ("semantic", len(rem2) - len(rem3), len(rem3)),
+    ]
+    return pa.table(
+        {
+            "stage": pa.array([s for s, _, _ in stages], pa.string()),
+            "n_removed": pa.array([r for _, r, _ in stages], pa.int64()),
+            "n_remaining": pa.array([n for _, _, n in stages], pa.int64()),
+        }
+    )

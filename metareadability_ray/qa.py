@@ -1426,3 +1426,6 @@ REGISTRY["similar_users_sketch"] = QASpec(
     None,
     "custom(series-cosine-lsh,streaming-sketch,candidate-filtered-verify)",
 )
+REGISTRY["dedup_cascade"] = QASpec(
+    C.q_dedup_cascade, None, "dedup-cascade(exact->lsh->semantic,stage-report)"
+)

@@ -160,3 +160,25 @@ def test_central_survivors_one_per_cluster(ray_session):
         assert len(winners) == 1, (c, members, winners)
         mx = max(rank_of.get(m, 0.0) for m in members)
         assert abs(rank_of.get(winners[0], 0.0) - mx) < 1e-15
+
+
+def test_dedup_cascade_invariants(ray_session):
+    """Cascade accounting must be self-consistent: remaining is monotone
+    non-increasing, every stage's removed+remaining equals the previous
+    remaining, and the final remaining matches input minus total removed."""
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.qa import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    t = REGISTRY["dedup_cascade"].fn(sf)
+    rows = t.to_pylist()
+    assert [r["stage"] for r in rows] == ["exact", "neardup_lsh", "semantic"]
+    n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+    prev = n_docs
+    for r in rows:
+        assert r["n_removed"] >= 0
+        assert r["n_removed"] + r["n_remaining"] == prev
+        prev = r["n_remaining"]
+    assert prev == n_docs - sum(r["n_removed"] for r in rows)
+    assert rows[1]["n_removed"] > 0  # the fixture corpus has near-dups

@@ -641,3 +641,30 @@ def test_rows_only_smoke_on_generated_embeddings(ray_session, tmp_path_factory, 
         _smoke(name, d)
 
     inner()
+
+
+def test_dedup_cascade_smoke_on_generated(ray_session, tmp_path_factory):
+    """The composed cascade needs BOTH tables (documents for exact/LSH,
+    embeddings for the semantic stage) — its own dual-table smoke: must run
+    and stay self-consistent on adversarial generated corpora."""
+    @settings(max_examples=max(4, _N_EX // 2), deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(documents_table(), embeddings_table())
+    def inner(docs, emb):
+        import gc
+
+        from metareadability_ray.qa import REGISTRY
+
+        d = tmp_path_factory.mktemp("propsmoke_cascade")
+        pq.write_table(docs, str(d / "documents.parquet"))
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+        t = REGISTRY["dedup_cascade"].fn(str(d))
+        rows = t.to_pylist()
+        assert [r["stage"] for r in rows] == ["exact", "neardup_lsh", "semantic"]
+        prev = docs.num_rows
+        for r in rows:
+            assert r["n_removed"] >= 0 and r["n_removed"] + r["n_remaining"] == prev
+            prev = r["n_remaining"]
+        gc.collect()
+
+    inner()
