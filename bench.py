@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     # (33 s / 76 s at sf0.1 — they would dominate the sweep; timings
     # recorded in BASELINE.md instead)
     "dedup_cascade",
+    "char_trigram_profile",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

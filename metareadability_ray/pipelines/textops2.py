@@ -445,3 +445,72 @@ def q_zipf_slope(sf_dir: str) -> pa.Table:
             "n_tokens": pa.array([n_tokens], pa.int64()),
         }
     )
+
+
+# ------------------------------------ per-language char-trigram profiles
+def q_char_trigram_profile(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Per-language character-trigram profile — the Cavnar-Trenkle (1994)
+    n-gram language-model building block (what a trained langid ships, vs
+    ``langid``'s fixed stopword heuristic): the top-``k`` most frequent
+    character trigrams of each language, ties broken lexicographically.
+    Trigrams are CODEPOINT-based on the raw text (DuckDB ``substring``
+    semantics; Python slicing matches exactly). NULL lang is a legal group.
+
+    Scale shape: the word-count pattern over a denser vocabulary — each
+    batch collapses its trigram stream to (lang, trigram, count) partials,
+    the shuffle carries one row per distinct (lang, trigram) per block, a
+    groupby sums, and the per-lang top-k runs over |langs| tiny groups
+    (per-block top-k pre-cut keeps the final groups k·blocks-sized)."""
+    from metareadability_ray.util import dec_null_key, enc_null_key, with_schema_seed
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("trigram", pa.string()), ("n", pa.int64())]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        enc = enc_null_key(batch.column("lang")).to_pylist()
+        for lg, t in zip(enc, batch.column("text").to_pylist()):
+            if not t or len(t) < 3:
+                continue
+            for i in range(len(t) - 2):
+                key = (lg, t[i : i + 3])
+                counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "tg": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        ks = list(counts)
+        return pa.table(
+            {
+                "lang": pa.array([a for a, _ in ks], pa.string()),
+                "tg": pa.array([b for _, b in ks], pa.string()),
+                "n": pa.array([counts[x] for x in ks], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "tg"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_lang_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("n", "descending"), ("tg", "ascending")]
+        )
+        top = group.take(idx[:k])
+        return pa.table(
+            {
+                "lang": dec_null_key(top.column("lang").combine_chunks() if isinstance(top.column("lang"), pa.ChunkedArray) else top.column("lang")),
+                "trigram": top.column("tg"),
+                "n": top.column("n"),
+            }
+        )
+
+    return with_schema_seed(
+        counts.groupby("lang").map_groups(per_lang_topk, batch_format="pyarrow"),
+        out_schema,
+    )

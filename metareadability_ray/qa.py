@@ -1429,3 +1429,17 @@ REGISTRY["similar_users_sketch"] = QASpec(
 REGISTRY["dedup_cascade"] = QASpec(
     C.q_dedup_cascade, None, "dedup-cascade(exact->lsh->semantic,stage-report)"
 )
+REGISTRY["char_trigram_profile"] = QASpec(
+    T2.q_char_trigram_profile,
+    r"""
+    WITH ch AS (SELECT lang, substring(text, g.i, 3) AS tg
+                FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+                WHERE text IS NOT NULL AND length(text) >= 3),
+         cnt AS (SELECT lang, tg, count(*) AS n FROM ch GROUP BY lang, tg),
+         r AS (SELECT lang, tg, n,
+                      row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg ASC) AS rk
+               FROM cnt)
+    SELECT lang, tg AS trigram, n FROM r WHERE rk <= 5
+    """,
+    "custom(cavnar-trenkle-char-ngram-profile,per-lang-topk)",
+)

@@ -143,7 +143,7 @@ _PROP = dict(
         "lm_perplexity", "pack_contexts", "token_budget_mix", "para_dedup_rewrite",
         "chunk_documents", "dup_span_stats", "gopher_quality_filter",
         "intra_doc_dedup", "length_percentile_filter", "source_overlap",
-        "oov_rate", "zipf_slope", "quality_by_source",
+        "oov_rate", "zipf_slope", "quality_by_source", "char_trigram_profile",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
