@@ -377,8 +377,6 @@ def main() -> None:
     if not args.extract_only:
         # Print the headline line FIRST (round-2 verdict #9: BENCH_r02's tail
         # was truncated before the combined line, losing the flagship number).
-        # The slow query sweep below re-prints the full record at the end;
-        # either line alone carries the headline metric.
         print(json.dumps(result), flush=True)
         # page-size-annotated baseline (round-1 verdict #10): the headline
         # corpus has ~2 KiB synthetic pages; this row measures real ~50 KiB
@@ -390,7 +388,35 @@ def main() -> None:
         )
         result["realistic_50k_pages"] = real
         result["queries"] = bench_queries(sf_dir)
-    print(json.dumps(result))
+        # Full combined record (humans / BASELINE.md bookkeeping).
+        print(json.dumps(result), flush=True)
+        # Round-3 verdict #4: the driver keeps only ~2 KB of stdout TAIL, and
+        # the combined record above is far larger than that window — both r2
+        # and r3 BENCH artifacts came back "parsed": null with the flagship
+        # number truncated away. The LAST line must therefore be a COMPACT
+        # headline record that fits the tail window whole: the brief's
+        # required fields plus docs_per_sec, with the per-query map reduced
+        # to a count + the slowest 8 (the full map is on the previous line).
+        qs = result["queries"]
+        slowest = dict(sorted(qs.items(), key=lambda kv: -kv[1])[:8])
+        compact = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": "sec",
+            "sf": result["sf"],
+            "num_cpus": num_cpus,
+            "docs": result["docs"],
+            "docs_per_sec": result["docs_per_sec"],
+            "flagship_shots_docs_per_sec": result["flagship_shots_docs_per_sec"],
+            "realistic_50k_docs_per_sec": real["docs_per_sec"],
+            "n_queries": len(qs),
+            "queries_total_s": round(sum(qs.values()), 1),
+            "slowest_queries": slowest,
+            "queries": slowest,  # brief-shaped alias; full map on prior line
+        }
+        print(json.dumps(compact))
+    else:
+        print(json.dumps(result))
     import ray
 
     ray.shutdown()

@@ -51,18 +51,48 @@ def export_hive_partitioned(
         .drop_columns(["__k"])
         .write_parquet(out_dir, partition_cols=[col])
     )
+    # Decode dir names back to the ACTUAL partition values (round-3 ADVICE):
+    # Arrow's hive writer URL-encodes values ('en us' → dir 'en%20us') and
+    # writes nulls as the __HIVE_DEFAULT_PARTITION__ sentinel — returning
+    # the raw dir names would hand callers strings no row ever contained.
     vals = sorted(
-        d.split("=", 1)[1] for d in os.listdir(out_dir) if "=" in d
+        (_hive_decode(d.split("=", 1)[1]) for d in os.listdir(out_dir) if "=" in d),
+        key=lambda v: (v is None, v),
     )
     return {"out_dir": out_dir, "partition_values": vals}
 
 
-def read_partition(out_dir: str, col: str, value: str) -> "ray.data.Dataset":
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_encode(value: str | None) -> str:
+    """Partition value → hive dir segment, the same rule Arrow's
+    HivePartitioning applies on write (URL percent-encoding; None → the
+    hive null sentinel dir)."""
+    from urllib.parse import quote
+
+    if value is None:
+        return _HIVE_NULL_DIR
+    return quote(str(value), safe="")
+
+
+def _hive_decode(segment: str) -> str | None:
+    from urllib.parse import unquote
+
+    if segment == _HIVE_NULL_DIR:
+        return None
+    return unquote(segment)
+
+
+def read_partition(out_dir: str, col: str, value: str | None) -> "ray.data.Dataset":
     """Partition-pruned read: opens ONLY ``out_dir/col=value/`` — the
     filesystem listing is the pushdown, no footer of any other partition
-    is touched. Raises FileNotFoundError when the partition has no dir
-    (the caller distinguishes 'absent value' from 'empty table')."""
-    path = os.path.join(out_dir, f"{col}={value}")
+    is touched. ``value`` is the ACTUAL value (it is hive-encoded here with
+    the writer's own rule, so 'en us' finds the 'en%20us' dir and
+    ``value=None`` reads the hive null partition). Raises FileNotFoundError
+    when the partition has no dir (the caller distinguishes 'absent value'
+    from 'empty table')."""
+    path = os.path.join(out_dir, f"{col}={_hive_encode(value)}")
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
     return ray.data.read_parquet(path)
