@@ -249,77 +249,70 @@ def q_dup_clusters(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.from_arrow(_clusters_table(sf_dir))
 
 
+def _cluster_losers(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, cluster_id) → the non-survivor ids (cluster_id ≠ doc_id) —
+    the REMOVED delta a dedup stage hands downstream, bounded by dup count."""
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch.column("doc_id"), batch.column("cluster_id")))
+        return batch.filter(keep).select(["doc_id"])
+
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        clusters.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", I64)]),
+    )
+
+
 def q_dedup_survivors_lsh(sf_dir: str) -> "ray.data.Dataset":
     """The 100 TB composed dedup: MinHash+LSH candidate pairs (est_jaccard
     ≥ 0.2, the LSH estimate of the exact path's 1/5 cut) → connected
     components → survivor filter. Same shape as :func:`q_dedup_survivors`
     but every stage is the scale path — no quadratic posting lists, the
-    bucket shuffle carries 16 bytes per (doc, band). Rows-only in the
-    driver gate (LSH is probabilistic, not SQL-expressible); the agreement
-    test in tests/test_clustering.py bounds its divergence from the exact
-    pipeline, and a committed snapshot pins its values."""
+    bucket shuffle carries 16 bytes per (doc, band). The final anti-filter
+    is size-adaptive (``scalable_anti_join``): losers broadcast under the
+    threshold, bucketed reduce-side anti join above it — a 30% dup rate at
+    10^12 docs makes the loser set itself too big for one ``ray.put``.
+    Rows-only in the driver gate (LSH is probabilistic, not
+    SQL-expressible); the agreement test in tests/test_clustering.py bounds
+    its divergence from the exact pipeline, and a committed snapshot pins
+    its values."""
     import os
 
-    import ray as _ray
     import ray.data
 
     from metareadability_ray.pipelines.textops import minhash_lsh_pairs
-    from metareadability_ray.util import keyset_mask
+    from metareadability_ray.util import scalable_anti_join
 
     pairs = minhash_lsh_pairs(sf_dir).filter(expr="est_jaccard >= 0.2")
-    clusters_ds = connected_components(pairs)
-    tabs = list(clusters_ds.iter_batches(batch_format="pyarrow"))
-    clusters = (
-        pa.concat_tables(tabs, promote_options="permissive")
-        if tabs
-        else pa.table({"doc_id": pa.array([], I64), "cluster_id": pa.array([], I64)})
-    )
-    losers = clusters.filter(
-        pc.invert(pc.equal(clusters.column("doc_id"), clusters.column("cluster_id")))
-    ).column("doc_id")
-    loser_ref = _ray.put(
-        losers.combine_chunks() if isinstance(losers, pa.ChunkedArray) else losers
-    )
-
+    losers = _cluster_losers(connected_components(pairs))
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     )
-
-    def anti(batch: pa.Table) -> pa.Table:
-        return batch.filter(keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
-
-    return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return scalable_anti_join(docs, "doc_id", losers)
 
 
 def q_dedup_survivors(sf_dir: str) -> "ray.data.Dataset":
     """The end of the dedup story: the corpus with non-survivor duplicates
     REMOVED. Non-survivors (cluster members with cluster_id ≠ doc_id — a
-    tiny set, bounded by the dup count) are distinct-ed distributedly and
-    broadcast; documents stream through a vectorized anti filter."""
+    set bounded by the dup count) feed the size-adaptive
+    ``scalable_anti_join``: broadcast ``pc.is_in`` mask while the loser set
+    fits one ``ray.put``, bucketed reduce-side anti join beyond it."""
     import os
 
     import ray.data
 
-    from metareadability_ray.util import keyset_mask
+    from metareadability_ray.util import scalable_anti_join
 
     clusters = _clusters_table(sf_dir)
     losers = clusters.filter(
         pc.invert(pc.equal(clusters.column("doc_id"), clusters.column("cluster_id")))
-    ).column("doc_id")
-    import ray as _ray
-
-    loser_ref = _ray.put(
-        losers.combine_chunks() if isinstance(losers, pa.ChunkedArray) else losers
-    )
-
+    ).select(["doc_id"])
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     )
-
-    def anti(batch: pa.Table) -> pa.Table:
-        return batch.filter(keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
-
-    return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return scalable_anti_join(docs, "doc_id", ray.data.from_arrow(losers))
 
 
 # ----------------------------------------- PageRank over the dup-pair graph
@@ -534,93 +527,140 @@ def q_dedup_survivors_central(sf_dir: str) -> "ray.data.Dataset":
     ``dedup_survivors``.
 
     Scale shape: ranks and clusters both live on the DUP SUBSET (one row
-    per doc in ≥1 pair); the per-cluster argmax is a vectorized lexsort
-    run-length pass over that small table, and only the loser id set (≤ dup
-    count) is broadcast. Rows-only (PageRank has no SQL twin); the policy
-    invariants are unit-tested."""
+    per doc in ≥1 pair). The rank attach is the repo's reduce-side join
+    (keyed doc_id — every cluster member is a pair endpoint, so the inner
+    join loses nothing); the per-cluster argmax is a vectorized lexsort
+    inside cluster-bucketed groups; the loser delta then feeds the
+    size-adaptive ``scalable_anti_join``. No driver dict, no per-row Python
+    loop, nothing driver-held beyond the existing dup-subset memos.
+    Rows-only (PageRank has no SQL twin); the policy invariants are
+    unit-tested."""
     import os
 
-    import ray as _ray
     import ray.data
 
-    from metareadability_ray.util import keyset_mask
+    from metareadability_ray.pipelines.textops import bucketed_map_groups
+    from metareadability_ray.util import scalable_anti_join, with_schema_seed
 
-    clusters = _clusters_table(sf_dir)
-    pr = _pagerank_table(sf_dir)
-    # attach rank to each cluster member (both tables are the dup subset)
-    rank_of = dict(zip(pr.column("doc_id").to_pylist(), pr.column("pagerank").to_pylist()))
-    ids = clusters.column("doc_id").to_numpy(zero_copy_only=False)
-    cids = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
-    ranks = np.asarray([rank_of.get(int(i), 0.0) for i in ids])
-    # per-cluster argmax(rank), tie → min doc_id: sort by (cluster, -rank, id)
-    if len(ids) == 0:  # dup-free corpus: no clusters, nothing to remove
-        keep_ids: set[int] = set()
-    else:
-        order = np.lexsort((ids, -ranks, cids))
-        cs, is_ = cids[order], ids[order]
-        first = np.concatenate(([True], cs[1:] != cs[:-1]))
-        keep_ids = set(is_[first].tolist())
-    losers = pa.array([int(i) for i in ids if int(i) not in keep_ids], I64)
-    loser_ref = _ray.put(losers)
+    F64 = pa.float64()
+    clusters = ray.data.from_arrow(_clusters_table(sf_dir))
+    pr = ray.data.from_arrow(_pagerank_table(sf_dir))
+    withrank = reduce_side_attach(
+        clusters, "doc_id", [("doc_id", I64), ("cluster_id", I64)],
+        pr, "doc_id", "pagerank", "rank", F64,
+    )
 
+    def cluster_losers(group: pa.Table) -> pa.Table:
+        # one cluster per group: winner = argmax(rank), tie → min doc_id
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ranks = group.column("rank").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -ranks))
+        return pa.table({"doc_id": pa.array(ids[order[1:]], I64)})
+
+    losers = with_schema_seed(
+        bucketed_map_groups(withrank, "cluster_id", cluster_losers),
+        pa.schema([("doc_id", I64)]),
+    )
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     )
-
-    def anti(batch: pa.Table) -> pa.Table:
-        return batch.filter(keyset_mask(loser_ref, batch.column("doc_id"), negate=True))
-
-    return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return scalable_anti_join(docs, "doc_id", losers)
 
 
 def q_dedup_cascade(sf_dir: str) -> pa.Table:
     """The standard production dedup CASCADE, composed end-to-end with
     per-stage accounting — the Dolma/FineWeb shape: (1) exact text dedup,
     (2) MinHash-LSH near-dup components, (3) SemDeDup semantic dedup —
-    each stage applied to the previous stage's SURVIVORS, reporting
-    (stage, n_removed, n_remaining). The one-table answer to "where did
-    my corpus go".
+    each stage applied SEQUENTIALLY to the previous stage's survivors,
+    reporting (stage, n_removed, n_remaining). The one-table answer to
+    "where did my corpus go".
 
-    Scale shape: every stage is an existing scale-shaped operator; what a
-    stage hands the next is only its SURVIVOR-ID delta (bounded by the dup
-    count, the same broadcast-anti-filter contract as dedup_survivors) —
-    never text or vectors. The cascade table itself is 3 rows. Rows-only
-    (stages 2-3 are probabilistic/model ops with no SQL twin); invariants
-    (monotone remaining, removed sums, subset chains) are unit-tested."""
-    import ray.data
-
-    from metareadability_ray.pipelines.textops import q_exact_dedup
-    from metareadability_ray.pipelines.vectors import q_semdedup
-
-    def ids_of(ds, col: str) -> set[int]:
-        out: set[int] = set()
-        for b in ds.iter_batches(batch_format="pyarrow"):
-            out.update(b.column(col).to_pylist())
-        return out
-
+    Scale contract (what r3 claimed and now holds): the ONLY thing a stage
+    hands the next is its REMOVED-id delta — bounded by that stage's dup
+    count, never the corpus — chained through broadcast anti-filters
+    (``keyset_mask``); text and vectors never leave their own stage, the
+    driver never materializes a survivor set, and every remaining count is
+    a ``ds.count()`` over the pruned one-column doc_id read. Sequential
+    semantics are real, not an intersection approximation: stage 2's pair
+    stream drops pairs touching exact losers (identical text ⇒ identical
+    MinHash signature ⇒ the keeper inherits every edge, so this equals
+    running LSH on the survivors), and stage 3 runs SemDeDup with prior
+    losers EXCLUDED, so a doc is never removed because of a similar vector
+    that itself no longer exists (the r3 over-removal). Rows-only (stages
+    2–3 are probabilistic/model ops with no SQL twin); invariants and the
+    sequential-vs-intersection divergence are unit-tested."""
     import os
 
     import pyarrow.parquet as pq
 
+    import ray as _ray
+    import ray.data
+
+    from metareadability_ray.pipelines.textops import exact_dedup_losers, minhash_lsh_pairs
+    from metareadability_ray.pipelines.vectors import semdedup
+    from metareadability_ray.util import keyset_mask
+
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
-    s1 = ids_of(q_exact_dedup(sf_dir), "keep_doc_id")  # exact survivors
-    s2 = ids_of(q_dedup_survivors_lsh(sf_dir), "doc_id")  # LSH survivors
-    sem = q_semdedup(sf_dir)
-    sem_dup: set[int] = set()
-    for b in sem.iter_batches(batch_format="pyarrow"):
-        for vid, dup in zip(b.column("vec_id").to_pylist(), b.column("is_dup").to_pylist()):
-            if dup:
-                sem_dup.add(vid)
+    def collect_ids(ds, col: str) -> pa.Array:
+        # a stage's removed-id DELTA — bounded by its dup count
+        chunks = [
+            c
+            for b in ds.iter_batches(batch_format="pyarrow")
+            for c in (
+                b.column(col).chunks
+                if isinstance(b.column(col), pa.ChunkedArray)
+                else [b.column(col)]
+            )
+        ]
+        return pc.unique(pa.concat_arrays([c.cast(I64) for c in chunks])) if chunks else pa.array([], I64)
 
-    rem0 = n_docs
-    rem1 = s1
-    rem2 = rem1 & s2
-    rem3 = rem2 - sem_dup
+    # stage 1: exact — losers are docs whose md5(text) has a smaller doc_id
+    removed1 = collect_ids(exact_dedup_losers(sf_dir), "doc_id")
+    removed1_ref = _ray.put(removed1)
+
+    # stage 2: MinHash-LSH on stage-1 survivors — the pair stream is
+    # anti-filtered on BOTH endpoints before components, so exact losers
+    # neither form nor name clusters
+    def drop_removed_pairs(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            keyset_mask(removed1_ref, batch.column("doc_a"), negate=True),
+            keyset_mask(removed1_ref, batch.column("doc_b"), negate=True),
+        )
+        return batch.filter(ok)
+
+    pairs = (
+        minhash_lsh_pairs(sf_dir)
+        .filter(expr="est_jaccard >= 0.2")
+        .map_batches(drop_removed_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    removed2 = collect_ids(_cluster_losers(connected_components(pairs)), "doc_id")
+    removed12_ref = _ray.put(pa.concat_arrays([removed1, removed2]))
+
+    # stage 3: SemDeDup restricted to stage-2 survivors (prior losers are
+    # invisible to both the dup marking and the lower-id keeper rule)
+    sem = semdedup(sf_dir, exclude_ref=removed12_ref)
+    removed3 = collect_ids(sem.filter(expr="is_dup == 1"), "vec_id")
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def remaining_after(ref) -> int:
+        def anti(batch: pa.Table) -> pa.Table:
+            return batch.filter(keyset_mask(ref, batch.column("doc_id"), negate=True))
+
+        return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True).count()
+
+    rem1 = remaining_after(removed1_ref)
+    rem2 = remaining_after(removed12_ref)
+    # removed3 comes from the embeddings id universe; counting the survivors
+    # over `documents` keeps the accounting honest if the universes differ
+    rem3 = remaining_after(_ray.put(pa.concat_arrays([removed1, removed2, removed3])))
     stages = [
-        ("exact", rem0 - len(rem1), len(rem1)),
-        ("neardup_lsh", len(rem1) - len(rem2), len(rem2)),
-        ("semantic", len(rem2) - len(rem3), len(rem3)),
+        ("exact", n_docs - rem1, rem1),
+        ("neardup_lsh", rem1 - rem2, rem2),
+        ("semantic", rem2 - rem3, rem3),
     ]
     return pa.table(
         {

@@ -645,6 +645,50 @@ def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(restore_null, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def exact_dedup_losers(sf_dir: str) -> "ray.data.Dataset":
+    """The REMOVED-id side of :func:`q_exact_dedup`: every doc whose text
+    hash has a smaller doc_id — one (doc_id) row per non-keeper, bounded by
+    the dup count (what a cascade stage hands downstream; the survivor set
+    is corpus-sized and never materializes). Same md5%64 bucket shuffle as
+    the keeper aggregate; per bucket a vectorized sort + run-length pass
+    keeps everything but each hash's first (min) doc_id."""
+    ds = _docs(sf_dir)
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        digs = [
+            _NULL_HASH if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in texts
+        ]
+        buckets = [0 if d is _NULL_HASH else int(d[:8], 16) % _PAIR_BUCKETS for d in digs]
+        return pa.table(
+            {
+                "text_hash": pa.array(digs, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "__b": pa.array(buckets, I64),
+            }
+        )
+
+    def per_bucket_losers(group: pa.Table) -> pa.Table:
+        t = group.select(["text_hash", "doc_id"]).sort_by(
+            [("text_hash", "ascending"), ("doc_id", "ascending")]
+        )
+        h = t.column("text_hash").to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table({"doc_id": pa.array([], I64)})
+        first = np.concatenate(([True], h[1:] != h[:-1]))
+        return t.filter(pa.array(~first)).select(["doc_id"])
+
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        ds.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket_losers, batch_format="pyarrow"),
+        pa.schema([("doc_id", I64)]),
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard (exact)
 def _shingles(tokens: list[str], k: int = 3) -> set[str]:
     if len(tokens) < k:

@@ -761,7 +761,11 @@ def q_label_centroids(sf_dir: str) -> "ray.data.Dataset":
 
 
 def semdedup(
-    sf_dir: str, n_clusters: int = 16, iters: int = 3, threshold: float = 0.45
+    sf_dir: str,
+    n_clusters: int = 16,
+    iters: int = 3,
+    threshold: float = 0.45,
+    exclude_ref=None,
 ) -> "ray.data.Dataset":
     """SemDeDup-style semantic dedup (Abbas et al., 2023): spherical-k-means
     cluster the embeddings, then mark a vector a duplicate iff its cosine to
@@ -783,12 +787,28 @@ def semdedup(
 
     Centroids are rounded to 6 dp before assignment so run-to-run float-sum
     wobble (block-order-dependent Lloyd partials) cannot flip assignments.
-    """
+
+    ``exclude_ref`` (a broadcast ``ray.put`` id array) restricts the dedup
+    to the vectors NOT in the set — how a cascade applies the semantic
+    stage to the previous stage's SURVIVORS: excluded vectors neither get
+    marked nor serve as the lower-id keeper that marks others (the r3
+    full-corpus intersection over-removed whole semantic groups whose
+    keeper an earlier stage had already deleted). Centroid training stays
+    full-corpus — centroids are a partitioning choice, not a dup decision,
+    and the exclusion-invariant training keeps cluster assignments stable
+    across cascade stages."""
+    from metareadability_ray.util import keyset_mask
+
     C = train_ivf_centroids(sf_dir, n_clusters, iters)
     C = np.round(C, 6)
     c_ref = ray.put(C)
 
     ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+    if exclude_ref is not None:
+        def _drop_excluded(batch: pa.Table) -> pa.Table:
+            return batch.filter(keyset_mask(exclude_ref, batch.column("vec_id"), negate=True))
+
+        ds = ds.map_batches(_drop_excluded, batch_format="pyarrow", zero_copy_batch=True)
 
     def assign(batch: pa.Table) -> pa.Table:
         Cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref

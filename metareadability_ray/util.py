@@ -194,6 +194,98 @@ def null_safe_map_groups(
     )
 
 
+import os as _os
+
+_ANTI_BROADCAST_ROWS = int(_os.environ.get("MR_ANTI_BROADCAST_ROWS", "5000000"))
+
+
+def scalable_anti_join(
+    rows: "ray.data.Dataset",
+    key: str,
+    remove: "ray.data.Dataset",
+    remove_key: str | None = None,
+    threshold: int | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Drop from ``rows`` every row whose ``key`` appears in ``remove`` —
+    the anti-filter every survivor/curation pipeline ends with, made
+    SIZE-ADAPTIVE (the same local/distributed switch ``connected_components``
+    uses):
+
+    * remove-set ≤ ``threshold`` rows (default 5M ≈ 40 MB of int64 ids —
+      comfortably one ``ray.put``): collect the ids once, broadcast, and
+      stream ``rows`` through a vectorized ``pc.is_in`` anti mask — ZERO
+      shuffle of the big side.
+    * above the threshold (e.g. a 30% dup rate at 10^12 docs makes the
+      loser set itself TB-scale): bucketed reduce-side anti join — both
+      sides shuffle once on ``key % num_buckets`` and each bucket drops
+      members with one ``pc.is_in``; the driver holds nothing, per-bucket
+      memory is bounded by the bucket's slice of BOTH sides.
+
+    Both paths are property-tested equal (``threshold=0`` forces the
+    distributed path). CONTRACT: ``key`` castable to int64 (doc/vec ids).
+    Row order is preserved within blocks on the broadcast path; the
+    distributed path re-partitions by key bucket (callers that need a
+    deterministic order sort afterwards, as the writers already do)."""
+    import numpy as np
+
+    import ray
+    import ray.data
+
+    rk = remove_key or key
+    if threshold is None:
+        threshold = _ANTI_BROADCAST_ROWS
+    remove = remove.materialize()
+    if remove.count() <= threshold:
+        batches = list(remove.iter_batches(batch_format="pyarrow"))
+        ids = _concat_column([b.select([rk]) for b in batches], rk) if batches else pa.array([], pa.null())
+        ref = ray.put(ids)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            return batch.filter(keyset_mask(ref, batch.column(key), negate=True))
+
+        return rows.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+    schema = rows.schema().base_schema
+    names = list(schema.names)
+    I64 = pa.int64()
+
+    def row_side(batch: pa.Table) -> pa.Table:
+        kb = batch.column(key).cast(I64).to_numpy(zero_copy_only=False)
+        cols = {c: batch.column(c) for c in names}
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        cols["__b"] = pa.array(kb % np.int64(num_buckets), I64)
+        return pa.table(cols)
+
+    def remove_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kcol = batch.column(rk).cast(schema.field(key).type)
+        cols = {c: (kcol if c == key else pa.nulls(n, schema.field(c).type)) for c in names}
+        cols["__side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        kb = batch.column(rk).cast(I64).to_numpy(zero_copy_only=False)
+        cols["__b"] = pa.array(kb % np.int64(num_buckets), I64)
+        return pa.table(cols)
+
+    unioned = rows.map_batches(row_side, batch_format="pyarrow", zero_copy_batch=True).union(
+        remove.map_batches(remove_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        data = group.filter(pc.equal(side, 0)).select(names)
+        rem = group.filter(pc.equal(side, 1))
+        if rem.num_rows == 0 or data.num_rows == 0:
+            return data
+        rkeys = rem.column(key)
+        if isinstance(rkeys, pa.ChunkedArray):
+            rkeys = rkeys.combine_chunks()
+        mask = pc.invert(pc.is_in(data.column(key), value_set=rkeys))
+        return data.filter(mask)
+
+    out = unioned.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+    return with_schema_seed(out, schema)
+
+
 def enc_null_key(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Encode a NULLABLE string group-key column so Ray's sort-based groupby
     (which crashes comparing None < str, Ray 2.49) can shuffle it: value v →

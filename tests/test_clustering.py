@@ -182,3 +182,77 @@ def test_dedup_cascade_invariants(ray_session):
         prev = r["n_remaining"]
     assert prev == n_docs - sum(r["n_removed"] for r in rows)
     assert rows[1]["n_removed"] > 0  # the fixture corpus has near-dups
+
+
+def test_scalable_anti_join_paths_equal(ray_session):
+    """The size-adaptive anti-filter's two paths (broadcast keyset mask vs
+    bucketed reduce-side anti join, forced with threshold=0) must drop the
+    same rows — including on an empty remove set."""
+    import ray.data
+
+    from metareadability_ray.util import scalable_anti_join
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "lang": pa.array([f"l{i % 3}" for i in range(20)], pa.string()),
+        }
+    )
+    for rem_ids in ([3, 7, 11, 19], []):
+        rem = pa.table({"doc_id": pa.array(rem_ids, pa.int64())})
+        outs = []
+        for thr in (10**9, 0):
+            out = scalable_anti_join(
+                ray.data.from_arrow(rows), "doc_id", ray.data.from_arrow(rem), threshold=thr
+            )
+            t = pa.concat_tables(
+                list(out.iter_batches(batch_format="pyarrow")), promote_options="permissive"
+            ).sort_by("doc_id")
+            outs.append(t)
+        assert outs[0].equals(outs[1]), rem_ids
+        assert set(outs[0].column("doc_id").to_pylist()) == set(range(20)) - set(rem_ids)
+
+
+def test_dedup_cascade_sequential_semantics(ray_session, tmp_path):
+    """Stage 3 must run on stage-1/2 SURVIVORS: a doc whose only similar
+    lower-id vector was already removed by exact dedup is NOT a semantic
+    dup (the r3 full-corpus intersection over-removed it — round-4 ADVICE).
+    Corpus: docs 1,2 share text (exact removes 2); vec 2 ≈ vec 3 but vec 1
+    is ~orthogonal to both, so intersection semantics would kill 3 while
+    sequential semantics keep it."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.qa import REGISTRY
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["same text here", "same text here", "other words entirely"]),
+            "lang": pa.array(["en", "en", "en"]),
+            "source": pa.array(["a", "a", "a"]),
+            "n_chars": pa.array([14, 14, 20], pa.int64()),
+        }
+    )
+    e2 = np.array([1.0, 0.0, 0.1, 0.0], np.float32)
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [
+                    np.array([0.0, 1.0, 0.0, 0.0], np.float32),  # ⊥ to 2 and 3
+                    e2,
+                    e2 + np.array([0.0, 0.0, 0.01, 0.0], np.float32),  # ≈ vec 2
+                ],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    rows = {r["stage"]: r for r in REGISTRY["dedup_cascade"].fn(str(tmp_path)).to_pylist()}
+    assert rows["exact"]["n_removed"] == 1 and rows["exact"]["n_remaining"] == 2
+    # sequential: vec 2 is gone, so nothing marks doc 3
+    assert rows["semantic"]["n_removed"] == 0, rows
+    assert rows["semantic"]["n_remaining"] == 2
