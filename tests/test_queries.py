@@ -307,3 +307,49 @@ def test_similar_users_sketch_recovers_planted_pairs(ray_session, tmp_path):
         want = f"{exact[p]:.4f}"
         want = "0.0000" if want == "-0.0000" else want
         assert c4 == want, (p, c4, want)
+
+
+def test_sketch_distributed_candidates_equal_driver_fold(ray_session, tmp_path):
+    """The band-shuffle candidate build (distributed_candidates=True) must
+    produce the identical verified output to the driver fold — same sketch,
+    same bands, only the grouping machinery differs."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines.relational3 import q_similar_users_sketch
+
+    rng = np.random.RandomState(11)
+    base = dt.datetime(2024, 3, 1)
+    pattern = rng.rand(36) * 3.0
+    rows = []
+    eid = 0
+    for u in range(10):
+        for h in range(36):
+            if u in (0, 1):
+                v = pattern[h] + rng.rand() * 0.05
+            elif u in (2, 3):
+                v = 3.0 - pattern[h] + rng.rand() * 0.05
+            else:
+                v = rng.rand() * 3.0
+            rows.append((eid, base + dt.timedelta(hours=h), u, "view", float(v)))
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    keys = [("user_a", "ascending"), ("user_b", "ascending")]
+    a = _to_table(q_similar_users_sketch(str(tmp_path))).sort_by(keys)
+    b = _to_table(
+        q_similar_users_sketch(str(tmp_path), distributed_candidates=True)
+    ).sort_by(keys)
+    assert a.num_rows > 0  # the planted pairs must survive both paths
+    assert a.equals(b)
