@@ -397,11 +397,16 @@ def q_zipf_slope(sf_dir: str) -> pa.Table:
     the COUNT-OF-COUNTS histogram (m tokens sharing count c occupy a
     contiguous rank run regardless of tie order). So: word-count shuffle →
     per-batch np.unique over counts → count-of-counts groupby (≤ thousands
-    of rows at any corpus size) → exact driver fold in fixed descending-
-    count order (deterministic float64 summation). Output formatted %.4f,
-    matching DuckDB ``regr_slope`` within rounding; NULL when fewer than 2
-    distinct tokens (zero rank variance), NULL row on an empty corpus —
-    both per SQL."""
+    of rows at any corpus size). The Σln r / Σ(ln r)² work over the rank
+    runs is O(n_types) — NOT histogram-bounded (the count=1 run is ~the
+    whole vocabulary, a round-4 ADVICE find) — so the runs are split into
+    ≤2²⁰-rank segments driver-side (segment count ≈ n_types/2²⁰ +
+    n_classes, still tiny) and the log-sums run DISTRIBUTED, one vectorized
+    pass per segment; the driver folds the per-segment partials in fixed
+    rank order (deterministic float64 summation, bounded memory). Output
+    formatted %.4f, matching DuckDB ``regr_slope`` within rounding; NULL
+    when fewer than 2 distinct tokens (zero rank variance), NULL row on an
+    empty corpus — both per SQL."""
     cnts = _corpus_token_counts(sf_dir)
 
     def cc_partial(batch: pa.Table) -> pa.Table:
@@ -425,16 +430,62 @@ def q_zipf_slope(sf_dir: str) -> pa.Table:
     if n_types < 2:
         slope = None
     else:
-        sx = sxx = sxy = sy = 0.0
+        CH = 1 << 20
+        seg_y, seg_a, seg_b = [], [], []
         r0 = 0
         for c, m in zip(cvals.tolist(), ms.tolist()):
-            x = np.log(np.arange(r0 + 1, r0 + m + 1, dtype=np.float64))
             y = float(np.log(c))
-            sx += float(x.sum())
-            sxx += float((x * x).sum())
-            sxy += y * float(x.sum())
-            sy += y * m
+            for s in range(0, m, CH):
+                seg_y.append(y)
+                seg_a.append(r0 + s + 1)
+                seg_b.append(r0 + min(s + CH, m))
             r0 += m
+        work = pa.table(
+            {
+                "y": pa.array(seg_y, pa.float64()),
+                "a": pa.array(seg_a, pa.int64()),
+                "b": pa.array(seg_b, pa.int64()),
+            }
+        )
+
+        def seg_partial(batch: pa.Table) -> pa.Table:
+            ys = batch.column("y").to_numpy(zero_copy_only=False)
+            as_ = batch.column("a").to_numpy(zero_copy_only=False)
+            bs = batch.column("b").to_numpy(zero_copy_only=False)
+            sxs, sxxs = [], []
+            for a, b in zip(as_, bs):
+                x = np.log(np.arange(a, b + 1, dtype=np.float64))
+                sxs.append(float(x.sum()))
+                sxxs.append(float((x * x).sum()))
+            return pa.table(
+                {
+                    "a": pa.array(as_, pa.int64()),
+                    "y": pa.array(ys, pa.float64()),
+                    "m": pa.array(bs - as_ + 1, pa.int64()),
+                    "sx": pa.array(sxs, pa.float64()),
+                    "sxx": pa.array(sxxs, pa.float64()),
+                }
+            )
+
+        parts = pa.concat_tables(
+            list(
+                ray.data.from_arrow(work)
+                .map_batches(seg_partial, batch_format="pyarrow", zero_copy_batch=True)
+                .iter_batches(batch_format="pyarrow")
+            ),
+            promote_options="permissive",
+        ).sort_by("a")  # deterministic rank-order fold
+        sx = sxx = sxy = sy = 0.0
+        for y, m, psx, psxx in zip(
+            parts.column("y").to_pylist(),
+            parts.column("m").to_pylist(),
+            parts.column("sx").to_pylist(),
+            parts.column("sxx").to_pylist(),
+        ):
+            sx += psx
+            sxx += psxx
+            sxy += y * psx
+            sy += y * m
         denom = sxx - sx * sx / n_types
         slope = None if denom == 0.0 else (sxy - sx * sy / n_types) / denom
     slope_col = fmt_fixed(pa.array([slope], pa.float64()), 4)
@@ -496,6 +547,26 @@ def q_char_trigram_profile(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         .groupby(["lang", "tg"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+    def block_lang_topk(batch: pa.Table) -> pa.Table:
+        # after the (lang, tg) groupby each trigram lives in exactly one
+        # block, so the union of per-block PER-LANG top-ks contains the
+        # global per-lang top-k — the final groups carry k·blocks rows per
+        # lang instead of the full per-lang trigram vocabulary
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("lang", "ascending"), ("n", "descending"), ("tg", "ascending")],
+        )
+        t = batch.take(idx)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], langs[1:] != langs[:-1])))
+        runs = np.diff(np.append(starts, len(langs)))
+        pos = np.arange(len(langs)) - np.repeat(starts, runs)
+        return t.filter(pa.array(pos < k))
+
+    counts = counts.map_batches(block_lang_topk, batch_format="pyarrow", zero_copy_batch=True)
 
     def per_lang_topk(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(

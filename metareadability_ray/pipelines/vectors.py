@@ -314,8 +314,30 @@ def lsh_neardup_pairs(
             )
         M = _emb_matrix(g)
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = M @ M.T
-        ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
+        # chunked upper-triangle scan (the semdedup prefix-max pattern): a
+        # hot LSH bucket can no longer allocate a dense b×b matrix — peak
+        # memory is O(B·d + B²) per group while the emitted pair set is
+        # identical to the dense triu
+        n = len(ids)
+        _B = 2048
+        ca, cb, cs = [], [], []
+        for s in range(0, n, _B):
+            e = min(s + _B, n)
+            blk = M[s:e]
+            for ps in range(s, n, _B):
+                pe = min(ps + _B, n)
+                S = blk @ M[ps:pe].T
+                hit = S >= threshold
+                if ps == s:
+                    hit &= np.triu(np.ones(hit.shape, dtype=bool), k=1)
+                ai, bi = np.nonzero(hit)
+                if len(ai):
+                    ca.append(ai + s)
+                    cb.append(bi + ps)
+                    cs.append(S[ai, bi])
+        ai = np.concatenate(ca) if ca else np.array([], np.int64)
+        bi = np.concatenate(cb) if cb else np.array([], np.int64)
+        sc = np.concatenate(cs) if cs else np.array([], np.float64)
         a, b = ids[ai], ids[bi]
         swap = a > b
         a2 = np.where(swap, b, a)
@@ -325,7 +347,7 @@ def lsh_neardup_pairs(
             {
                 "vec_a": pa.array(a2[keep], pa.int64()),
                 "vec_b": pa.array(b2[keep], pa.int64()),
-                "score_raw": pa.array(S[ai, bi][keep], pa.float64()),
+                "score_raw": pa.array(sc[keep], pa.float64()),
             }
         )
 

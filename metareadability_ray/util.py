@@ -227,12 +227,43 @@ def scalable_anti_join(
     Row order is preserved within blocks on the broadcast path; the
     distributed path re-partitions by key bucket (callers that need a
     deterministic order sort afterwards, as the writers already do)."""
+    return _scalable_membership_join(
+        rows, key, remove, remove_key, threshold, num_buckets, negate=True
+    )
+
+
+def scalable_semi_join(
+    rows: "ray.data.Dataset",
+    key: str,
+    keep: "ray.data.Dataset",
+    keep_key: str | None = None,
+    threshold: int | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """KEEP only rows whose ``key`` appears in ``keep`` — the semi-join twin
+    of :func:`scalable_anti_join`, same size-adaptive broadcast/bucketed
+    switch and the same contract."""
+    return _scalable_membership_join(
+        rows, key, keep, keep_key, threshold, num_buckets, negate=False
+    )
+
+
+def _scalable_membership_join(
+    rows: "ray.data.Dataset",
+    key: str,
+    other: "ray.data.Dataset",
+    other_key: str | None,
+    threshold: int | None,
+    num_buckets: int,
+    negate: bool,
+) -> "ray.data.Dataset":
     import numpy as np
 
     import ray
     import ray.data
 
-    rk = remove_key or key
+    remove = other
+    rk = other_key or key
     if threshold is None:
         threshold = _ANTI_BROADCAST_ROWS
     remove = remove.materialize()
@@ -241,10 +272,10 @@ def scalable_anti_join(
         ids = _concat_column([b.select([rk]) for b in batches], rk) if batches else pa.array([], pa.null())
         ref = ray.put(ids)
 
-        def anti(batch: pa.Table) -> pa.Table:
-            return batch.filter(keyset_mask(ref, batch.column(key), negate=True))
+        def member_filter(batch: pa.Table) -> pa.Table:
+            return batch.filter(keyset_mask(ref, batch.column(key), negate=negate))
 
-        return rows.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+        return rows.map_batches(member_filter, batch_format="pyarrow", zero_copy_batch=True)
 
     schema = rows.schema().base_schema
     names = list(schema.names)
@@ -275,11 +306,13 @@ def scalable_anti_join(
         data = group.filter(pc.equal(side, 0)).select(names)
         rem = group.filter(pc.equal(side, 1))
         if rem.num_rows == 0 or data.num_rows == 0:
-            return data
+            return data if negate else data.slice(0, 0)
         rkeys = rem.column(key)
         if isinstance(rkeys, pa.ChunkedArray):
             rkeys = rkeys.combine_chunks()
-        mask = pc.invert(pc.is_in(data.column(key), value_set=rkeys))
+        mask = pc.is_in(data.column(key), value_set=rkeys)
+        if negate:
+            mask = pc.invert(mask)
         return data.filter(mask)
 
     out = unioned.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")

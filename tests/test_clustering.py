@@ -256,3 +256,23 @@ def test_dedup_cascade_sequential_semantics(ray_session, tmp_path):
     # sequential: vec 2 is gone, so nothing marks doc 3
     assert rows["semantic"]["n_removed"] == 0, rows
     assert rows["semantic"]["n_remaining"] == 2
+
+
+def test_curated_corpus_distributed_twin_equal(ray_session):
+    """q_curated_corpus's broadcast and distributed plans (threshold forced
+    to 0: chunk-hash-bucketed string semi-join + bucketed loser anti join)
+    must keep the identical document set."""
+    from metareadability_ray.pipelines.webtext import q_curated_corpus
+
+    sf = "/root/testdata/sf0.001"
+
+    def tab(ds):
+        ts = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+        return (
+            pa.concat_tables(ts, promote_options="permissive") if ts else pa.table({})
+        ).sort_by("doc_id")
+
+    a = tab(q_curated_corpus(sf))
+    b = tab(q_curated_corpus(sf, broadcast_threshold=0))
+    assert a.num_rows > 0
+    assert a.equals(b)
