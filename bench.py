@@ -285,6 +285,31 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def bench_memo_cold(sf_dir: str) -> dict[str, float]:
+    """Standalone (memo-COLD) timings for the queries whose sweep numbers
+    amortize the shared cluster/pagerank memos (round-3 verdict #8: the
+    0.016 s memo hit is a sweep artifact, not a kernel number). Memos are
+    cleared before EACH query so every timing pays its own full pipeline."""
+    import gc
+
+    from metareadability_ray.pipelines import clustering as C
+    from metareadability_ray.qa import REGISTRY
+
+    out: dict[str, float] = {}
+    for name in ("dup_clusters", "pagerank_dup", "dedup_survivors_central"):
+        C._CLUSTER_MEMO.clear()
+        C._PAGERANK_MEMO.clear()
+        t0 = time.perf_counter()
+        res = REGISTRY[name].fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        del res
+        gc.collect()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -388,6 +413,9 @@ def main() -> None:
         )
         result["realistic_50k_pages"] = real
         result["queries"] = bench_queries(sf_dir)
+        # memo-cold twins of the memoized trio (sweep numbers above are
+        # memo-warm by design; these stand alone)
+        result["memo_cold_queries"] = bench_memo_cold(sf_dir)
         # Full combined record (humans / BASELINE.md bookkeeping).
         print(json.dumps(result), flush=True)
         # Round-3 verdict #4: the driver keeps only ~2 KB of stdout TAIL, and
@@ -411,6 +439,7 @@ def main() -> None:
             "realistic_50k_docs_per_sec": real["docs_per_sec"],
             "n_queries": len(qs),
             "queries_total_s": round(sum(qs.values()), 1),
+            "memo_cold_queries": result["memo_cold_queries"],
             "slowest_queries": slowest,
             "queries": slowest,  # brief-shaped alias; full map on prior line
         }

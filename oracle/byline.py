@@ -93,8 +93,15 @@ def split_authors(winner_text: str) -> list[str]:
     return authors
 
 
-def extract_authors(root: Node, headline_node: Node | None) -> list[str]:
-    raw_scan = _raw_scan(root)
+def extract_authors(
+    root: Node, headline_node: Node | None, stats: dict | None = None
+) -> list[str]:
+    # callers that already ran the shared dom.subtree_stats pass hand it in
+    # (same raw-length/prefix fields at indices 0/3 — one tree walk saved)
+    if stats is not None:
+        raw_scan, pref_i = stats, 3
+    else:
+        raw_scan, pref_i = _raw_scan(root), 1
 
     best_score = None
     best_text = ""
@@ -112,7 +119,7 @@ def extract_authors(root: Node, headline_node: Node | None) -> list[str]:
             if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:
                 by_hit = signals.BY_PREFIX.match(text) is not None
         elif 0 < raw_scan[id(n)][0] <= _BY_TEXT_RAW_MAX:
-            if not _starts_by(raw_scan[id(n)][1]):  # sound skip: BY_PREFIX can't match
+            if not _starts_by(raw_scan[id(n)][pref_i]):  # sound skip: BY_PREFIX can't match
                 continue
             text = render_text(n)
             if text and len(text) <= signals.AUTHOR_MAX_TEXT_LEN:

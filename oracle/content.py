@@ -33,9 +33,9 @@ Algorithm (pinned):
 from __future__ import annotations
 
 from oracle import signals
-from oracle.dom import Node
+from oracle.dom import Node, subtree_stats
 from oracle.headline import link_density
-from oracle.textnorm import render_text
+from oracle.textnorm import norm_ws, render_text
 
 
 def _class_factor(node: Node, _cache: dict[int, float] | None = None) -> float:
@@ -87,19 +87,34 @@ def _collect_units(root: Node) -> list[Node]:
     return units
 
 
-def extract_main_text(root: Node) -> str:
+def extract_main_text(root: Node, stats: dict | None = None) -> str:
     """Return the boilerplate-stripped main text of the document ("" if no
-    container scores above ``CONTENT_MIN_SCORE``)."""
+    container scores above ``CONTENT_MIN_SCORE``). ``stats`` is an optional
+    precomputed ``dom.subtree_stats`` map (the fused pass shared with the
+    byline extractor); computed locally when absent."""
     accepted: list[tuple[Node, str, list[Node]]] = []  # (unit, text, chain)
     scores: dict[int, float] = {}
     nodes: dict[int, Node] = {}
     factors: dict[int, float] = {}
 
+    if stats is None:
+        stats = subtree_stats(root)
     for unit in _collect_units(root):
-        text = render_text(unit)
+        tot, cnt, lnk = stats[id(unit)][:3]
+        # cheap reject before the normalize/split render: rendered length is
+        # ≤ raw length + (chunks−1) single-space joints (norm_ws only
+        # collapses), so a unit whose UPPER BOUND is under the cut skips
+        # the render entirely — most chrome units die here; byte-identical
+        # by construction
+        if tot + (cnt - 1 if cnt else 0) < signals.CONTENT_MIN_UNIT_CHARS:
+            continue
+        parts: list[str] = []
+        unit.collect_text(parts)
+        text = norm_ws(" ".join(parts))
         if len(text) < signals.CONTENT_MIN_UNIT_CHARS:
             continue
-        if link_density(unit) > signals.CONTENT_MAX_LINK_DENSITY:
+        # identical value to headline.link_density(unit), precomputed above
+        if tot and lnk / tot > signals.CONTENT_MAX_LINK_DENSITY:
             continue
         chain = _container_chain(unit, root)
         accepted.append((unit, text, chain))

@@ -97,6 +97,47 @@ class Node:
         return f"<Node {self.tag} #{self.index} attrs={self.attrs}>"
 
 
+def subtree_stats(root: "Node") -> dict[int, tuple[int, int, int, str]]:
+    """id(node) → (raw_len, n_text_chunks, linked_len, prefix2) in ONE
+    bottom-up pass — the shared scan byline and content both need (each
+    used to walk the tree separately):
+
+    * raw_len / n_text_chunks: collected-text length and chunk count
+      (render upper bound = raw_len + chunks − 1 single-space joints);
+    * linked_len: text under an <a> descendant, counted once — a child
+      <a> contributes its whole subtree total, any other child its own
+      linked total — exactly ``headline.link_density``'s numerator;
+    * prefix2: first ≤2 non-whitespace raw chars in document order (the
+      byline "by"-prefix prefilter; str.split() drops exactly the
+      str.isspace() chars a per-char skip loop would)."""
+    out: dict[int, tuple[int, int, int, str]] = {}
+
+    def walk(n: "Node") -> tuple[int, int, int, str]:
+        tot = cnt = lnk = 0
+        pref = ""
+        for ch in n.children:
+            if isinstance(ch, str):
+                tot += len(ch)
+                cnt += 1
+                if len(pref) < 2:
+                    t = "".join(ch.split())
+                    if t:
+                        pref = (pref + t)[:2]
+            else:
+                ct, cc, cl, cp = walk(ch)
+                tot += ct
+                cnt += cc
+                lnk += ct if ch.tag == "a" else cl
+                if len(pref) < 2 and cp:
+                    pref = (pref + cp)[:2]
+        res = (tot, cnt, lnk, pref)
+        out[id(n)] = res
+        return res
+
+    walk(root)
+    return out
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from oracle import signals
 from oracle.byline import extract_authors
 from oracle.content import extract_main_text
-from oracle.dom import parse
+from oracle.dom import parse, subtree_stats
 from oracle.encoding import decode_html
 from oracle.headline import extract_headline
 from oracle.pubdate import extract_pubdate
@@ -55,8 +55,11 @@ def extract(html: bytes | str | None, url: str, warc_ts: _dt.datetime | None = N
 
     headline, hl_node = extract_headline(root, url)
     pubdate = extract_pubdate(root, url, warc_ts)
-    authors = extract_authors(root, hl_node)
-    main_text = extract_main_text(root)
+    # one shared bottom-up tree scan feeds both the byline prefilter and the
+    # content length/link-density cuts (they used to walk separately)
+    stats = subtree_stats(root)
+    authors = extract_authors(root, hl_node, stats=stats)
+    main_text = extract_main_text(root, stats=stats)
     return ExtractResult(
         headline=headline,
         pubdate=pubdate,
