@@ -1443,3 +1443,57 @@ REGISTRY["char_trigram_profile"] = QASpec(
     """,
     "custom(cavnar-trenkle-char-ngram-profile,per-lang-topk)",
 )
+from metareadability_ray.pipelines import linkage as LK  # noqa: E402
+
+REGISTRY["fuzzy_name_pairs"] = QASpec(
+    LK.q_fuzzy_name_pairs,
+    """
+    SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    "custom(fuzzy-join,fastss-deletion-blocking,vectorized-levenshtein)",
+)
+REGISTRY["normalized_dedup"] = QASpec(
+    LK.q_normalized_dedup,
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+        FROM documents)
+    SELECT norm_hash, min(doc_id) AS keep_doc_id, count(*) AS n_forms
+    FROM norm GROUP BY norm_hash
+    """,
+    "MR-D1(normalization-hash-dedup)",
+)
+REGISTRY["markov_transitions"] = QASpec(
+    LK.q_markov_transitions,
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               lead(event_id)   OVER w AS next_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    cnt AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE next_id IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           printf('%.4f', n / sum(n) OVER (PARTITION BY from_type)) AS p
+    FROM cnt
+    """,
+    "custom(markov-transition-matrix,user-bucketed)",
+)
+REGISTRY["cohort_retention"] = QASpec(
+    LK.q_cohort_retention,
+    """
+    WITH wk AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+         fw AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT fw.cohort_week, wk.week, count(*) AS n_users
+    FROM wk JOIN fw ON wk.user_id = fw.user_id
+    GROUP BY 1, 2
+    """,
+    "custom(cohort-retention,distinct-pair-shuffle)",
+)

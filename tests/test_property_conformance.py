@@ -144,6 +144,7 @@ _PROP = dict(
         "chunk_documents", "dup_span_stats", "gopher_quality_filter",
         "intra_doc_dedup", "length_percentile_filter", "source_overlap",
         "oov_rate", "zipf_slope", "quality_by_source", "char_trigram_profile",
+        "normalized_dedup",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -222,7 +223,8 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "intersect_users", "except_users", "unpivot_event_sums", "value_histogram",
         "json_props_sum", "event_quartiles", "distinct_event_types",
         "zscore_events", "first_last_value", "quantile_sketch_value",
-        "full_outer_join", "correlated_users",
+        "full_outer_join", "correlated_users", "markov_transitions",
+        "cohort_retention",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
@@ -481,7 +483,7 @@ def _run_both_lps(name, li, part, supplier, orders, tmp_path_factory) -> None:
     [
         "filter_project", "pricing_summary", "string_agg_status",
         "explode_part_names", "broadcast_join_part", "supplier_balance_stats",
-        "corr_lineitem", "bloom_semi_join",
+        "corr_lineitem", "bloom_semi_join", "fuzzy_name_pairs",
     ],
 )
 def test_query_conformance_on_generated_lps(ray_session, tmp_path_factory, name):
