@@ -152,6 +152,12 @@ BENCH_QUERIES = [
     # recorded in BASELINE.md instead)
     "dedup_cascade",
     "char_trigram_profile",
+    # Round-4 linkage/cohort batch
+    "fuzzy_name_pairs",
+    "normalized_dedup",
+    "markov_transitions",
+    "cohort_retention",
+    "interval_overlap_users",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

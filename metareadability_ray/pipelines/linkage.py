@@ -373,6 +373,119 @@ def q_markov_transitions(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# ----------------------------------------------------- interval overlap join
+def q_interval_overlap_users(sf_dir: str) -> "ray.data.Dataset":
+    """Interval-overlap SELF-join: per (user, day) activity spans
+    [min ts, max ts], all same-day user pairs whose spans overlap
+    (co-presence detection). Plan: per-batch (user, day, lo, hi) partials
+    combine in-block, one day-bucketed shuffle finalizes the spans, and the
+    in-day pair expansion is a SWEEP, not a cohort triu: spans sort by lo,
+    and because lo_j >= lo_i within the sorted run, i overlaps exactly the
+    j in (i, searchsorted(lo, hi_i)) — the expansion allocates
+    OUTPUT-bounded arrays (np.repeat + concatenated aranges), never the
+    cohort-squared key set (the round-3 similar_users_sketch lesson).
+    Day buckets shard the shuffle; a single hot day degrades to one larger
+    sweep, still output-bounded."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = np.int64(_PAIR_BUCKETS)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": day.cast(I64),
+                "ts": batch.column("ts").cast(I64),
+            }
+        )
+        g = pa.TableGroupBy(t, ["user_id", "day"]).aggregate(
+            [("ts", "min"), ("ts", "max")]
+        )
+        dv = g.column("day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "day": g.column("day"),
+                "lo": g.column("ts_min"),
+                "hi": g.column("ts_max"),
+                "__b": pa.array(dv % nb, I64),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(group.select(["user_id", "day", "lo", "hi"]), ["user_id", "day"]).aggregate(
+            [("lo", "min"), ("hi", "max")]
+        )
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        lo = g.column("lo_min").to_numpy(zero_copy_only=False)
+        hi = g.column("hi_max").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, lo, day))
+        day, uid, lo, hi = day[order], uid[order], lo[order], hi[order]
+        n = len(day)
+        empty = pa.table(
+            {"day": pa.array([], I64), "user_a": pa.array([], I64),
+             "user_b": pa.array([], I64)}
+        )
+        if n < 2:
+            return empty
+        starts = np.flatnonzero(np.concatenate(([True], day[1:] != day[:-1])))
+        ends = np.append(starts[1:], n)
+        ai_all, bi_all = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            l, h = lo[s:e], hi[s:e]
+            # j in (i, upper_i): lo_j <= hi_i; overlap then follows from
+            # hi_j >= lo_j >= lo_i
+            upper = np.searchsorted(l, h, side="right")
+            cnt = np.maximum(upper - np.arange(1, e - s + 1), 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            ai = np.repeat(np.arange(e - s), cnt)
+            # concatenated aranges: offsets within each i's (i, i+cnt_i] run
+            run_off = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            bi = ai + 1 + run_off
+            ai_all.append(s + ai)
+            bi_all.append(s + bi)
+        if not ai_all:
+            return empty
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        ua, ub = uid[ai], uid[bi]
+        return pa.table(
+            {
+                "day": pa.array(day[ai], I64),
+                "user_a": pa.array(np.minimum(ua, ub), I64),
+                "user_b": pa.array(np.maximum(ua, ub), I64),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+    )
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch.column("day").cast(pa.timestamp("us")),
+                "user_a": batch.column("user_a"),
+                "user_b": batch.column("user_b"),
+            }
+        )
+
+    out = out.map_batches(to_ts, batch_format="pyarrow", zero_copy_batch=True)
+    return with_schema_seed(
+        out,
+        pa.schema([("day", pa.timestamp("us")), ("user_a", I64), ("user_b", I64)]),
+    )
+
+
 # ---------------------------------------------------------- cohort retention
 def q_cohort_retention(sf_dir: str) -> "ray.data.Dataset":
     """Weekly cohort retention: users cohorted by the Monday-truncated week

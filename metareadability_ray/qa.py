@@ -1497,3 +1497,17 @@ REGISTRY["cohort_retention"] = QASpec(
     """,
     "custom(cohort-retention,distinct-pair-shuffle)",
 )
+REGISTRY["interval_overlap_users"] = QASpec(
+    LK.q_interval_overlap_users,
+    """
+    WITH iv AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               min(ts) AS lo, max(ts) AS hi
+        FROM events GROUP BY 1, 2)
+    SELECT a.day AS day, a.user_id AS user_a, b.user_id AS user_b
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+    "custom(interval-overlap-self-join,sorted-sweep)",
+)
