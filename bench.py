@@ -158,6 +158,11 @@ BENCH_QUERIES = [
     "markov_transitions",
     "cohort_retention",
     "interval_overlap_users",
+    # Round-4 set-join / ranking batch
+    "prefix_jaccard_join",
+    "bm25_topk",
+    "source_js_divergence",
+    "triangle_count",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

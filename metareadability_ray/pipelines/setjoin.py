@@ -1,0 +1,352 @@
+"""Exact set-similarity join via prefix filtering, and dup-graph triangle
+counting — the two classic "pairs without the quadratic" algorithms from the
+public MapReduce literature, re-expressed Ray-Data-first.
+
+* :func:`prefix_jaccard_join` — All-Pairs / PPJoin prefix filtering
+  (Bayardo et al. 2007; Xiao et al. 2008) in the two-phase MapReduce shape of
+  Vernica et al. 2010 ("Efficient Parallel Set-Similarity Joins Using
+  MapReduce"): candidates from PREFIX posting lists only, then an exact
+  verify over the (small) candidate set. Contrast with
+  ``textops.ngram_jaccard_pairs``, which explodes FULL posting lists — the
+  prefix join is the scale twin that keeps the same exact output.
+* :func:`triangle_count` — degree-oriented wedge counting (Suri &
+  Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+  Reducer"): orient every edge from the lower-(degree, id) endpoint, emit
+  wedges only at out-degree nodes, close them against the edge set in a
+  bucketed reduce. Degree orientation bounds per-node wedge fan-out by
+  O(sqrt(|E|)) — the published fix for the hot-vertex reducer.
+
+Scale shape: text is shingled in ``map_batches`` (never shuffled); only
+prefix postings (8+8+8 B/row), candidate PAIRS, and the candidate docs'
+shingle-hash arrays move. The verify attaches full sets only to docs that
+appear in >=1 candidate pair (broadcast candidate-id semi-filter — the
+memo-sized small-side pattern; see the docstring threshold note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from metareadability_ray.functions.scalars import re2_tokens
+from metareadability_ray.pipelines.textops import (
+    _PAIR_BUCKETS,
+    _docs,
+    _shingle_hashes,
+    bucketed_map_groups,
+    ngram_jaccard_pairs,
+    reduce_side_attach,
+)
+from metareadability_ray.util import with_schema_seed
+
+I64 = pa.int64()
+LI64 = pa.list_(pa.int64())
+
+_PAIR_SCHEMA = pa.schema(
+    [("doc_a", I64), ("doc_b", I64), ("inter", I64), ("union_size", I64)]
+)
+
+
+def _shingle_sets(sf_dir: str, k: int) -> "ray.data.Dataset":
+    """(doc_id, set_size, set) where ``set`` is the doc's DISTINCT k-gram
+    shingle hashes as an ASCENDING-sorted int64 array (the signed-view of
+    the 64-bit shingle hash). The int64 ascending order is the join's
+    global total order O: any fixed total order makes prefix filtering
+    recall-complete; df-ascending (All-Pairs' choice) merely prunes better.
+    Hash order costs zero extra passes; df order needs a vocabulary-sized
+    frequency table shipped to every worker (Vernica Sec. 3.1 stage 1) —
+    the right trade once shingle df is skewed, documented not implemented.
+
+    Hash note: ``inter``/``set_size`` are computed on 64-bit shingle
+    hashes, identical to the string-set values unless two distinct shingles
+    of one doc pair collide (p < 1e-9 per corpus at test scale); the DuckDB
+    twin computes on strings, so the driver gate doubles as a collision
+    canary."""
+
+    def per_batch(batch: pa.Table, cache: dict = {}) -> pa.Table:
+        ids, sizes, sets = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            h = np.sort(_shingle_hashes(re2_tokens(t), k, cache).view(np.int64))
+            ids.append(doc_id)
+            sizes.append(len(h))
+            sets.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, I64),
+                "set_size": pa.array(sizes, I64),
+                "set": pa.array([s.tolist() for s in sets], LI64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _prefix_len(n: np.ndarray, num: int, den: int) -> np.ndarray:
+    """All-Pairs prefix length for Jaccard >= num/den: p = n - ceil(t*n) + 1.
+
+    Recall lemma (prefixes under one total order): J(A,B) >= t implies
+    I = |A∩B| >= t*max(|A|,|B|) >= ceil(t*|X|) for both X; if the two
+    prefixes were disjoint, every common element would sit past the prefix
+    whose last element is smaller in O, i.e. I <= |X| - p_X =
+    ceil(t*|X|) - 1 < I — contradiction. Empty sets get p=0 (emit nothing:
+    an empty set only reaches J >= t against another empty set, and the
+    SQL twin's shingle CTE never produces an empty shingle set for a doc —
+    even "" maps to the single shingle ''..."" join — so behaviour matches)."""
+    ceil_tn = -(-(num * n) // den)
+    return np.where(n > 0, n - ceil_tn + 1, 0)
+
+
+def prefix_jaccard_join(
+    sf_dir: str, k: int = 3, thresh_num: int = 1, thresh_den: int = 2
+) -> "ray.data.Dataset":
+    """EXACT k-gram Jaccard pairs (J >= num/den) via prefix filtering —
+    Vernica 2010's single-shuffle kernel.
+
+    One pass shingles each doc and emits one posting row per PREFIX element
+    (pk, doc_id, set_size, full sorted set); one groupby(pk) then verifies
+    candidates IN-GROUP: size filter (J >= t forces min*den >= num*max,
+    integer math), exact inter = |intersect1d| of the two full sets, and the
+    integer-math Jaccard cut. A pair sharing several prefix elements would
+    be emitted once per shared element; instead of a distinct pass, each
+    group emits the pair ONLY when the group key is the SMALLEST element of
+    prefix(A) ∩ prefix(B) — the prefix-filter lemma guarantees that element
+    exists for every passing pair, so emission is exactly-once with no
+    second shuffle. Output schema matches ``ngram_jaccard_pairs`` so the
+    two algorithms share oracles.
+
+    vs ``ngram_jaccard_pairs``: that op's posting lists carry EVERY
+    occurrence, so a shingle with df=d emits d²/2 pair rows plus a second
+    all-to-all to count them; here only PREFIX co-occurrence generates
+    work and there is exactly one shuffle. Shuffle volume is
+    sum_docs(prefix_len × set_bytes) — fine for page-sized docs; for very
+    long documents the two-phase variant (prefix-only postings → candidate
+    pair distinct → reduce-side set attach) trades this for two extra
+    shuffles bounded by the candidate count.
+    """
+    sets = _shingle_sets(sf_dir, k)
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        szs = batch.column("set_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        plen = _prefix_len(szs, thresh_num, thresh_den)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("set")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized prefix gather: for each doc, take flat[off : off+plen]
+        doc_rep = np.repeat(np.arange(len(ids)), plen)
+        within = np.arange(int(plen.sum())) - np.repeat(np.cumsum(plen) - plen, plen)
+        pk = flat[offs[:-1][doc_rep] + within]
+        return pa.table(
+            {
+                "pk": pa.array(pk, I64),
+                "doc_id": pa.array(ids[doc_rep], I64),
+                "set_size": pa.array(szs[doc_rep], I64),
+                "set": col.take(pa.array(doc_rep, I64)),
+            }
+        )
+
+    num, den = np.int64(thresh_num), np.int64(thresh_den)
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        empty = _PAIR_SCHEMA.empty_table()
+        m = group.num_rows
+        if m < 2:
+            return empty
+        gkey = group.column("pk")[0].as_py()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        szs = group.column("set_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        col = group.column("set")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids, szs = ids[order], szs[order]
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        vecs = [flat[off[int(i)] : off[int(i) + 1]] for i in order]
+        plens = _prefix_len(szs, thresh_num, thresh_den)
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for i in range(m):
+            vi, ni, pi = vecs[i], szs[i], plens[i]
+            for j in range(i + 1, m):
+                vj, nj, pj = vecs[j], szs[j], plens[j]
+                lo, hi = (ni, nj) if ni <= nj else (nj, ni)
+                if lo * den < num * hi:  # size filter: J <= min/max < t
+                    continue
+                common = np.intersect1d(vi, vj, assume_unique=True)
+                it = common.size
+                # exactly-once: emit only in the group of the smallest
+                # common PREFIX element (prefix = first p sorted hashes,
+                # so membership is a value cut at the last prefix element)
+                pref_cut = min(vi[pi - 1], vj[pj - 1])
+                in_pref = common[common <= pref_cut]
+                if in_pref.size == 0 or in_pref[0] != gkey:
+                    continue
+                un = ni + nj - it
+                if it * den >= num * un:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_i.append(it)
+                    out_u.append(un)
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, I64),
+                "doc_b": pa.array(out_b, I64),
+                "inter": pa.array(out_i, I64),
+                "union_size": pa.array(out_u, I64),
+            }
+        )
+
+    return with_schema_seed(
+        bucketed_map_groups(
+            sets.map_batches(explode_prefix, batch_format="pyarrow", zero_copy_batch=True),
+            "pk",
+            verify_group,
+        ),
+        _PAIR_SCHEMA,
+    )
+
+
+def q_prefix_jaccard_join(sf_dir: str) -> "ray.data.Dataset":
+    return prefix_jaccard_join(sf_dir, k=3, thresh_num=1, thresh_den=2)
+
+
+# ------------------------------------------------------------- triangles
+def triangle_count(edges: "ray.data.Dataset") -> pa.Table:
+    """Count triangles in the undirected graph ``edges`` (doc_a < doc_b,
+    unique) with degree-oriented wedge checking.
+
+    Stages: (1) degrees via an endpoint-exploded bucketed count; (2) attach
+    deg to both endpoints (reduce-side, keyed once per side); (3) orient
+    each edge from the lower-(deg, id) endpoint and emit, per source node,
+    all out-neighbor pairs as WEDGES keyed to the same pair bucket as the
+    edge set; (4) per bucket, a wedge (v, w) closes a triangle iff the edge
+    {v, w} exists — one lexsort membership pass, partial counts summed with
+    ``ds.sum`` (a scalar — the one legitimate driver value).
+
+    Orientation bounds out-degree by O(sqrt(|E|)) (Suri & Vassilvitskii
+    2011), so no single reduce task sees the hot vertex's full
+    neighborhood². Returns a 1-row table ``n_triangles``."""
+
+    def explode_endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.concatenate([a, b])
+        return pa.table({"node": pa.array(n, I64), "cnt": pa.array(np.ones(len(n), np.int64), I64)})
+
+    degs = bucketed_map_groups(
+        edges.map_batches(explode_endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        "node",
+        lambda g: pa.table(
+            {
+                "node": pa.array([g.column("node")[0].as_py()], I64),
+                "deg": pa.array([g.num_rows], I64),
+            }
+        ),
+    )
+
+    with_da = reduce_side_attach(
+        edges.select_columns(["doc_a", "doc_b"]),
+        "doc_a",
+        [("doc_a", I64), ("doc_b", I64)],
+        degs,
+        "node",
+        "deg",
+        "deg_a",
+        I64,
+    )
+    with_dab = reduce_side_attach(
+        with_da,
+        "doc_b",
+        [("doc_a", I64), ("doc_b", I64), ("deg_a", I64)],
+        degs,
+        "node",
+        "deg",
+        "deg_b",
+        I64,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # src = endpoint with smaller (deg, id); doc_a < doc_b breaks deg ties
+        a_first = da <= db
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table({"src": pa.array(src, I64), "dst": pa.array(dst, I64)})
+
+    oriented = with_dab.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges_of_src(group: pa.Table) -> pa.Table:
+        dst = np.sort(group.column("dst").to_numpy(zero_copy_only=False).astype(np.int64))
+        iu, ju = np.triu_indices(len(dst), k=1)
+        v, w = dst[iu], dst[ju]  # v < w by sort — canonical undirected key
+        bucket = (v * np.int64(1_000_003) + w) % np.int64(_PAIR_BUCKETS)
+        return pa.table(
+            {
+                "a": pa.array(v, I64),
+                "b": pa.array(w, I64),
+                "side": pa.array(np.ones(len(v), np.int8), pa.int8()),
+                "bucket": pa.array(bucket, I64),
+            }
+        )
+
+    wedges = bucketed_map_groups(oriented, "src", wedges_of_src)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (a * np.int64(1_000_003) + b) % np.int64(_PAIR_BUCKETS)
+        return pa.table(
+            {
+                "a": pa.array(a, I64),
+                "b": pa.array(b, I64),
+                "side": pa.array(np.zeros(len(a), np.int8), pa.int8()),
+                "bucket": pa.array(bucket, I64),
+            }
+        )
+
+    unioned = wedges.union(
+        edges.map_batches(edge_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def close_bucket(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group.column("side").to_numpy(zero_copy_only=False).astype(np.int8)
+        if len(a) == 0:
+            return pa.table({"partial": pa.array([], I64)})
+        order = np.lexsort((s, b, a))  # edges (side 0) sort before wedges in a run
+        a, b, s = a[order], b[order], s[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(a))
+        has_edge = s[starts] == 0  # edge keys are unique → first of run
+        n_wedge = (ends - starts) - has_edge.astype(np.int64)
+        total = int(np.sum(n_wedge[has_edge]))
+        return pa.table({"partial": pa.array([total], I64)})
+
+    parts = unioned.groupby("bucket").map_groups(close_bucket, batch_format="pyarrow")
+    total = parts.sum("partial") or 0
+    return pa.table({"n_triangles": pa.array([int(total)], I64)})
+
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    """Triangles in the exact ngram-Jaccard dup graph (threshold 1/5 — the
+    same SQL-checkable edge set clustering/pagerank use). The edge set is
+    materialized once (it is the small pair table) because triangle_count
+    consumes it three times (degrees, orientation rows, closure probes)."""
+    edges = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5).materialize()
+    return triangle_count(edges)

@@ -1511,3 +1511,81 @@ REGISTRY["interval_overlap_users"] = QASpec(
     """,
     "custom(interval-overlap-self-join,sorted-sweep)",
 )
+from metareadability_ray.pipelines import setjoin as SJ  # noqa: E402
+from metareadability_ray.pipelines import ranking as RK  # noqa: E402
+
+REGISTRY["prefix_jaccard_join"] = QASpec(
+    SJ.q_prefix_jaccard_join,
+    r"""
+    WITH """ + _NGRAM_CTES + r"""
+    SELECT doc_a, doc_b, inter,
+           (sa.set_size + sb.set_size - inter) AS union_size
+    FROM inter_t
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter * 2 >= 1 * (sa.set_size + sb.set_size - inter)
+    """,
+    "custom(set-similarity-join,prefix-filter,Vernica-2010)",
+)
+REGISTRY["triangle_count"] = QASpec(
+    SJ.q_triangle_count,
+    r"""
+    WITH """ + _NGRAM_CTES + r""",
+    p AS (
+        SELECT doc_a, doc_b
+        FROM inter_t
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 5 >= 1 * (sa.set_size + sb.set_size - inter))
+    SELECT count(*) AS n_triangles
+    FROM p e1 JOIN p e2 ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+    JOIN p e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    """,
+    "custom(triangle-count,degree-oriented-wedges,Suri-2011)",
+)
+REGISTRY["bm25_topk"] = QASpec(
+    RK.q_bm25_topk,
+    r"""
+    WITH toks AS (SELECT doc_id, coalesce(regexp_extract_all(text, '\S+'), []) AS t
+                  FROM documents),
+    d AS (SELECT doc_id, length(t) AS dl,
+          len(list_filter(t, x -> x = 'spark')) AS tf0,
+          len(list_filter(t, x -> x = 'hash'))  AS tf1,
+          len(list_filter(t, x -> x = 'merge')) AS tf2 FROM toks),
+    g AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+          sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+          sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+          sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2 FROM d),
+    s AS (SELECT doc_id,
+          ln((g.n - g.df0 + 0.5)/(g.df0 + 0.5) + 1) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2*(1 - 0.75 + 0.75 * dl / g.avgdl))
+        + ln((g.n - g.df1 + 0.5)/(g.df1 + 0.5) + 1) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2*(1 - 0.75 + 0.75 * dl / g.avgdl))
+        + ln((g.n - g.df2 + 0.5)/(g.df2 + 0.5) + 1) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2*(1 - 0.75 + 0.75 * dl / g.avgdl)) AS raw
+          FROM d, g WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+    SELECT doc_id, regexp_replace(printf('%.4f', raw), '^-(0\.0+)$', '\1') AS score
+    FROM s ORDER BY raw DESC, doc_id LIMIT 10
+    """,
+    "custom(bm25-okapi-topk,fixed-width-stats-aggregate)",
+)
+REGISTRY["source_js_divergence"] = QASpec(
+    RK.q_source_js_divergence,
+    r"""
+    WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+                 FROM documents WHERE source IS NOT NULL),
+    cnt AS (SELECT source, token, count(*)::DOUBLE AS n FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(n) AS t FROM cnt GROUP BY 1),
+    p AS (SELECT c.source, c.token, c.n / t.t AS p FROM cnt c JOIN tot t USING (source)),
+    prs AS (SELECT a.source AS source_a, b.source AS source_b
+            FROM tot a JOIN tot b ON a.source < b.source),
+    v AS (SELECT DISTINCT token FROM cnt),
+    terms AS (SELECT prs.source_a, prs.source_b,
+              coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+              FROM prs CROSS JOIN v
+              LEFT JOIN p pa ON pa.source = prs.source_a AND pa.token = v.token
+              LEFT JOIN p pb ON pb.source = prs.source_b AND pb.token = v.token)
+    SELECT source_a, source_b, printf('%.4f', sum(
+        CASE WHEN pa > 0 THEN 0.5*pa*ln(2*pa/(pa+pb)) ELSE 0 END +
+        CASE WHEN pb > 0 THEN 0.5*pb*ln(2*pb/(pa+pb)) ELSE 0 END)) AS js
+    FROM terms GROUP BY 1, 2
+    """,
+    "custom(jensen-shannon-source-divergence,token-bucket-partials)",
+)

@@ -145,6 +145,7 @@ _PROP = dict(
         "intra_doc_dedup", "length_percentile_filter", "source_overlap",
         "oov_rate", "zipf_slope", "quality_by_source", "char_trigram_profile",
         "normalized_dedup",
+        "prefix_jaccard_join", "triangle_count", "bm25_topk", "source_js_divergence",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
