@@ -552,3 +552,70 @@ def q_cohort_retention(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(to_ts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------- path trigrams
+def q_path_trigrams(sf_dir: str) -> pa.Table:
+    """Top-10 most common event-type TRIGRAMS across per-user event
+    sequences (sequential path mining — "which 3-step behaviours dominate").
+
+    Same partitioning contract as :func:`q_markov_transitions`: events
+    shuffle ONCE keyed by user; in-group the trigram extraction is three
+    array slices of the (ts, event_id)-sorted type column and a per-user
+    groupby, so the second shuffle carries only (t1, t2, t3, n) partial
+    rows — |types|³ cardinality, not event count. NULL event_type is a
+    legal element in any position (null-encoded through both shuffles, and
+    the final tie-break sorts on the ENCODED keys: enc_null_key orders
+    nulls first, so the SQL twin says NULLS FIRST). Top-k selection is a
+    10-row global sort over the |types|³ aggregate — nothing corpus-sized
+    reaches the driver."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        if group.num_rows < 3:
+            return pa.table(
+                {"t1": pa.array([], pa.string()), "t2": pa.array([], pa.string()),
+                 "t3": pa.array([], pa.string()), "n": pa.array([], I64)}
+            )
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        types = group.column("event_type").take(idx)
+        t = pa.table(
+            {
+                "t1": enc_null_key(types.slice(0, len(types) - 2)),
+                "t2": enc_null_key(types.slice(1, len(types) - 2)),
+                "t3": enc_null_key(types.slice(2)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "t1": g.column("t1"), "t2": g.column("t2"), "t3": g.column("t3"),
+                "n": g.column("count_all").cast(I64),
+            }
+        )
+
+    counts = (
+        bucketed_map_groups(ds, "user_id", per_user)
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "t1", "t2", "t3"], descending=[True, False, False, False]).limit(10)
+    tabs = list(top.iter_batches(batch_format="pyarrow"))
+    if not tabs:
+        return pa.table(
+            {"t1": pa.array([], pa.string()), "t2": pa.array([], pa.string()),
+             "t3": pa.array([], pa.string()), "n": pa.array([], I64)}
+        )
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    return pa.table(
+        {
+            "t1": dec_null_key(t.column("t1")),
+            "t2": dec_null_key(t.column("t2")),
+            "t3": dec_null_key(t.column("t3")),
+            "n": t.column("n").cast(I64),
+        }
+    )

@@ -350,3 +350,158 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     consumes it three times (degrees, orientation rows, closure probes)."""
     edges = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5).materialize()
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------- k-core
+def _kcore_local(et: pa.Table) -> pa.Table:
+    """Exact coreness by textbook peeling (Batagelj–Zaveršnik 2003 bucket
+    order): repeatedly remove the minimum-degree node; its coreness is the
+    running maximum of min-degrees seen. Symmetric edge table in, (doc_id,
+    coreness) out. The driver-side oracle for graphs under the local
+    threshold AND the test oracle for the distributed path."""
+    src = et.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(src) == 0:
+        return pa.table({"doc_id": pa.array([], I64), "coreness": pa.array([], I64)})
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src) :]
+    n = len(nodes)
+    deg = np.bincount(si, minlength=n)  # symmetric edges: si covers both dirs
+    order = np.argsort(si, kind="stable")
+    adj_flat = di[order]
+    adj_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(si, minlength=n), out=adj_off[1:])
+    core = deg.copy()
+    alive = np.ones(n, dtype=bool)
+    import heapq
+
+    heap = [(int(d), int(i)) for i, d in enumerate(deg)]
+    heapq.heapify(heap)
+    cur = np.asarray(deg, dtype=np.int64).copy()
+    k = 0
+    removed = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if not alive[v] or d != cur[v]:
+            continue  # stale heap entry
+        k = max(k, d)
+        core[v] = k
+        alive[v] = False
+        removed += 1
+        for u in adj_flat[adj_off[v] : adj_off[v + 1]]:
+            if alive[u]:
+                cur[u] -= 1
+                heapq.heappush(heap, (int(cur[u]), int(u)))
+    return pa.table(
+        {"doc_id": pa.array(nodes, I64), "coreness": pa.array(core.astype(np.int64), I64)}
+    )
+
+
+def _h_index(vals: np.ndarray) -> int:
+    """H(vals) = max h with ≥ h entries ≥ h (descending-sort scan)."""
+    s = np.sort(vals)[::-1]
+    idx = np.arange(1, len(s) + 1)
+    ok = s >= idx
+    return int(idx[ok][-1]) if ok.any() else 0
+
+
+def kcore(
+    pairs: "ray.data.Dataset",
+    local_threshold: int = 1_000_000,
+    max_rounds: int = 200,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b) pair Dataset → (doc_id, coreness).
+
+    Size-adaptive like ``connected_components``: under ``local_threshold``
+    symmetric-edge rows the exact peeling oracle runs on the driver; larger
+    graphs run the distributed H-INDEX iteration (Lü et al. 2016, "The
+    H-index of a network, and its relation to degree and coreness"): start
+    c_v = deg(v); each round c_v ← H({c_u : u ~ v}); the sequence is
+    non-increasing and converges exactly to coreness. Per round: one
+    reduce-side attach of current estimates onto edge sources (the
+    symmetric edge list covers both directions), one per-node bucketed
+    h-index reduce, and a scalar convergence check (sum of estimates —
+    strictly decreasing until the fixed point, pagerank's lineage-cut
+    discipline between rounds). Property-tested distributed ≡ peeling with
+    ``local_threshold=0``."""
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("doc_a"), batch.column("doc_b")
+        if isinstance(a, pa.ChunkedArray):
+            a, b = a.combine_chunks(), b.combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.cast(I64), b.cast(I64)]),
+                "dst": pa.concat_arrays([b.cast(I64), a.cast(I64)]),
+            }
+        )
+
+    edges = pairs.map_batches(to_sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if edges.count() <= local_threshold:
+        tabs = list(edges.iter_batches(batch_format="pyarrow"))
+        et = (
+            pa.concat_tables(tabs, promote_options="permissive")
+            if tabs
+            else pa.table({"src": pa.array([], I64), "dst": pa.array([], I64)})
+        )
+        return ray.data.from_arrow(_kcore_local(et))
+
+    # ---- distributed h-index iteration
+    def degree_rows(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([group.column("src")[0].as_py()], I64),
+                "c": pa.array([group.num_rows], I64),
+            }
+        )
+
+    est = bucketed_map_groups(edges, "src", degree_rows).materialize()
+
+    def est_sum(ds):
+        return int(ds.sum("c") or 0)
+
+    prev_sum = est_sum(est)
+    for _ in range(max_rounds):
+        # attach the DESTINATION endpoint's estimate to each directed edge;
+        # grouping the result by src then sees every neighbor's estimate
+        msgs = reduce_side_attach(
+            edges,
+            "dst",
+            [("src", I64), ("dst", I64)],
+            est,
+            "node",
+            "c",
+            "c_dst",
+            I64,
+        )
+
+        def h_of_node(group: pa.Table) -> pa.Table:
+            cs = group.column("c_dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array([group.column("src")[0].as_py()], I64),
+                    "c": pa.array([_h_index(cs)], I64),
+                }
+            )
+
+        est = bucketed_map_groups(msgs, "src", h_of_node).materialize()
+        cur_sum = est_sum(est)
+        if cur_sum == prev_sum:  # non-increasing ⇒ equal sum ⇒ fixed point
+            break
+        prev_sum = cur_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"), "coreness": batch.column("c")})
+
+    return with_schema_seed(
+        est.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", I64), ("coreness", I64)]),
+    )
+
+
+def q_kcore_dup(sf_dir: str) -> "ray.data.Dataset":
+    """Coreness of every node in the exact ngram-Jaccard dup graph — the
+    densest-duplication-neighborhood signal (a size-k clique of near-dups
+    has coreness k−1; chains and stars stay at 1), complementing CC's
+    membership and PageRank's centrality."""
+    return kcore(ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5))

@@ -1589,3 +1589,27 @@ REGISTRY["source_js_divergence"] = QASpec(
     """,
     "custom(jensen-shannon-source-divergence,token-bucket-partials)",
 )
+
+REGISTRY["path_trigrams"] = QASpec(
+    LK.q_path_trigrams,
+    """
+    WITH seq AS (
+        SELECT event_type AS t1,
+               lead(event_type)    OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3,
+               lead(event_id, 2)   OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    cnt AS (SELECT t1, t2, t3, count(*) AS n
+            FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT t1, t2, t3, n FROM cnt
+    ORDER BY n DESC, t1 ASC NULLS FIRST, t2 ASC NULLS FIRST, t3 ASC NULLS FIRST
+    LIMIT 10
+    """,
+    "custom(sequence-path-mining,per-user-trigram-topk)",
+)
+REGISTRY["kcore_dup"] = QASpec(
+    SJ.q_kcore_dup,
+    None,
+    "custom(kcore-decomposition,h-index-iteration,Lu-2016)",
+)

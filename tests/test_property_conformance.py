@@ -225,7 +225,7 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "json_props_sum", "event_quartiles", "distinct_event_types",
         "zscore_events", "first_last_value", "quantile_sketch_value",
         "full_outer_join", "correlated_users", "markov_transitions",
-        "cohort_retention", "interval_overlap_users",
+        "cohort_retention", "interval_overlap_users", "path_trigrams",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):

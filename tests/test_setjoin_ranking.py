@@ -173,3 +173,110 @@ def test_js_divergence_degenerate_sources(tmp_path):
     out2 = source_js_divergence(str(d))
     assert out2.num_rows == 1
     assert out2.column("js")[0].as_py() == "0.0000"
+
+
+# ---------------------------------------------------------------- k-core
+from metareadability_ray.pipelines.setjoin import _h_index, _kcore_local, kcore
+
+
+def _core_brute(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Textbook repeated-peeling oracle (independent of _kcore_local's
+    bucket-heap): for k = 1, 2, ... delete nodes with degree < k until
+    stable; a node's coreness is the last k it survived."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {v: 0 for v in adj}
+    alive = set(adj)
+    k = 1
+    while alive:
+        changed = True
+        while changed:
+            drop = {v for v in alive if sum(1 for u in adj[v] if u in alive) < k}
+            changed = bool(drop)
+            alive -= drop
+        for v in alive:
+            core[v] = k
+        k += 1
+    return core
+
+
+def _rand_edges(seed: int, n: int = 16, p: float = 0.3) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    return [pr for pr, m in zip(pairs, rng.rand(len(pairs)) < p) if m]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_kcore_local_matches_bruteforce(seed):
+    edges = _rand_edges(seed)
+    if not edges:
+        return
+    sym = pa.table(
+        {
+            "src": pa.array([a for a, b in edges] + [b for a, b in edges], pa.int64()),
+            "dst": pa.array([b for a, b in edges] + [a for a, b in edges], pa.int64()),
+        }
+    )
+    got = {
+        d: c
+        for d, c in zip(
+            _kcore_local(sym).column("doc_id").to_pylist(),
+            _kcore_local(sym).column("coreness").to_pylist(),
+        )
+    }
+    assert got == _core_brute(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kcore_distributed_equals_local(seed):
+    """local_threshold=0 forces the h-index iteration; Lü-2016 convergence
+    to exact coreness is the property under test."""
+    import ray
+
+    edges = _rand_edges(seed, n=12, p=0.35)
+    t = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    dist = kcore(ray.data.from_arrow(t), local_threshold=0)
+    got = sorted(
+        zip(*[
+            pa.concat_tables(list(dist.iter_batches(batch_format="pyarrow")),
+                             promote_options="permissive").column(c).to_pylist()
+            for c in ("doc_id", "coreness")
+        ])
+    )
+    want = sorted(_core_brute(edges).items())
+    assert got == [tuple(x) for x in want]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_planted_structures():
+    """5-clique → coreness 4; attached chain → coreness 1; h-index helper."""
+    import ray
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    t = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in clique + chain], pa.int64()),
+            "doc_b": pa.array([b for _, b in clique + chain], pa.int64()),
+        }
+    )
+    out = pa.concat_tables(
+        list(kcore(ray.data.from_arrow(t)).iter_batches(batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    core = dict(zip(out.column("doc_id").to_pylist(), out.column("coreness").to_pylist()))
+    assert all(core[i] == 4 for i in range(5))
+    assert core[10] == core[11] == core[12] == 1
+    assert _h_index(np.array([3, 3, 3])) == 3
+    assert _h_index(np.array([1, 1, 1, 1])) == 1
+    assert _h_index(np.array([], dtype=np.int64)) == 0
