@@ -158,11 +158,14 @@ BENCH_QUERIES = [
     "markov_transitions",
     "cohort_retention",
     "interval_overlap_users",
-    # Round-4 set-join / ranking batch
+    # Round-4 set-join / ranking / graph batch (triangle first: its edge
+    # memo amortizes into kcore_dup, same discipline as dup_clusters)
     "prefix_jaccard_join",
     "bm25_topk",
     "source_js_divergence",
     "triangle_count",
+    "kcore_dup",
+    "path_trigrams",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",
