@@ -652,10 +652,14 @@ def q_dedup_cascade(sf_dir: str) -> pa.Table:
 
         return docs.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True).count()
 
-    rem1 = remaining_after(removed1_ref)
-    rem2 = remaining_after(removed12_ref)
-    # removed3 comes from the embeddings id universe; counting the survivors
-    # over `documents` keeps the accounting honest if the universes differ
+    # Stages 1–2 need no survivor scan: removed1/removed2 are unique'd,
+    # provably drawn from the `documents` id universe (exact losers and LSH
+    # pair endpoints both originate there), and disjoint (the stage-2 pair
+    # stream is anti-filtered on removed1 at BOTH endpoints), so the
+    # remaining counts are exact arithmetic. Only stage 3 crosses id
+    # universes (vec_id from `embeddings`) and earns the honest anti-scan.
+    rem1 = n_docs - len(removed1)
+    rem2 = rem1 - len(removed2)
     rem3 = remaining_after(_ray.put(pa.concat_arrays([removed1, removed2, removed3])))
     stages = [
         ("exact", n_docs - rem1, rem1),
