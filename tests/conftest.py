@@ -12,29 +12,34 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 
+def _init_ray():
+    import ray
+
+    ray.init(
+        address="local",
+        # 8, not 4: Ray 2.49 leaks a MapWorker actor handle whenever a
+        # test failure's retained traceback pins a completed dataset;
+        # each pinned actor holds 1 CPU for the rest of the session, and
+        # at 4 CPUs a few of them starve every later actor-pool stage
+        # into a silent wedge (observed: conformance runs stalling in
+        # HyperplaneLSH). The headroom keeps one failure from cascading
+        # into a hung suite.
+        num_cpus=8,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            # 8, not 4: Ray 2.49 leaks a MapWorker actor handle whenever a
-            # test failure's retained traceback pins a completed dataset;
-            # each pinned actor holds 1 CPU for the rest of the session, and
-            # at 4 CPUs a few of them starve every later actor-pool stage
-            # into a silent wedge (observed: conformance runs stalling in
-            # HyperplaneLSH). The headroom keeps one failure from cascading
-            # into a hung suite.
-            num_cpus=8,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+        _init_ray()
     yield ray
     # Shut down in a bounded thread: a wedged cluster (leaked actor-pool
     # workers, see ray#53727-adjacent teardown failures) can hang
@@ -46,14 +51,37 @@ def ray_session():
     t.join(timeout=30)
 
 
+_RAY_TESTS_SINCE_INIT = {"n": 0}
+# Recycle the Ray session every N Ray-using tests. Ray 2.49's driver-side
+# core worker segfaults in _raylet.so (null deref, constant offset c4f440)
+# once a single local session has accumulated a few thousand distinct task
+# specs (the raylet logs "More than 7xxx types of tasks seen" shortly
+# before) — observed killing three full-suite runs at the ~220-test mark
+# with the raylet then dying via parent-death SIGKILL and pytest's buffered
+# output lost. One init per ~100 tests keeps each session far below that
+# horizon while preserving the one-command suite; cross-test state is all
+# driver-side (pa.Table memos, on-disk fixtures), so a restart is invisible
+# to the tests themselves.
+_RAY_RECYCLE_EVERY = 100
+
+
 @pytest.fixture(autouse=True)
-def _release_actor_pools():
+def _release_actor_pools(request):
     """Break the reference cycles that keep completed datasets' actor-pool
-    workers alive (each holds a CPU; enough leaks wedge the 4-CPU session)."""
+    workers alive (each holds a CPU; enough leaks wedge the 4-CPU session),
+    and recycle the Ray session before it ages into the 2.49 crash window."""
     yield
     import gc
 
     gc.collect()
+    if "ray_session" in request.fixturenames:
+        _RAY_TESTS_SINCE_INIT["n"] += 1
+        if _RAY_TESTS_SINCE_INIT["n"] >= _RAY_RECYCLE_EVERY:
+            _RAY_TESTS_SINCE_INIT["n"] = 0
+            import ray
+
+            ray.shutdown()
+            _init_ray()
 
 
 @pytest.fixture(scope="session")
