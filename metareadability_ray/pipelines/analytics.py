@@ -1,0 +1,294 @@
+"""Corpus/user analytics: PMI collocations, per-user OLS value trends, and
+time-decayed activity scores.
+
+Three operators, three canonical distributed shapes:
+
+* :func:`q_collocations_pmi` — pointwise mutual information over adjacent
+  token bigrams (the classic collocation detector; Church & Hanks 1990).
+  Bigram counts pre-aggregate per block and shuffle once keyed by bigram;
+  the unigram count table is a vocabulary-sized broadcast looked up
+  vectorized inside the finalizer — the SAME small-side contract as
+  ``q_tfidf_top_terms``'s df broadcast (textops2.py). The two totals PMI
+  needs (token and bigram occurrence counts) come from one fixed-width
+  per-doc aggregate, never a vocabulary scan. At 10^12 docs the broadcast
+  side grows with the vocabulary, not the corpus; the bucketed reduce-side
+  attach (textops.reduce_side_attach's string twin) is the named
+  alternative if a deployment's vocabulary outgrows worker heaps.
+* :func:`q_user_value_trend` — per-user OLS slope of event value vs time
+  (DuckDB ``regr_slope`` twin). One hash-bucket shuffle co-locates each
+  user's rows; inside a bucket the whole regression is segment-vectorized
+  (lexsort + ``np.add.reduceat``) with the numerically-stable CENTERED
+  two-pass sums, never a Python per-user loop. NULL semantics match
+  DuckDB exactly (probed): pairs with NULL value are skipped, and the
+  slope is NULL iff fewer than 2 valid pairs or zero x-variance — the
+  group row itself always survives.
+* :func:`q_decayed_user_score` — exponentially time-decayed per-user value
+  sum (tau = 7 days against the corpus-max timestamp): the standard
+  recency-weighted engagement score. Corpus max ts is one tiny aggregate;
+  the decay term is one vectorized ``np.exp`` per batch; per-user partials
+  combine in-block before a single groupby, so only (user, 2 doubles)
+  rows shuffle. A user whose every value is NULL keeps their group with a
+  NULL score (SQL SUM-over-empty semantics).
+
+Float-parity discipline: scores/slopes print at %.4f via ``fmt_fixed``
+(negative-zero unsigned on both sides); every arithmetic expression mirrors
+the SQL twin's operation order so engine drift stays at the ulp level the
+rounding absorbs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from metareadability_ray.pipelines.relational import fmt_fixed
+from metareadability_ray.pipelines.textops import _PAIR_BUCKETS
+from metareadability_ray.util import lookup_ref, lookup_take, with_schema_seed
+
+I64 = pa.int64()
+F64 = pa.float64()
+
+PMI_MIN_COUNT = 5
+# epoch seconds of 2024-01-01 (the testdata epoch); x rides in HOURS from
+# here so slope magnitudes stay printable — slope is offset/scale-invariant
+# up to the constant, and both engines apply the identical affine map
+TREND_T0_S = 1704067200.0
+DECAY_TAU_S = 604800.0  # 7 days
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ------------------------------------------------------- PMI collocations
+def q_collocations_pmi(sf_dir: str) -> "ray.data.Dataset":
+    """All adjacent-token bigrams with count ≥ PMI_MIN_COUNT and their PMI
+    log2((c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni))).
+
+    No top-k cut: a float-ordered cut would make the result set itself
+    depend on last-ulp log2 differences between engines; the min-count
+    threshold is integer-exact on both sides, so the ROW SET is stable and
+    only the printed PMI needs the %.4f contract."""
+    from metareadability_ray.functions.scalars import re2_tokens
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if t:
+                toks.extend(re2_tokens(t))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], I64)})
+        u, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()), "n": pa.array(c, I64)})
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        firsts: list[str] = []
+        seconds: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            grams.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n_ab": pa.array([], I64)}
+            )
+        u, c = np.unique(np.asarray(grams, dtype=object).astype(str), return_counts=True)
+        return pa.table({"bigram": pa.array(u, pa.string()), "n_ab": pa.array(c, I64)})
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        # fixed-width per-batch totals: N_uni = Σ tokens, N_bi = Σ max(0, tokens−1)
+        nu = nb = 0
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            k = len(re2_tokens(t))
+            nu += k
+            nb += max(0, k - 1)
+        return pa.table({"nu": pa.array([nu], I64), "nb": pa.array([nb], I64)})
+
+    tot = (
+        ds.map_batches(totals_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["nu", "nb"])
+    )
+    n_uni, n_bi = float(tot["sum(nu)"]), float(tot["sum(nb)"])
+
+    schema = pa.schema([("bigram", pa.string()), ("n_ab", I64), ("pmi", pa.string())])
+    if n_bi == 0:
+        return with_schema_seed(
+            ray.data.from_arrow(schema.empty_table()), schema
+        )
+
+    # vocabulary-sized broadcast (the tfidf df contract)
+    uni_batches = [
+        b
+        for b in ds.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+        if b.num_columns
+    ]
+    uni_t = pa.concat_tables(uni_batches)
+    uni_ref = lookup_ref(uni_t.column("token"), uni_t.column("n"))
+
+    bi = (
+        ds.map_batches(bi_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n_ab", alias_name="n_ab"))
+        .filter(expr=f"n_ab >= {PMI_MIN_COUNT}")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        bg = batch.column("bigram")
+        # tokens are \S+ so the single interior space splits exactly in two
+        parts = pc.split_pattern(bg, " ")
+        tok_a = pc.list_element(parts, 0)
+        tok_b = pc.list_element(parts, 1)
+        n_ab = batch.column("n_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = np.asarray(lookup_take(uni_ref, tok_a)).astype(np.float64)
+        n_b = np.asarray(lookup_take(uni_ref, tok_b)).astype(np.float64)
+        # mirror the SQL expression's op order exactly
+        pmi = np.log2((n_ab / n_bi) / ((n_a / n_uni) * (n_b / n_uni)))
+        return pa.table(
+            {
+                "bigram": bg,
+                "n_ab": batch.column("n_ab"),
+                "pmi": fmt_fixed(pa.array(pmi, F64), 4),
+            }
+        )
+
+    out = bi.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return with_schema_seed(out, schema)
+
+
+# ----------------------------------------------------- per-user OLS trend
+def q_user_value_trend(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user OLS slope of value vs event time (hours since TREND_T0_S):
+    ``regr_slope(value, x)`` per user_id, plus the valid-pair count."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    nb = np.int64(_PAIR_BUCKETS)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = batch.column("ts").cast(I64).to_numpy(zero_copy_only=False)
+        # identical affine map to the SQL twin: (epoch(ts) − T0) / 3600
+        x = (ts_us.astype(np.float64) / 1e6 - TREND_T0_S) / 3600.0
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "x": pa.array(x, F64),
+                "y": batch.column("value").cast(F64),
+                "__b": pa.array(uid % nb, I64),
+            }
+        )
+
+    schema = pa.schema([("user_id", I64), ("slope", pa.string()), ("n_valid", I64)])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        ycol = group.column("y")
+        if isinstance(ycol, pa.ChunkedArray):
+            ycol = ycol.combine_chunks()
+        valid = ~np.asarray(pc.is_null(ycol).to_numpy(zero_copy_only=False))
+        y = np.where(valid, ycol.to_numpy(zero_copy_only=False), 0.0)
+        order = np.lexsort((x, uid))
+        uid, x, y, valid = uid[order], x[order], y[order], valid[order]
+        n = len(uid)
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        v = valid.astype(np.float64)
+        nv = np.add.reduceat(v, starts)
+        sx = np.add.reduceat(np.where(valid, x, 0.0), starts)
+        sy = np.add.reduceat(y, starts)
+        safe_nv = np.where(nv > 0, nv, 1.0)
+        mx, my = sx / safe_nv, sy / safe_nv
+        sizes = np.diff(np.append(starts, n))
+        dx = np.where(valid, x - np.repeat(mx, sizes), 0.0)
+        dy = np.where(valid, y - np.repeat(my, sizes), 0.0)
+        sxx = np.add.reduceat(dx * dx, starts)
+        sxy = np.add.reduceat(dx * dy, starts)
+        # DuckDB (probed): NULL iff <2 valid pairs or zero x-variance
+        ok = (nv >= 2) & (sxx > 0)
+        slope = np.where(ok, sxy / np.where(ok, sxx, 1.0), 0.0)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], I64),
+                "slope": fmt_fixed(pa.array(slope, F64, mask=~ok), 4),
+                "n_valid": pa.array(nv.astype(np.int64), I64),
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+    )
+    return with_schema_seed(out, schema)
+
+
+# ------------------------------------------------ decayed engagement score
+def q_decayed_user_score(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user Σ value·exp(−Δt/τ) against the corpus-max timestamp."""
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("user_id", I64), ("score", pa.string()), ("n_valid", I64)])
+    if pq.read_metadata(_p(sf_dir, "events")).num_rows == 0:
+        return with_schema_seed(ray.data.from_arrow(schema.empty_table()), schema)
+
+    tmax = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts"]).max("ts")
+    tmax_s = float(pa.scalar(tmax, pa.timestamp("us")).cast(I64).as_py()) / 1e6
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_s = batch.column("ts").cast(I64).to_numpy(zero_copy_only=False).astype(np.float64) / 1e6
+        vcol = batch.column("value")
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = ~np.asarray(pc.is_null(vcol).to_numpy(zero_copy_only=False))
+        val = np.where(valid, vcol.to_numpy(zero_copy_only=False), 0.0)
+        # mirror the SQL twin: value * exp(-(epoch(mx) - epoch(ts)) / tau)
+        term = np.where(valid, val * np.exp(-(tmax_s - ts_s) / DECAY_TAU_S), 0.0)
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "s": pa.array(term, F64),
+                "nv": pa.array(valid.astype(np.int64), I64),
+            }
+        )
+        g = pa.TableGroupBy(t, "user_id").aggregate([("s", "sum"), ("nv", "sum")])
+        return g.rename_columns(["user_id", "s", "nv"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("nv", alias_name="n_valid"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nv = batch.column("n_valid").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "score": fmt_fixed(pa.array(s, F64, mask=nv == 0), 4),
+                "n_valid": batch.column("n_valid"),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return with_schema_seed(out, schema)

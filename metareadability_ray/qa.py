@@ -1613,3 +1613,55 @@ REGISTRY["kcore_dup"] = QASpec(
     None,
     "custom(kcore-decomposition,h-index-iteration,Lu-2016)",
 )
+
+from metareadability_ray.pipelines import analytics as AN  # noqa: E402
+
+REGISTRY["collocations_pmi"] = QASpec(
+    AN.q_collocations_pmi,
+    r"""
+    WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS token FROM toks),
+    unic AS (SELECT token, count(*) AS n FROM uni GROUP BY token),
+    nu AS (SELECT count(*)::DOUBLE AS n FROM uni),
+    bi AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM toks),
+    bic AS (SELECT bigram, count(*) AS n FROM bi GROUP BY bigram),
+    nb AS (SELECT count(*)::DOUBLE AS n FROM bi)
+    SELECT b.bigram, b.n AS n_ab,
+           regexp_replace(printf('%.4f',
+               log2((b.n::DOUBLE / nb.n) /
+                    ((ua.n::DOUBLE / nu.n) * (ub.n::DOUBLE / nu.n)))),
+               '^-(0\.0+)$', '\1') AS pmi
+    FROM bic b, nb, nu
+    JOIN unic ua ON ua.token = split_part(b.bigram, ' ', 1)
+    JOIN unic ub ON ub.token = split_part(b.bigram, ' ', 2)
+    WHERE b.n >= 5
+    """,
+    "custom(pmi-collocations,Church-Hanks-1990,broadcast-unigram-side)",
+)
+REGISTRY["user_value_trend"] = QASpec(
+    AN.q_user_value_trend,
+    r"""
+    SELECT user_id,
+           regexp_replace(printf('%.4f',
+               regr_slope(value, (epoch(ts) - 1704067200.0) / 3600.0)),
+               '^-(0\.0+)$', '\1') AS slope,
+           count(value) AS n_valid
+    FROM events GROUP BY user_id
+    """,
+    "custom(per-user-ols-trend,regr_slope-twin,segment-reduceat)",
+)
+REGISTRY["decayed_user_score"] = QASpec(
+    AN.q_decayed_user_score,
+    r"""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id,
+           regexp_replace(printf('%.4f',
+               sum(value * exp(-(epoch(m.mx) - epoch(ts)) / 604800.0))),
+               '^-(0\.0+)$', '\1') AS score,
+           count(value) AS n_valid
+    FROM events, m GROUP BY user_id
+    """,
+    "custom(time-decayed-engagement,two-pass-max-then-score)",
+)

@@ -146,6 +146,7 @@ _PROP = dict(
         "oov_rate", "zipf_slope", "quality_by_source", "char_trigram_profile",
         "normalized_dedup",
         "prefix_jaccard_join", "triangle_count", "bm25_topk", "source_js_divergence",
+        "collocations_pmi",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -226,6 +227,7 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "zscore_events", "first_last_value", "quantile_sketch_value",
         "full_outer_join", "correlated_users", "markov_transitions",
         "cohort_retention", "interval_overlap_users", "path_trigrams",
+        "user_value_trend", "decayed_user_score",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
