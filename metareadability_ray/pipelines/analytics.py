@@ -106,22 +106,19 @@ def q_collocations_pmi(sf_dir: str) -> "ray.data.Dataset":
         u, c = np.unique(np.asarray(grams, dtype=object).astype(str), return_counts=True)
         return pa.table({"bigram": pa.array(u, pa.string()), "n_ab": pa.array(c, I64)})
 
-    def totals_partial(batch: pa.Table) -> pa.Table:
-        # fixed-width per-batch totals: N_uni = Σ tokens, N_bi = Σ max(0, tokens−1)
-        nu = nb = 0
-        for t in batch.column("text").to_pylist():
-            if not t:
-                continue
-            k = len(re2_tokens(t))
-            nu += k
-            nb += max(0, k - 1)
-        return pa.table({"nu": pa.array([nu], I64), "nb": pa.array([nb], I64)})
+    def nb_partial(batch: pa.Table) -> pa.Table:
+        # N_bi = Σ max(0, tokens−1): pure Arrow kernel, no Python tokenize —
+        # count_substring_regex(\S+) matches len(re2_tokens) exactly
+        k = pc.fill_null(
+            pc.cast(pc.count_substring_regex(batch.column("text"), r"\S+"), I64), 0
+        )
+        nb = pc.sum(pc.max_element_wise(pc.subtract(k, 1), 0)).as_py() or 0
+        return pa.table({"nb": pa.array([nb], I64)})
 
-    tot = (
-        ds.map_batches(totals_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .sum(["nu", "nb"])
+    n_bi = float(
+        ds.map_batches(nb_partial, batch_format="pyarrow", zero_copy_batch=True).sum("nb")
+        or 0
     )
-    n_uni, n_bi = float(tot["sum(nu)"]), float(tot["sum(nb)"])
 
     schema = pa.schema([("bigram", pa.string()), ("n_ab", I64), ("pmi", pa.string())])
     if n_bi == 0:
@@ -129,7 +126,8 @@ def q_collocations_pmi(sf_dir: str) -> "ray.data.Dataset":
             ray.data.from_arrow(schema.empty_table()), schema
         )
 
-    # vocabulary-sized broadcast (the tfidf df contract)
+    # vocabulary-sized broadcast (the tfidf df contract); N_uni is the free
+    # column sum of the same table — no third pass over the text
     uni_batches = [
         b
         for b in ds.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -139,6 +137,7 @@ def q_collocations_pmi(sf_dir: str) -> "ray.data.Dataset":
         if b.num_columns
     ]
     uni_t = pa.concat_tables(uni_batches)
+    n_uni = float(pc.sum(uni_t.column("n")).as_py())
     uni_ref = lookup_ref(uni_t.column("token"), uni_t.column("n"))
 
     bi = (
