@@ -166,6 +166,11 @@ BENCH_QUERIES = [
     "triangle_count",
     "kcore_dup",
     "path_trigrams",
+    # Round-4 analytics batch
+    "collocations_pmi",
+    "user_value_trend",
+    "decayed_user_score",
+    "sliding_distinct_users",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -92,8 +92,6 @@ def q_collocations_pmi(sf_dir: str) -> "ray.data.Dataset":
 
     def bi_partial(batch: pa.Table) -> pa.Table:
         grams: list[str] = []
-        firsts: list[str] = []
-        seconds: list[str] = []
         for t in batch.column("text").to_pylist():
             if not t:
                 continue
@@ -291,3 +289,88 @@ def q_decayed_user_score(sf_dir: str) -> "ray.data.Dataset":
 
     out = agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     return with_schema_seed(out, schema)
+
+
+# ------------------------------------------- sliding-window distinct users
+def q_sliding_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct active users per 3-hour TRAILING window, one window per
+    observed event hour — the windowed COUNT(DISTINCT) no window function
+    can express (SQL needs a range self-join; streaming engines need
+    retraction state).
+
+    Plan (ONE narrow shuffle): each batch dedups its (user, hour) pairs
+    in-block, expands each pair to the ≤3 window-ends it covers (h, h+1,
+    h+2) — still in-block — and ships 16 B rows keyed by window. The per-
+    window group then counts unique users with one ``np.unique``: the group
+    is the dedup AND the count, so cross-block duplicate pairs never need
+    their own shuffle. Window-ends are filtered to hours that actually
+    contain an event via a broadcast observed-hour set (bounded by the time
+    span — hours, not rows). A hot window's group is bounded by
+    users-active-in-3h, the same cohort bound the hour-bucketed series ops
+    carry."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = np.int64(_PAIR_BUCKETS)
+    US_PER_H = np.int64(3_600_000_000)
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(I64).to_numpy(zero_copy_only=False)
+        h = np.unique(ts_us // US_PER_H)
+        return pa.table({"h": pa.array(h, I64)})
+
+    hours_set = np.unique(
+        np.concatenate(
+            [
+                b.column("h").to_numpy(zero_copy_only=False)
+                for b in ds.map_batches(
+                    hour_partial, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    hours_ref = ray.put(hours_set)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = batch.column("ts").cast(I64).to_numpy(zero_copy_only=False) // US_PER_H
+        pairs = np.unique(np.stack([uid, h], axis=1), axis=0)
+        u3 = np.repeat(pairs[:, 0], 3)
+        w3 = np.repeat(pairs[:, 1], 3) + np.tile(np.array([0, 1, 2], np.int64), len(pairs))
+        obs = ray.get(hours_ref)
+        keep = np.isin(w3, obs)
+        u3, w3 = u3[keep], w3[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u3, I64),
+                "w": pa.array(w3, I64),
+                "__b": pa.array(w3 % nb, I64),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        uw = np.unique(np.stack([w, u], axis=1), axis=0)
+        wu = uw[:, 0]
+        starts = np.flatnonzero(np.concatenate(([True], wu[1:] != wu[:-1])))
+        n = np.diff(np.append(starts, len(wu)))
+        return pa.table(
+            {
+                "window_end": pa.array(wu[starts] * US_PER_H, I64).cast(
+                    pa.timestamp("us")
+                ),
+                "n_users": pa.array(n.astype(np.int64), I64),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__b"])), batch_format="pyarrow"
+        )
+    )
+    return with_schema_seed(
+        out, pa.schema([("window_end", pa.timestamp("us")), ("n_users", I64)])
+    )

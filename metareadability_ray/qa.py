@@ -1665,3 +1665,14 @@ REGISTRY["decayed_user_score"] = QASpec(
     """,
     "custom(time-decayed-engagement,two-pass-max-then-score)",
 )
+REGISTRY["sliding_distinct_users"] = QASpec(
+    AN.q_sliding_distinct_users,
+    """
+    WITH e AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+    hours AS (SELECT DISTINCT h FROM e)
+    SELECT hours.h AS window_end, count(DISTINCT e.user_id) AS n_users
+    FROM hours JOIN e ON e.h BETWEEN hours.h - INTERVAL 2 HOUR AND hours.h
+    GROUP BY hours.h
+    """,
+    "custom(sliding-window-count-distinct,3h-trailing,single-window-shuffle)",
+)

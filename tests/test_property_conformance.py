@@ -227,7 +227,7 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "zscore_events", "first_last_value", "quantile_sketch_value",
         "full_outer_join", "correlated_users", "markov_transitions",
         "cohort_retention", "interval_overlap_users", "path_trigrams",
-        "user_value_trend", "decayed_user_score",
+        "user_value_trend", "decayed_user_score", "sliding_distinct_users",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):
