@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "user_value_trend",
     "decayed_user_score",
     "sliding_distinct_users",
+    "hybrid_search_rrf",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

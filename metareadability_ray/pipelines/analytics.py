@@ -374,3 +374,95 @@ def q_sliding_distinct_users(sf_dir: str) -> "ray.data.Dataset":
     return with_schema_seed(
         out, pa.schema([("window_end", pa.timestamp("us")), ("n_users", I64)])
     )
+
+
+# ------------------------------------------------- hybrid retrieval (RRF)
+def q_hybrid_search_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack 2009, k=60) of the
+    BM25 text ranking and the embedding-cosine ranking — the standard
+    lexical+semantic search composition, tying the text and vector stacks
+    together end-to-end.
+
+    Both input rankings are the registry's proven kernels: the BM25 side is
+    ``ranking.bm25_topk`` (distributed fixed-width stats aggregate +
+    per-block top-k prefilter), the vector side is the knn_bruteforce
+    normalize-then-dot kernel against the broadcast query vector (vec_id 0)
+    with the same per-block top-k prefilter. Only the two ≤k winner lists
+    reach the driver (the legitimate bounded-by-k fold), where the fusion
+    is 2-term float sums of exactly-rounded integer divisions — BIT-
+    identical to the SQL twin's expression, so the float-ordered final cut
+    is deterministic across engines (unlike a sum of many terms, two-term
+    RRF has no accumulation-order ambiguity)."""
+    import pyarrow.parquet as pq
+
+    from metareadability_ray.pipelines.ranking import bm25_topk
+    from metareadability_ray.pipelines.vectors import _emb_matrix
+
+    K_EACH, K_OUT, RRF_K = 20, 10, 60
+
+    bt = bm25_topk(sf_dir, k=K_EACH)
+    t_rank = {d: i + 1 for i, d in enumerate(bt.column("doc_id").to_pylist())}
+
+    v_rank: dict[int, int] = {}
+    qt = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    if qt.num_rows:
+        q = _emb_matrix(qt)[0].astype(np.float64)
+        q = q / np.linalg.norm(q)
+        q_ref = ray.put(q)
+        eds = ray.data.read_parquet(
+            _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        )
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            qv = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            M = _emb_matrix(batch).astype(np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            s = M @ qv
+            keep = ids != 0
+            ids, s = ids[keep], s[keep]
+            if len(ids) > K_EACH:
+                part = np.argpartition(-s, K_EACH - 1)[:K_EACH]
+                ids, s = ids[part], s[part]
+            return pa.table({"vec_id": pa.array(ids, I64), "cos": pa.array(s, F64)})
+
+        parts = [
+            b
+            for b in eds.map_batches(
+                local_topk, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if parts:
+            vt = pa.concat_tables(parts)
+            vid = vt.column("vec_id").to_numpy(zero_copy_only=False)
+            cos = vt.column("cos").to_numpy(zero_copy_only=False)
+            order = np.lexsort((vid, -cos))[:K_EACH]
+            v_rank = {int(vid[i]): r + 1 for r, i in enumerate(order)}
+
+    all_ids = sorted(set(t_rank) | set(v_rank))
+    schema = pa.schema(
+        [("doc_id", I64), ("rrf", pa.string()), ("rank_text", I64), ("rank_vec", I64)]
+    )
+    if not all_ids:
+        return schema.empty_table()
+    # mirror the SQL: coalesce(1.0/(60+rt), 0.0) + coalesce(1.0/(60+rv), 0.0)
+    rt = np.array([t_rank.get(d, 0) for d in all_ids], np.int64)
+    rv = np.array([v_rank.get(d, 0) for d in all_ids], np.int64)
+    rrf = np.where(rt > 0, 1.0 / (RRF_K + rt), 0.0) + np.where(
+        rv > 0, 1.0 / (RRF_K + rv), 0.0
+    )
+    ids = np.array(all_ids, np.int64)
+    order = np.lexsort((ids, -rrf))[:K_OUT]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], I64),
+            "rrf": fmt_fixed(pa.array(rrf[order], F64), 6),
+            "rank_text": pa.array(rt[order], I64, mask=rt[order] == 0),
+            "rank_vec": pa.array(rv[order], I64, mask=rv[order] == 0),
+        }
+    )

@@ -1676,3 +1676,37 @@ REGISTRY["sliding_distinct_users"] = QASpec(
     """,
     "custom(sliding-window-count-distinct,3h-trailing,single-window-shuffle)",
 )
+REGISTRY["hybrid_search_rrf"] = QASpec(
+    AN.q_hybrid_search_rrf,
+    r"""
+    WITH toks AS (SELECT doc_id, coalesce(regexp_extract_all(text, '\S+'), []) AS t
+                  FROM documents),
+    d AS (SELECT doc_id, length(t) AS dl,
+          len(list_filter(t, x -> x = 'spark')) AS tf0,
+          len(list_filter(t, x -> x = 'hash'))  AS tf1,
+          len(list_filter(t, x -> x = 'merge')) AS tf2 FROM toks),
+    g AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+          sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+          sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+          sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2 FROM d),
+    s AS (SELECT doc_id,
+          ln((g.n - g.df0 + 0.5)/(g.df0 + 0.5) + 1) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2*(1 - 0.75 + 0.75 * dl / g.avgdl))
+        + ln((g.n - g.df1 + 0.5)/(g.df1 + 0.5) + 1) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2*(1 - 0.75 + 0.75 * dl / g.avgdl))
+        + ln((g.n - g.df2 + 0.5)/(g.df2 + 0.5) + 1) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2*(1 - 0.75 + 0.75 * dl / g.avgdl)) AS raw
+          FROM d, g WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+    trank AS (SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id) AS rt
+              FROM s QUALIFY rt <= 20),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    vrank AS (SELECT vec_id,
+              row_number() OVER (ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC, vec_id) AS rv
+              FROM embeddings, q WHERE vec_id <> 0 QUALIFY rv <= 20)
+    SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,
+           printf('%.6f', coalesce(1.0/(60 + t.rt), 0.0) + coalesce(1.0/(60 + v.rv), 0.0)) AS rrf,
+           t.rt AS rank_text, v.rv AS rank_vec
+    FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.vec_id
+    ORDER BY coalesce(1.0/(60 + t.rt), 0.0) + coalesce(1.0/(60 + v.rv), 0.0) DESC,
+             coalesce(t.doc_id, v.vec_id)
+    LIMIT 10
+    """,
+    "custom(hybrid-retrieval-rrf,Cormack-2009,bm25+cosine-fusion)",
+)

@@ -573,6 +573,20 @@ def test_doc_embedding_join_conformance_on_generated(ray_session, tmp_path_facto
     inner()
 
 
+def test_hybrid_search_rrf_conformance_on_generated(ray_session, tmp_path_factory):
+    """Dual-table (documents for BM25, embeddings for cosine) RRF fusion vs
+    the composed SQL twin — exercises empty text-side lists (no term
+    matches), a missing query vector (no vec_id 0), and one-sided docs."""
+
+    @settings(max_examples=max(6, _N_EX * 6 // 8), deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(embeddings_table(), documents_table())
+    def inner(emb, docs):
+        _run_both_emb("hybrid_search_rrf", emb, docs, tmp_path_factory)
+
+    inner()
+
+
 # -------------------------------------------- rows-only queries: smoke harness
 
 # No SQL twin exists for these (sketches, LSH, model-ish kernels) — the
