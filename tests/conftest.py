@@ -62,7 +62,11 @@ _RAY_TESTS_SINCE_INIT = {"n": 0}
 # horizon while preserving the one-command suite; cross-test state is all
 # driver-side (pa.Table memos, on-disk fixtures), so a restart is invisible
 # to the tests themselves.
-_RAY_RECYCLE_EVERY = 100
+_RAY_RECYCLE_EVERY = max(8, 800 // int(__import__("os").environ.get("CONF_MAX_EXAMPLES", "8")))
+# task specs accumulate per HYPOTHESIS EXAMPLE, not per test, so a 25-example
+# soak ages the session ~3× faster than a default run — scale the recycle
+# interval inversely with the example budget (8 ex → every 100 tests,
+# 25 ex → every 32, 100 ex → every 8).
 
 
 @pytest.fixture(autouse=True)
