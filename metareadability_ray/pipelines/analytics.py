@@ -1,7 +1,9 @@
-"""Corpus/user analytics: PMI collocations, per-user OLS value trends, and
-time-decayed activity scores.
+"""Corpus/user analytics: PMI collocations, per-user OLS value trends,
+time-decayed activity scores, sliding-window distinct counts, and hybrid
+(BM25 + embedding) retrieval fusion.
 
-Three operators, three canonical distributed shapes:
+Five operators, five canonical distributed shapes (the later two documented
+on their own functions):
 
 * :func:`q_collocations_pmi` — pointwise mutual information over adjacent
   token bigrams (the classic collocation detector; Church & Hanks 1990).
