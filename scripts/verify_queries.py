@@ -31,8 +31,17 @@ def to_table(res) -> pa.Table:
 
         refs = res.to_arrow_refs()
         tabs = [_r.get(r) for r in refs]
-        tabs = [t for t in tabs if t.num_rows or len(tabs) == 1]
-        return pa.concat_tables(tabs, promote_options="permissive") if tabs else pa.table({})
+        nonempty = [t for t in tabs if t.num_rows]
+        if nonempty:
+            return pa.concat_tables(nonempty, promote_options="permissive")
+        # all blocks empty: keep the (seeded) schema instead of collapsing to a
+        # column-less table — an empty result still owes its column contract.
+        # Ray 2.49 emits schema-less empty blocks alongside the seed, so take
+        # the first block that actually carries fields.
+        for t in tabs:
+            if t.schema.names:
+                return t
+        return pa.table({})
     import pandas as pd
 
     if isinstance(res, pd.DataFrame):
