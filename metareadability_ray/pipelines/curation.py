@@ -1,0 +1,354 @@
+"""Corpus-curation policy operators: per-source quotas, mixture weighting,
+and CCNet perplexity bucketing.
+
+Three operators, three canonical shapes:
+
+* :func:`q_source_cap_sample` — the Common-Crawl "domain cap": keep at most
+  K documents per source, deterministically (smallest doc_id first). The
+  scale shape is the same containment argument as textops2._block_topk: the
+  per-source bottom-K of the corpus is contained in the union of per-BLOCK
+  per-source bottom-Ks, so each block is cut to ≤ K rows per source before
+  the shuffle — the all-to-all moves ≤ K·blocks·sources rows (keys + ids
+  only, never text), not the corpus.
+* :func:`q_mixture_weights` — temperature-scaled source mixture (weight ∝
+  n_docs^alpha, the multinomial-sampling reweighting used to up-sample
+  low-resource slices when composing a training mix). Per-block source
+  counts combine in-batch, one source-cardinality groupby, and the final
+  normalisation is a driver fold over the source table (bounded by source
+  cardinality, never corpus size) in a FIXED sort order.
+* :func:`q_ccnet_buckets` — CCNet's head/middle/tail split (Wenzek et al.,
+  2020): per language, documents are ranked by LM bits-per-token and cut
+  into 3 equal NTILE buckets (head = most natural text). The LM is the
+  same add-one unigram model as webtext.q_lm_perplexity (shared builder,
+  so the two queries cannot drift). Scores are fixed to 4 decimals as
+  int64 micro-bits on BOTH engines, which makes the rank order integer
+  arithmetic; the per-(lang, score) tie groups then shuffle ONCE, and the
+  global NTILE boundary arithmetic rides on a broadcast rank-offset table
+  computed from the (lang, score)-histogram — no per-lang mega-group, no
+  driver pass over documents. Exact SQL NTILE semantics (first n%3 buckets
+  get the extra row; ties split by doc_id).
+
+Float-parity discipline: the only floats that cross the compare boundary
+are printf-rounded (%.6f weights) or pre-fixed to integer micro-bits with
+``floor(x·10⁴ + 0.5)`` spelled identically in the SQL twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from metareadability_ray.functions.scalars import re2_tokens
+from metareadability_ray.util import (
+    dec_null_key,
+    enc_null_key,
+    lookup_ref,
+    lookup_take,
+    null_safe_map_groups,
+    with_schema_seed,
+)
+
+I64 = pa.int64()
+STR = pa.string()
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# ------------------------------------------------------------- source cap
+def q_source_cap_sample(sf_dir: str, cap: int = 10) -> "ray.data.Dataset":
+    """Per-source document quota: the first ``cap`` doc_ids of every source
+    (row_number() OVER (PARTITION BY source ORDER BY doc_id) <= cap).
+
+    Stage 1 cuts each BLOCK to its per-source bottom-``cap`` doc_ids
+    (lexsort + segment cumcount, all numpy): the global per-source
+    bottom-K is contained in the union of block bottom-Ks, so stage 2's
+    key-hash shuffle carries ≤ cap rows per (source, block). Stage 2
+    re-applies the same cut per source group. NULL source is a legal SQL
+    partition (null_safe_map_groups's encoded-hash shuffle)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def block_cut(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n <= cap:
+            return batch
+        src = enc_null_key(batch.column("source")).to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, src))
+        s = src[order]
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        # cumcount within source = position - start of its run
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        return batch.take(pa.array(order[pos < cap], I64))
+
+    def group_cut(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        return group.take(idx[:cap])
+
+    cut = ds.map_batches(block_cut, batch_format="pyarrow", zero_copy_batch=True)
+    out = null_safe_map_groups(cut, "source", group_cut)
+    return with_schema_seed(out, pa.schema([("doc_id", I64), ("source", STR)]))
+
+
+# -------------------------------------------------------- mixture weights
+def q_mixture_weights(
+    sf_dir: str, alpha: float = 0.7, budget: int = 10000
+) -> pa.Table:
+    """Temperature-scaled source mixture: weight_s = n_s^alpha / Σ n^alpha
+    (alpha < 1 flattens the mix toward low-resource sources — the standard
+    multinomial reweighting for multi-source training corpora) plus the
+    integer document quota at a fixed sampling budget.
+
+    Per-block ``np.unique`` source-count partials → one source-cardinality
+    groupby → driver fold over the source table in encoded-key sort order
+    (fixed summation order; bounded by source cardinality). Weights print
+    %.6f and quotas fix at 10⁻⁴ of the budget, absorbing pow/sum ulp drift
+    between numpy and DuckDB. NULL source is its own mixture slice."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        src = enc_null_key(batch.column("source")).to_numpy(zero_copy_only=False)
+        u, c = np.unique(src.astype(object).astype(str), return_counts=True)
+        return pa.table(
+            {"__src": pa.array(u, STR), "n_docs": pa.array(c, I64)}
+        )
+
+    agg = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__src")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    tabs = [b for b in agg.iter_batches(batch_format="pyarrow") if b.num_columns]
+    schema = pa.schema([("__src", STR), ("n_docs", I64)])
+    t = pa.concat_tables(tabs) if tabs else schema.empty_table()
+    t = t.take(pc.sort_indices(t, sort_keys=[("__src", "ascending")]))
+    n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+    pw = np.power(n, alpha)
+    z = float(pw.sum())  # fixed fold order (sorted encoded key)
+    w = pw / z if z > 0 else pw
+    from metareadability_ray.pipelines.relational import fmt_fixed
+
+    return pa.table(
+        {
+            "source": dec_null_key(t.column("__src")),
+            "n_docs": t.column("n_docs"),
+            "weight": fmt_fixed(pa.array(w, pa.float64()), 6),
+            "quota": pa.array(
+                np.floor(w * budget + 0.5).astype(np.int64), I64
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------- CCNet buckets
+def q_ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet head/middle/tail: per-language NTILE(3) over LM bits-per-token
+    (bucket 1 = lowest perplexity = most natural text), emitted per doc.
+
+    Distributed NTILE without a per-lang mega-group:
+
+    1. **score** — the shared add-one unigram LM (webtext._lm_model_parts,
+       broadcast once) scores each doc; bits fix to int64 micro-bits
+       (``floor(bits·10⁴ + 0.5)``, the %.4f contract lm_perplexity already
+       holds) so every later comparison is integer.
+    2. **histogram** — per-block (lang, b4) count partials → one groupby.
+       The histogram is bounded by langs × distinct fixed scores, never
+       doc count; the driver folds it (sorted) into a broadcast
+       rank-offset table: start[(lang, b4)] = docs of that lang with
+       strictly smaller score, and n[lang].
+    3. **assign** — docs shuffle once keyed (lang, b4); inside each tie
+       group a doc_id sort gives the within-tie index, and bucket =
+       ntile(start + idx, n[lang]) with exact SQL semantics (first n%3
+       buckets get the extra row). Tie groups are bounded by score
+       collisions, not corpus size.
+
+    Docs with no tokens drop (the SQL joins through the token stream)."""
+    from metareadability_ray.pipelines.webtext import _lm_model_parts
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if t:
+                toks.extend(re2_tokens(t))
+        if not toks:
+            return pa.table({"token": pa.array([], STR), "c": pa.array([], I64)})
+        u, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
+        return pa.table({"token": pa.array(u, STR), "c": pa.array(c, I64)})
+
+    model_ref, n_total, v_size = _lm_model_parts(
+        ds.select_columns(["text"]), count_partial
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        toks: list[str] = []
+        lang_of: dict[int, str | None] = {}
+        for did, t, lg in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            enc_null_key(batch.column("lang")).to_pylist(),
+        ):
+            if not t:
+                continue
+            parts = re2_tokens(t)
+            if parts:
+                lang_of[did] = lg
+            doc_ids.extend([did] * len(parts))
+            toks.extend(parts)
+        if not toks:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], I64),
+                    "__lang": pa.array([], STR),
+                    "b4": pa.array([], I64),
+                }
+            )
+        pairs, k = np.unique(
+            np.rec.fromarrays(
+                [np.asarray(doc_ids, np.int64), np.asarray(toks, dtype=object).astype(str)]
+            ),
+            return_counts=True,
+        )
+        c = (
+            lookup_take(model_ref, pa.array(pairs.f1.astype(object), STR), default=0)
+            .cast(I64)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        bits = -np.log2((c + 1.0) / float(n_total + v_size))
+        pd_ids = pairs.f0
+        starts = np.flatnonzero(np.concatenate(([True], pd_ids[1:] != pd_ids[:-1])))
+        ends = np.append(starts[1:], len(pd_ids))
+        out_d: list[int] = []
+        out_b: list[int] = []
+        for s, e in zip(starts, ends):
+            ks = k[s:e].astype(np.float64)
+            x = float((ks * bits[s:e]).sum()) / float(ks.sum())
+            out_d.append(int(pd_ids[s]))
+            out_b.append(int(np.floor(x * 10000.0 + 0.5)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, I64),
+                "__lang": pa.array([lang_of[d] for d in out_d], STR),
+                "b4": pa.array(out_b, I64),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- histogram → broadcast rank-offset table (driver holds histogram
+    # rows only: langs × distinct micro-bit scores)
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {"__lang": pa.array([], STR), "b4": pa.array([], I64), "cnt": pa.array([], I64)}
+            )
+        key = np.rec.fromarrays(
+            [
+                batch.column("__lang").to_numpy(zero_copy_only=False).astype(str),
+                batch.column("b4").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "__lang": pa.array(u.f0.astype(object), STR),
+                "b4": pa.array(u.f1, I64),
+                "cnt": pa.array(c, I64),
+            }
+        )
+
+    hist_tabs = [
+        b
+        for b in scored.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["__lang", "b4"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .iter_batches(batch_format="pyarrow")
+        if b.num_columns
+    ]
+    hschema = pa.schema([("__lang", STR), ("b4", I64), ("cnt", I64)])
+    hist = pa.concat_tables(hist_tabs) if hist_tabs else hschema.empty_table()
+    hist = hist.take(
+        pc.sort_indices(hist, sort_keys=[("__lang", "ascending"), ("b4", "ascending")])
+    )
+    hl = hist.column("__lang").to_numpy(zero_copy_only=False).astype(str)
+    hc = hist.column("cnt").to_numpy(zero_copy_only=False)
+    hb = hist.column("b4").to_numpy(zero_copy_only=False)
+    # per-lang exclusive cumsum = rank offset of each (lang, b4) tie group
+    csum = np.cumsum(hc) - hc
+    if len(hl):
+        lang_starts = np.flatnonzero(np.concatenate(([True], hl[1:] != hl[:-1])))
+        base = np.repeat(csum[lang_starts], np.diff(np.append(lang_starts, len(hl))))
+        start = csum - base
+        lang_u = hl[lang_starts]
+        lang_n = np.add.reduceat(hc, lang_starts)
+    else:
+        start = csum
+        lang_u = np.asarray([], dtype=str)
+        lang_n = np.asarray([], dtype=np.int64)
+    ckeys = pa.array([f"{l}\x00{b}" for l, b in zip(hl, hb)], STR)
+    start_ref = lookup_ref(ckeys, pa.array(start, I64))
+    n_ref = lookup_ref(
+        pa.array(lang_u.astype(object), STR), pa.array(lang_n.astype(np.int64), I64)
+    )
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{l}\x00{b}"
+            for l, b in zip(
+                batch.column("__lang").to_pylist(), batch.column("b4").to_pylist()
+            )
+        ]
+        return batch.append_column("__k", pa.array(keys, STR))
+
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=[("doc_id", "ascending")]))
+        m = g.num_rows
+        s = int(
+            lookup_take(start_ref, g.column("__k").slice(0, 1)).to_pylist()[0]
+        )
+        lang_enc = g.column("__lang")[0].as_py()
+        n = int(lookup_take(n_ref, g.column("__lang").slice(0, 1)).to_pylist()[0])
+        ranks = s + np.arange(m, dtype=np.int64)
+        q, r = divmod(n, 3)
+        if q == 0:  # fewer rows than buckets: bucket = rank + 1
+            bucket = ranks + 1
+        else:
+            big = r * (q + 1)
+            bucket = np.where(
+                ranks < big, ranks // (q + 1) + 1, r + (ranks - big) // q + 1
+            )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "__lang": pa.array([lang_enc] * m, STR),
+                "bucket": pa.array(bucket.astype(np.int64), I64),
+            }
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": dec_null_key(batch.column("__lang")),
+                "bucket": batch.column("bucket"),
+            }
+        )
+
+    keyed = scored.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = null_safe_map_groups(keyed, "__k", assign).map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return with_schema_seed(
+        out, pa.schema([("doc_id", I64), ("lang", STR), ("bucket", I64)])
+    )

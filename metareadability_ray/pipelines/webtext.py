@@ -822,6 +822,29 @@ def q_value_histogram(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ------------------------------------------- LM quality scoring (CCNet triad)
+def _lm_model_parts(ds: "ray.data.Dataset", count_partial):
+    """Train the add-one unigram LM: run the per-block (token, count)
+    combiner, sum with one vocabulary groupby, and broadcast the model
+    table once. Returns ``(model_ref, n_total, v_size)``. Shared by
+    :func:`q_lm_perplexity` and curation.q_ccnet_buckets so the two can
+    never drift on the model definition."""
+    from metareadability_ray.util import lookup_ref
+
+    vocab_batches = [
+        b
+        for b in ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .iter_batches(batch_format="pyarrow")
+        if b.num_columns
+    ]
+    _vocab_schema = pa.schema([("token", pa.string()), ("c", pa.int64())])
+    vocab = pa.concat_tables(vocab_batches) if vocab_batches else _vocab_schema.empty_table()
+    n_total = int(pc.sum(vocab.column("c")).as_py() or 0)
+    v_size = vocab.num_rows
+    return lookup_ref(vocab.column("token"), vocab.column("c")), n_total, v_size
+
+
 def q_lm_perplexity(sf_dir: str) -> "ray.data.Dataset":
     """Per-document language-model quality score: mean bits-per-token under
     an add-one-smoothed unigram LM trained on the corpus itself — the third
@@ -864,19 +887,7 @@ def q_lm_perplexity(sf_dir: str) -> "ray.data.Dataset":
         u, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
         return pa.table({"token": pa.array(u, pa.string()), "c": pa.array(c, pa.int64())})
 
-    vocab_batches = [
-        b
-        for b in ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("c", alias_name="c"))
-        .iter_batches(batch_format="pyarrow")
-        if b.num_columns
-    ]
-    _vocab_schema = pa.schema([("token", pa.string()), ("c", pa.int64())])
-    vocab = pa.concat_tables(vocab_batches) if vocab_batches else _vocab_schema.empty_table()
-    n_total = int(pc.sum(vocab.column("c")).as_py() or 0)
-    v_size = vocab.num_rows
-    model_ref = lookup_ref(vocab.column("token"), vocab.column("c"))
+    model_ref, n_total, v_size = _lm_model_parts(ds, count_partial)
 
     def score(batch: pa.Table) -> pa.Table:
         out_schema = {"doc_id": pa.int64(), "bits_per_token": pa.string()}

@@ -1710,3 +1710,50 @@ REGISTRY["hybrid_search_rrf"] = QASpec(
     """,
     "custom(hybrid-retrieval-rrf,Cormack-2009,bm25+cosine-fusion)",
 )
+
+# ------------------------------------------------------- curation policies
+from metareadability_ray.pipelines import curation as CU  # noqa: E402
+
+REGISTRY["source_cap_sample"] = QASpec(
+    CU.q_source_cap_sample,
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn <= 10
+    """,
+    "custom(domain-cap-quota,block-bottomk-prefilter)",
+)
+REGISTRY["mixture_weights"] = QASpec(
+    CU.q_mixture_weights,
+    r"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)
+    SELECT source, n_docs,
+           regexp_replace(printf('%.6f', pow(n_docs, 0.7) / z),
+                          '^-(0\.0+)$', '\1') AS weight,
+           CAST(floor(pow(n_docs, 0.7) / z * 10000 + 0.5) AS BIGINT) AS quota
+    FROM c CROSS JOIN t
+    """,
+    "custom(temperature-mixture,multinomial-source-weights)",
+)
+REGISTRY["ccnet_buckets"] = QASpec(
+    CU.q_ccnet_buckets,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+    dt AS (SELECT doc_id, token, count(*) AS k FROM toks GROUP BY doc_id, token),
+    gc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS n, count(DISTINCT token) AS v FROM toks),
+    bits AS (
+        SELECT dt.doc_id,
+               CAST(floor(sum(dt.k * -log2((gc.c + 1.0) / (tot.n + tot.v)))
+                          / sum(dt.k) * 10000 + 0.5) AS BIGINT) AS b4
+        FROM dt JOIN gc USING (token) CROSS JOIN tot
+        GROUP BY dt.doc_id)
+    SELECT b.doc_id, d.lang,
+           ntile(3) OVER (PARTITION BY d.lang ORDER BY b.b4, b.doc_id) AS bucket
+    FROM bits b JOIN documents d USING (doc_id)
+    """,
+    "custom(ccnet-head-middle-tail,Wenzek-2020,distributed-ntile)",
+)
