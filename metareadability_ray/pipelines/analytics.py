@@ -468,3 +468,94 @@ def q_hybrid_search_rrf(sf_dir: str) -> pa.Table:
             "rank_vec": pa.array(rv[order], I64, mask=rv[order] == 0),
         }
     )
+
+
+# ----------------------------------------------------------- Pareto skyline
+def skyline_mask(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier (maximize BOTH coordinates).
+
+    A point survives iff no other point is ≥ in both coordinates and > in at
+    least one; exact duplicates of a frontier point all survive (neither
+    dominates the other). Vectorized: one lexsort by (price desc, date desc),
+    per-price-group max dates, and a running max over strictly-greater price
+    groups — O(n log n), no pair matrix. The border/Kung-1975 skyline kernel."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-date, -price))
+    p, d = price[order], date[order]
+    new_grp = np.concatenate(([True], p[1:] != p[:-1]))
+    starts = np.flatnonzero(new_grp)
+    gidx = np.cumsum(new_grp) - 1
+    grp_max = np.maximum.reduceat(d, starts)
+    cum = np.maximum.accumulate(grp_max)
+    # max date among points with STRICTLY greater price (previous groups);
+    # the gidx==0 clause replaces a -inf sentinel so int64 dates (µs
+    # timestamps, exact beyond float64's 2^53) never round-trip through float
+    m1 = cum[np.maximum(gidx - 1, 0)]
+    keep_sorted = ((gidx == 0) | (d > m1)) & (d == grp_max[gidx])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def q_pareto_frontier(sf_dir: str) -> "ray.data.Dataset":
+    """Pareto-optimal orders: the skyline maximizing (o_totalprice,
+    o_orderdate) — no other order is both at-least-as-expensive and
+    at-least-as-recent with one strict (the classic skyline operator;
+    Börzsönyi et al. 2001 'The Skyline Operator').
+
+    Distributive containment makes it two cheap stages: skyline(corpus) ⊆
+    ∪ skyline(block) — a point dominated globally is dominated by some
+    point in its own block OR survives its block and loses in the merge —
+    so each block cuts to its local frontier (typically O(log n) points of
+    a block) and only those candidates reach the single final merge group.
+    No all-to-all: the shuffle carries block frontiers, never the table.
+    Output columns are SELECTED raw values (never computed), so the hash
+    compares without rounding. NULL price/date rows are excluded on both
+    sides (SQL dominance comparisons against NULL are NULL; the twin
+    filters them explicitly)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.is_valid(batch.column("o_totalprice")),
+            pc.is_valid(batch.column("o_orderdate")),
+        )
+        batch = batch.filter(valid)
+        if not batch.num_rows:
+            return batch
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        date = batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = skyline_mask(price, date)
+        return batch.filter(pa.array(keep))
+
+    def merge(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__g"])
+        out = local_skyline(group)
+        return out
+
+    cand = ds.map_batches(local_skyline, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        )
+
+    out = (
+        cand.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__g")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return with_schema_seed(
+        out,
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+    )

@@ -1757,3 +1757,18 @@ REGISTRY["ccnet_buckets"] = QASpec(
     """,
     "custom(ccnet-head-middle-tail,Wenzek-2020,distributed-ntile)",
 )
+from metareadability_ray.pipelines import analytics as AN2  # noqa: E402
+
+REGISTRY["pareto_frontier"] = QASpec(
+    AN2.q_pareto_frontier,
+    """
+    WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o x
+        WHERE x.o_totalprice >= o.o_totalprice AND x.o_orderdate >= o.o_orderdate
+          AND (x.o_totalprice > o.o_totalprice OR x.o_orderdate > o.o_orderdate))
+    """,
+    "custom(skyline,Borzsonyi-2001,block-frontier-combine)",
+)

@@ -341,6 +341,7 @@ def _run_both_rel(name: str, cust: pa.Table, orders: pa.Table, nation: pa.Table,
         "anti_join_customers", "topk_orders", "mode_priority",
         "collect_set_priorities", "rollup_orders", "grouping_sets_orders",
         "cube_orders", "three_way_join", "union_priority", "range_join_bands",
+        "pareto_frontier",
     ],
 )
 def test_query_conformance_on_generated_relational(ray_session, tmp_path_factory, name):

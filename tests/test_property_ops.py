@@ -222,3 +222,38 @@ def test_grouping_levels_sums_consistent():
         assert int(df[df.a.isna() & df.b.notna()].n.sum()) == total, trial
         grand = df[df.a.isna() & df.b.isna()]
         assert len(grand) == 1 and int(grand.n.iloc[0]) == total, trial
+
+
+def test_skyline_mask_matches_bruteforce():
+    """skyline_mask == the O(n²) dominance definition, including duplicate
+    points (all duplicates of a frontier point survive) and single-axis ties."""
+    import numpy as np
+
+    from metareadability_ray.pipelines.analytics import skyline_mask
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=0, max_size=24
+        )
+    )
+    def inner(pts):
+        p = np.asarray([a for a, _ in pts], dtype=np.float64)
+        d = np.asarray([b for _, b in pts], dtype=np.int64)
+        got = skyline_mask(p, d)
+        n = len(pts)
+        want = np.asarray(
+            [
+                not any(
+                    p[j] >= p[i] and d[j] >= d[i] and (p[j] > p[i] or d[j] > d[i])
+                    for j in range(n)
+                )
+                for i in range(n)
+            ],
+            dtype=bool,
+        )
+        assert (got == want).all()
+
+    inner()
