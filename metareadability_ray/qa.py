@@ -1772,3 +1772,9 @@ REGISTRY["pareto_frontier"] = QASpec(
     """,
     "custom(skyline,Borzsonyi-2001,block-frontier-combine)",
 )
+REGISTRY["pq_topk"] = QASpec(
+    V.q_pq_topk, None, "custom(product-quantization,Jegou-2011,ADC-topk)"
+)
+REGISTRY["mmr_select"] = QASpec(
+    V.q_mmr_select, None, "custom(maximal-marginal-relevance,Carbonell-1998)"
+)

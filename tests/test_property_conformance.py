@@ -605,7 +605,7 @@ _ROWS_ONLY_DOCS = [
     "media_features", "media_frame_sample", "pdf_layout_spans", "extract_pages",
 ]
 _ROWS_ONLY_EVENTS = ["hll_distinct_users", "similar_users_sketch"]
-_ROWS_ONLY_EMB = ["lsh_bucket_stats", "lsh_neardup_pairs", "semdedup", "quantize_int8", "pca_project", "ivf_topk"]
+_ROWS_ONLY_EMB = ["lsh_bucket_stats", "lsh_neardup_pairs", "semdedup", "quantize_int8", "pca_project", "ivf_topk", "pq_topk", "mmr_select"]
 
 
 def _smoke(name, d):
