@@ -172,6 +172,13 @@ BENCH_QUERIES = [
     "decayed_user_score",
     "sliding_distinct_users",
     "hybrid_search_rrf",
+    # Round-4 curation/skyline/PQ batch
+    "source_cap_sample",
+    "mixture_weights",
+    "ccnet_buckets",
+    "pareto_frontier",
+    "pq_topk",
+    "mmr_select",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",
