@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "pareto_frontier",
     "pq_topk",
     "mmr_select",
+    "dup_span_rewrite",
+    "dsir_weights",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -352,3 +352,97 @@ def q_ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
     return with_schema_seed(
         out, pa.schema([("doc_id", I64), ("lang", STR), ("bucket", I64)])
     )
+
+
+# ------------------------------------------------- DSIR importance weights
+def q_dsir_weights(sf_dir: str, target_lang: str = "en") -> "ray.data.Dataset":
+    """DSIR (Xie et al., 2023, 'Data Selection for Language Models via
+    Importance Resampling'): per-document log importance weight
+    log w(doc) = Σ_t k_t · (ln p_target(t) − ln p_source(t)) under add-one
+    unigram models of the target slice (here: lang = ``target_lang``) and
+    the full corpus — the score that upweights raw-web documents that look
+    like the target distribution before Gumbel-top-k resampling.
+
+    Both models are the shared :func:`webtext._lm_model_parts` builder
+    (vocabulary-groupby + one broadcast each; at 10^12 docs the broadcast
+    is bounded by vocabulary with the same count-cut disclosure as
+    lm_perplexity). The score pass reads the text once and does two
+    vectorized lookups per distinct (doc, token). An empty target slice
+    degrades to p_target ≡ 1 (smoothing denominator clamped to ≥1 on both
+    engines) rather than ±inf. Docs with no tokens drop; %.4f printing
+    absorbs engine summation-order ulps."""
+    from metareadability_ray.pipelines.relational import fmt_fixed
+    from metareadability_ray.pipelines.webtext import _lm_model_parts
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            if t:
+                toks.extend(re2_tokens(t))
+        if not toks:
+            return pa.table({"token": pa.array([], STR), "c": pa.array([], I64)})
+        u, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
+        return pa.table({"token": pa.array(u, STR), "c": pa.array(c, I64)})
+
+    src_ref, src_n, src_v = _lm_model_parts(ds.select_columns(["text"]), count_partial)
+
+    def only_target(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("lang"), target_lang)).select(["text"])
+
+    tgt_ref, tgt_n, tgt_v = _lm_model_parts(
+        ds.map_batches(only_target, batch_format="pyarrow", zero_copy_batch=True),
+        count_partial,
+    )
+    src_den = float(max(src_n + src_v, 1))
+    tgt_den = float(max(tgt_n + tgt_v, 1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        toks: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            parts = re2_tokens(t)
+            doc_ids.extend([did] * len(parts))
+            toks.extend(parts)
+        if not toks:
+            return pa.table(
+                {"doc_id": pa.array([], I64), "log_ratio": pa.array([], STR)}
+            )
+        pairs, k = np.unique(
+            np.rec.fromarrays(
+                [np.asarray(doc_ids, np.int64), np.asarray(toks, dtype=object).astype(str)]
+            ),
+            return_counts=True,
+        )
+        tok_arr = pa.array(pairs.f1.astype(object), STR)
+        cs = (
+            lookup_take(src_ref, tok_arr, default=0)
+            .cast(I64).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        ct = (
+            lookup_take(tgt_ref, tok_arr, default=0)
+            .cast(I64).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        term = np.log((ct + 1.0) / tgt_den) - np.log((cs + 1.0) / src_den)
+        pd_ids = pairs.f0
+        starts = np.flatnonzero(np.concatenate(([True], pd_ids[1:] != pd_ids[:-1])))
+        ends = np.append(starts[1:], len(pd_ids))
+        out_d = [int(pd_ids[s]) for s in starts]
+        out_w = [
+            float((k[s:e].astype(np.float64) * term[s:e]).sum())
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, I64),
+                "log_ratio": fmt_fixed(pa.array(out_w, pa.float64()), 4),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return with_schema_seed(out, pa.schema([("doc_id", I64), ("log_ratio", STR)]))

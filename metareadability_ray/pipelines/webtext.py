@@ -1065,51 +1065,41 @@ def q_chunk_documents(
 _SPAN_K = 4
 
 
-def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
-    """Exact-substring dedup accounting (Lee et al., 2022, "Deduplicating
-    Training Data Makes Language Models Better"): per document, how many
-    tokens sit inside a ``k``-token span that also occurs verbatim in
-    ANOTHER document. Differs from the CCNet chunk family: spans are
-    SLIDING k-grams (every offset), so coverage catches duplicated passages
-    at any alignment, not just on chunk boundaries.
+def _span_batch_grams(
+    batch: pa.Table, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, start_offset_0based, gram) for every sliding k-gram."""
+    doc_ids: list[int] = []
+    offs: list[int] = []
+    grams: list[str] = []
+    for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        if not t:
+            continue
+        toks = re2_tokens(t)
+        if len(toks) < k:
+            continue
+        gs = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        doc_ids.extend([did] * len(gs))
+        offs.extend(range(len(gs)))
+        grams.extend(gs)
+    return (
+        np.asarray(doc_ids, dtype=np.int64),
+        np.asarray(offs, dtype=np.int64),
+        np.asarray(grams, dtype=object),
+    )
 
-    Scale shape: the cross-doc duplicated-gram set is built with the same
-    hash-first two-phase discipline as :func:`q_common_chunks` — phase 1
-    shuffles only (u64 gram-hash, partial-df) per distinct gram per block
-    (Lee et al.'s suffix array is replaced by the hash-df set, which is the
-    corpus-bounded object here), phase 2 recounts candidates BY STRING so
-    hash collisions cannot create false duplicates; the final set (bounded
-    by the duplicated vocabulary, not the corpus) broadcasts once via
-    ``ray.put``. Coverage is then a per-batch kernel: a doc is one row, so
-    token coverage needs a difference-array sweep per doc and no shuffle.
-    """
-    from metareadability_ray.util import with_schema_seed
 
-    def _batch_grams(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_id, start_offset_0based, gram) for every sliding k-gram."""
-        doc_ids: list[int] = []
-        offs: list[int] = []
-        grams: list[str] = []
-        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
-                continue
-            toks = re2_tokens(t)
-            if len(toks) < k:
-                continue
-            gs = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
-            doc_ids.extend([did] * len(gs))
-            offs.extend(range(len(gs)))
-            grams.extend(gs)
-        return (
-            np.asarray(doc_ids, dtype=np.int64),
-            np.asarray(offs, dtype=np.int64),
-            np.asarray(grams, dtype=object),
-        )
-
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+def _dup_gram_ref(ds: "ray.data.Dataset", k: int):
+    """Broadcast ref of the cross-doc duplicated k-gram set, built with the
+    hash-first two-phase discipline shared by the Lee-2022 span family
+    (stats + rewrite use THIS one builder so their dup-set definition cannot
+    drift): phase 1 shuffles only (u64 gram-hash, partial-df) per distinct
+    gram per block; phase 2 recounts the ≥2-doc candidates BY STRING so a
+    hash collision can never mark a unique gram duplicated. The final set is
+    bounded by the duplicated vocabulary, never the corpus."""
 
     def phase1_partial(batch: pa.Table) -> pa.Table:
-        doc_ids, _, grams = _batch_grams(batch)
+        doc_ids, _, grams = _span_batch_grams(batch, k)
         if len(grams) == 0:
             return _empty({"h": pa.int64(), "n_docs": pa.int64(), "__b": pa.int64()})
         hs = _stable_hash64(grams)
@@ -1144,7 +1134,7 @@ def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
 
     # phase 2: exact string recount of candidate grams only (collision filter)
     def phase2_partial(batch: pa.Table) -> pa.Table:
-        doc_ids, _, grams = _batch_grams(batch)
+        doc_ids, _, grams = _span_batch_grams(batch, k)
         if len(grams) == 0:
             return _empty({"gram": pa.string(), "n_docs": pa.int64()})
         hs = _stable_hash64(grams)
@@ -1169,7 +1159,31 @@ def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
         else _empty({"gram": pa.string(), "n_docs": pa.int64()})
     )
     gcol = dup.column("gram")
-    dup_ref = ray.put(gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol)
+    return ray.put(gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol)
+
+
+def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
+    """Exact-substring dedup accounting (Lee et al., 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, how many
+    tokens sit inside a ``k``-token span that also occurs verbatim in
+    ANOTHER document. Differs from the CCNet chunk family: spans are
+    SLIDING k-grams (every offset), so coverage catches duplicated passages
+    at any alignment, not just on chunk boundaries.
+
+    Scale shape: the cross-doc duplicated-gram set is built with the same
+    hash-first two-phase discipline as :func:`q_common_chunks` — phase 1
+    shuffles only (u64 gram-hash, partial-df) per distinct gram per block
+    (Lee et al.'s suffix array is replaced by the hash-df set, which is the
+    corpus-bounded object here), phase 2 recounts candidates BY STRING so
+    hash collisions cannot create false duplicates; the final set (bounded
+    by the duplicated vocabulary, not the corpus) broadcasts once via
+    ``ray.put``. Coverage is then a per-batch kernel: a doc is one row, so
+    token coverage needs a difference-array sweep per doc and no shuffle.
+    """
+    from metareadability_ray.util import with_schema_seed
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    dup_ref = _dup_gram_ref(ds, k)
 
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("n_dup_tokens", pa.int64())]
@@ -1223,6 +1237,74 @@ def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
 
     return with_schema_seed(
         ds.map_batches(coverage, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+def q_dup_span_rewrite(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
+    """The Lee-2022 exact-substring dedup REWRITE: every token inside a
+    cross-doc duplicated sliding k-gram span is REMOVED from the document
+    (the ExactSubstr deduplication the paper actually applies to training
+    text, where :func:`q_dup_span_stats` is its accounting twin). Output
+    text is the space-join of surviving tokens — whitespace-normalized, the
+    same contract as para_dedup_rewrite.
+
+    Same two-phase hash-first dup-set builder as the stats query (shared
+    :func:`_dup_gram_ref`, so the span definition cannot drift), then one
+    zero-shuffle per-batch rewrite pass: the difference-array coverage
+    sweep yields a keep mask per doc and the text moves through the
+    pipeline exactly once. Docs with tokens but full coverage emit an
+    empty string (a fully-duplicated doc keeps its row — dropping is a
+    separate policy); tokenless/NULL docs drop, matching the stats query."""
+    from metareadability_ray.util import with_schema_seed
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    dup_ref = _dup_gram_ref(ds, k)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("clean_text", pa.string())])
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_t: list[str] = []
+        docs: list[tuple[int, list[str], int]] = []  # (doc_id, toks, n_grams)
+        grams: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            L = len(toks)
+            if L == 0:
+                continue
+            gs = [" ".join(toks[j : j + k]) for j in range(L - k + 1)] if L >= k else []
+            docs.append((did, toks, len(gs)))
+            grams.extend(gs)
+        hit = (
+            np.asarray(keyset_mask(dup_ref, pa.array(grams, pa.string())))
+            if grams
+            else np.empty(0, dtype=bool)
+        )
+        pos = 0
+        for did, toks, ng in docs:
+            L = len(toks)
+            out_d.append(did)
+            if ng == 0:
+                out_t.append(" ".join(toks))
+                continue
+            diff = np.zeros(L + 1, dtype=np.int64)
+            starts = np.flatnonzero(hit[pos : pos + ng])
+            pos += ng
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + k, -1)
+            covered = np.cumsum(diff[:L]) > 0
+            out_t.append(" ".join(tok for tok, c in zip(toks, covered) if not c))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "clean_text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True), out_schema
     )
 
 

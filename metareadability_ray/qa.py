@@ -1778,3 +1778,50 @@ REGISTRY["pq_topk"] = QASpec(
 REGISTRY["mmr_select"] = QASpec(
     V.q_mmr_select, None, "custom(maximal-marginal-relevance,Carbonell-1998)"
 )
+REGISTRY["dup_span_rewrite"] = QASpec(
+    W.q_dup_span_rewrite,
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                  WHERE text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
+         g AS (SELECT doc_id, g.i AS i, array_to_string(t[g.i:g.i+3], ' ') AS gram
+               FROM toks, UNNEST(generate_series(1, length(t) - 3, 1)) AS g(i)),
+         common AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT d.doc_id, d.i + u.o AS j
+                 FROM (SELECT doc_id, i FROM g
+                       WHERE gram IN (SELECT gram FROM common)) d,
+                      UNNEST(generate_series(0, 3)) AS u(o)),
+         tp AS (SELECT doc_id, s.i AS i, t[s.i] AS w
+                FROM toks, UNNEST(generate_series(1, length(t), 1)) AS s(i))
+    SELECT tp.doc_id,
+           coalesce(string_agg(tp.w, ' ' ORDER BY tp.i)
+                        FILTER (WHERE cov.j IS NULL), '') AS clean_text
+    FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.j
+    GROUP BY tp.doc_id
+    """,
+    "custom(exact-substring-dedup-rewrite,Lee-2022,shared-dup-set-builder)",
+)
+REGISTRY["dsir_weights"] = QASpec(
+    CU.q_dsir_weights,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents),
+    dt AS (SELECT doc_id, token, count(*) AS k FROM toks GROUP BY doc_id, token),
+    src AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    stot AS (SELECT count(*) AS n, count(DISTINCT token) AS v FROM toks),
+    tgt AS (SELECT token, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY token),
+    ttot AS (SELECT count(*) AS n, count(DISTINCT token) AS v
+             FROM toks WHERE lang = 'en')
+    SELECT dt.doc_id,
+           regexp_replace(
+               printf('%.4f',
+                   sum(dt.k * (ln((coalesce(tg.c, 0) + 1.0) / greatest(ttot.n + ttot.v, 1))
+                             - ln((src.c + 1.0) / greatest(stot.n + stot.v, 1))))),
+               '^-(0\.0+)$', '\1') AS log_ratio
+    FROM dt JOIN src USING (token) LEFT JOIN tgt tg USING (token)
+    CROSS JOIN stot CROSS JOIN ttot
+    GROUP BY dt.doc_id
+    """,
+    "custom(dsir-importance-resampling,Xie-2023,dual-broadcast-lm)",
+)
