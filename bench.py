@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "mmr_select",
     "dup_span_rewrite",
     "dsir_weights",
+    "centroid_confusion",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1422,3 +1422,104 @@ def mmr_select(
 
 def q_mmr_select(sf_dir: str) -> pa.Table:
     return mmr_select(sf_dir, query_id=0, k=10, lam=0.6, pool=64)
+
+
+# ------------------------------------------------ nearest-centroid classifier
+def q_centroid_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Nearest-centroid classification audit: assign every embedding to the
+    closest per-label mean vector (L2; ties to the lowest label) and report
+    the (true label, predicted label, count) confusion matrix — the
+    classic Rocchio/nearest-class-mean sanity check run over a labeled
+    embedding table before trusting the labels downstream.
+
+    Centroids come from one pass of per-block (label, Σvec, n) partials →
+    a label-cardinality groupby → a broadcast k×d matrix; assignment is a
+    second streaming pass with one (n, k) distance matmul per batch — the
+    corpus never shuffles, only (label, pred) count partials do. Distances
+    fix to nano-units (``floor(d²·10⁹ + 0.5)``) on BOTH engines before the
+    argmin so summation-order ulps cannot flip a tie-break (the ccnet
+    micro-bits precedent); ties then break to the lowest label identically."""
+    from metareadability_ray.util import with_schema_seed
+
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["label", "embedding"])
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(labels)
+        sums = np.zeros((len(u), M.shape[1]), dtype=np.float64)
+        idx = np.searchsorted(u, labels)
+        np.add.at(sums, idx, M)
+        counts = np.bincount(idx, minlength=len(u))
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "vsum": pa.array([s.tolist() for s in sums], pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def cent_reduce(group: pa.Table) -> pa.Table:
+        vs = np.asarray(group.column("vsum").to_pylist(), dtype=np.float64).sum(axis=0)
+        return pa.table(
+            {
+                "label": group.column("label").slice(0, 1),
+                "vsum": pa.array([vs.tolist()], pa.list_(pa.float64())),
+                "n": pa.array([int(pc.sum(group.column("n")).as_py())], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(cent_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(cent_reduce, batch_format="pyarrow")
+        .take_all()  # ≤ label-cardinality tiny rows
+    )
+    if not rows:
+        return with_schema_seed(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "label": pa.array([], pa.int64()),
+                        "pred_label": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            ),
+            pa.schema([("label", pa.int64()), ("pred_label", pa.int64()), ("n", pa.int64())]),
+        )
+    rows.sort(key=lambda r: r["label"])
+    c_labels = np.asarray([r["label"] for r in rows], dtype=np.int64)
+    C = np.asarray(
+        [np.asarray(r["vsum"]) / max(r["n"], 1) for r in rows], dtype=np.float64
+    )
+    c_ref = ray.put((c_labels, C))
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        cl, Cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        M = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        # (n, k) squared L2, nano-fixed before argmin (labels sorted asc →
+        # np.argmin's first-minimum rule IS the lowest-label tie-break)
+        d2 = ((M[:, None, :] - Cm[None]) ** 2).sum(axis=2)
+        d2f = np.floor(d2 * 1e9 + 0.5).astype(np.int64)
+        pred = cl[d2f.argmin(axis=1)]
+        key = np.rec.fromarrays([labels, pred])
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "label": pa.array(u.f0, pa.int64()),
+                "pred_label": pa.array(u.f1, pa.int64()),
+                "n": pa.array(c, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "pred_label"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return with_schema_seed(
+        out,
+        pa.schema([("label", pa.int64()), ("pred_label", pa.int64()), ("n", pa.int64())]),
+    )

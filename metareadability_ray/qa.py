@@ -1825,3 +1825,24 @@ REGISTRY["dsir_weights"] = QASpec(
     """,
     "custom(dsir-importance-resampling,Xie-2023,dual-broadcast-lm)",
 )
+REGISTRY["centroid_confusion"] = QASpec(
+    V.q_centroid_confusion,
+    """
+    WITH dims AS (
+        SELECT vec_id, label, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, length(embedding), 1)) AS s(i)),
+    cent AS (SELECT label AS c_label, i, avg(x) AS m FROM dims GROUP BY label, i),
+    dist AS (SELECT d.vec_id, d.label, c.c_label,
+                    CAST(floor(sum((d.x - c.m) * (d.x - c.m)) * 1000000000 + 0.5)
+                         AS BIGINT) AS d2f
+             FROM dims d JOIN cent c USING (i)
+             GROUP BY d.vec_id, d.label, c.c_label),
+    pred AS (SELECT vec_id, label,
+                    (array_agg(c_label ORDER BY d2f, c_label))[1] AS pred_label
+             FROM dist GROUP BY vec_id, label)
+    SELECT CAST(label AS BIGINT) AS label, CAST(pred_label AS BIGINT) AS pred_label,
+           count(*) AS n
+    FROM pred GROUP BY label, pred_label
+    """,
+    "custom(nearest-centroid-confusion,Rocchio,broadcast-centroids)",
+)

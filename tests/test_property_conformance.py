@@ -554,7 +554,8 @@ def _run_both_emb(name, emb, docs, tmp_path_factory) -> None:
 
 
 @pytest.mark.parametrize(
-    "name", ["knn_bruteforce", "neardup_cosine", "label_stats", "label_centroids"]
+    "name", ["knn_bruteforce", "neardup_cosine", "label_stats", "label_centroids",
+             "centroid_confusion"]
 )
 def test_query_conformance_on_generated_embeddings(ray_session, tmp_path_factory, name):
     @settings(max_examples=max(6, _N_EX * 6 // 8), deadline=None,
