@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "dup_span_rewrite",
     "dsir_weights",
     "centroid_confusion",
+    "filter_funnel",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

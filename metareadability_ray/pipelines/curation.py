@@ -446,3 +446,101 @@ def q_dsir_weights(sf_dir: str, target_lang: str = "en") -> "ray.data.Dataset":
 
     out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return with_schema_seed(out, pa.schema([("doc_id", I64), ("log_ratio", STR)]))
+
+
+# ---------------------------------------------------------- filter funnel
+def q_filter_funnel(
+    sf_dir: str, min_words: int = 1, stop_min: int = 1
+) -> pa.Table:
+    """Curation-funnel report: documents surviving each stage of the
+    ordered filter chain — the accounting table every production curation
+    run publishes (how much did each rule cost?). Stages:
+
+    0. ``0_all`` — corpus rows.
+    1. ``1_tokens`` — has ≥1 token (NULL/empty text drops).
+    2. ``2_quality`` — the Gopher word-shape rules via the SHARED
+       webtext._gopher_counts arithmetic (mean word length in [3, 10],
+       ≥80% alphabetic words, ≥``stop_min`` distinct stop words,
+       ≥``min_words`` words). The word-count floor is parameterized and
+       defaults to 1 here because the synthetic corpus is short-doc; a
+       production run passes the Rae-2021 [50, 100k] window.
+    3. ``3_unique_spans`` — additionally carries NO cross-doc duplicated
+       sliding 4-gram (the Lee-2022 dup set via the shared
+       :func:`webtext._dup_gram_ref` builder).
+
+    One pass computes every per-doc flag locally (the dup probe is a
+    broadcast keyset hit, same as dup_span_stats); each block contributes
+    ONE row of 4 counters, so the driver folds blocks — never documents.
+    """
+    from metareadability_ray.pipelines.webtext import (
+        _dup_gram_ref,
+        _gopher_counts,
+    )
+
+    k = 4
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    dup_ref = _dup_gram_ref(ds, k)
+    from metareadability_ray.util import keyset_mask
+
+    def flags_partial(batch: pa.Table) -> pa.Table:
+        s0 = batch.num_rows
+        s1 = s2 = s3 = 0
+        docs: list[tuple[int, int, int]] = []  # (quality, n_grams); s1 inline
+        grams: list[str] = []
+        quals: list[int] = []
+        ngs: list[int] = []
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            L = len(toks)
+            if L == 0:
+                continue
+            s1 += 1
+            n, wc, na, ns, _ = _gopher_counts(toks)
+            q = int(
+                n >= min_words
+                and 3 * n <= wc <= 10 * n
+                and 5 * na >= 4 * n
+                and ns >= stop_min
+            )
+            s2 += q
+            gs = [" ".join(toks[j : j + k]) for j in range(L - k + 1)] if L >= k else []
+            quals.append(q)
+            ngs.append(len(gs))
+            grams.extend(gs)
+        hit = (
+            np.asarray(keyset_mask(dup_ref, pa.array(grams, STR)))
+            if grams
+            else np.empty(0, dtype=bool)
+        )
+        pos = 0
+        for q, ng in zip(quals, ngs):
+            isdup = bool(hit[pos : pos + ng].any())
+            pos += ng
+            if q and not isdup:
+                s3 += 1
+        return pa.table(
+            {
+                "s0": pa.array([s0], I64),
+                "s1": pa.array([s1], I64),
+                "s2": pa.array([s2], I64),
+                "s3": pa.array([s3], I64),
+            }
+        )
+
+    totals = np.zeros(4, dtype=np.int64)
+    for b in ds.map_batches(
+        flags_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_columns:
+            for i, c in enumerate(("s0", "s1", "s2", "s3")):
+                totals[i] += int(pc.sum(b.column(c)).as_py() or 0)
+    return pa.table(
+        {
+            "stage": pa.array(
+                ["0_all", "1_tokens", "2_quality", "3_unique_spans"], STR
+            ),
+            "n_surviving": pa.array(totals, I64),
+        }
+    )

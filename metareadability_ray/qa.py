@@ -1846,3 +1846,35 @@ REGISTRY["centroid_confusion"] = QASpec(
     """,
     "custom(nearest-centroid-confusion,Rocchio,broadcast-centroids)",
 )
+REGISTRY["filter_funnel"] = QASpec(
+    CU.q_filter_funnel,
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+         w AS (SELECT doc_id, u.w AS w FROM toks, UNNEST(t) AS u(w)),
+         agg AS (SELECT doc_id, count(*) AS n,
+                        CAST(sum(length(w)) AS BIGINT) AS wc,
+                        count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]')) AS na,
+                        CAST(count(DISTINCT CASE WHEN lower(w) IN
+                          ('the','be','to','of','and','that','have','with')
+                          THEN lower(w) END) AS BIGINT) AS ns
+                 FROM w GROUP BY doc_id),
+         g AS (SELECT doc_id, g.i AS i, array_to_string(t[g.i:g.i+3], ' ') AS gram
+               FROM toks, UNNEST(generate_series(1, length(t) - 3, 1)) AS g(i)),
+         common AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+         dup AS (SELECT DISTINCT doc_id FROM g
+                 WHERE gram IN (SELECT gram FROM common)),
+         f AS (SELECT agg.*,
+                      CASE WHEN agg.doc_id IN (SELECT doc_id FROM dup)
+                           THEN 1 ELSE 0 END AS isdup
+               FROM agg)
+    SELECT '0_all' AS stage, count(*) AS n_surviving FROM documents
+    UNION ALL SELECT '1_tokens', count(*) FROM f
+    UNION ALL SELECT '2_quality', count(*) FROM f
+        WHERE n >= 1 AND wc BETWEEN 3 * n AND 10 * n AND 5 * na >= 4 * n AND ns >= 1
+    UNION ALL SELECT '3_unique_spans', count(*) FROM f
+        WHERE n >= 1 AND wc BETWEEN 3 * n AND 10 * n AND 5 * na >= 4 * n AND ns >= 1
+          AND isdup = 0
+    """,
+    "custom(curation-funnel,gopher+lee2022-composed,per-block-counter-fold)",
+)

@@ -148,7 +148,7 @@ _PROP = dict(
         "prefix_jaccard_join", "triangle_count", "bm25_topk", "source_js_divergence",
         "collocations_pmi",
         "source_cap_sample", "mixture_weights", "ccnet_buckets",
-        "dup_span_rewrite", "dsir_weights",
+        "dup_span_rewrite", "dsir_weights", "filter_funnel",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
