@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "centroid_confusion",
     "filter_funnel",
+    "winnow_pairs",
+    "log_odds_keywords",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -290,3 +290,171 @@ def source_js_divergence(sf_dir: str) -> pa.Table:
 
 def q_source_js_divergence(sf_dir: str) -> pa.Table:
     return source_js_divergence(sf_dir)
+
+
+# ------------------------------------------------- log-odds keyword mining
+def log_odds_keywords(sf_dir: str, k: int = 5) -> pa.Table:
+    """Per-source distinctive terms: the top-``k`` tokens of every source by
+    smoothed log-odds ratio vs the REST of the corpus (the Monroe et al.
+    2008 'Fightin' Words' statistic with add-one smoothing) — the standard
+    "what makes this source different" report run before deciding mixture
+    weights. NULL sources are excluded, as in source_js_divergence.
+
+    lor(s, w) = ln((c_sw+1)/(n_s−c_sw+1)) − ln((c_rw+1)/(n_r−c_rw+1)),
+    written as the IDENTICAL expression in the SQL twin so the doubles
+    match bit-for-bit (the BM25 explicit-expression precedent); ties break
+    token-ascending.
+
+    Shape: per-block (source, token, count) combiner rows shuffle ONCE
+    bucketed by token hash — a token's complete counts land in one bucket,
+    so each bucket computes exact lor for its tokens (per-source totals and
+    the corpus total are a tiny broadcast aggregate) and pre-cuts to its
+    per-source top-k; the driver merges ≤ k·sources·buckets candidate rows
+    (the _block_topk containment argument), never the vocabulary."""
+    from metareadability_ray.functions.scalars import stable_hash64
+    from metareadability_ray.util import lookup_ref, lookup_take
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def combine_block(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        toks: list[str] = []
+        for s, t in zip(batch.column("source").to_pylist(), batch.column("text").to_pylist()):
+            if s is None:
+                continue
+            tt = re2_tokens(t)
+            srcs.extend([s] * len(tt))
+            toks.extend(tt)
+        if not srcs:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "c": pa.array([], I64),
+                    "__b": pa.array([], I64),
+                }
+            )
+        key = np.rec.fromarrays(
+            [np.asarray(srcs, dtype=object).astype(str), np.asarray(toks, dtype=object).astype(str)]
+        )
+        u, c = np.unique(key, return_counts=True)
+        hs = stable_hash64(u.f1.astype(object))
+        return pa.table(
+            {
+                "source": pa.array(u.f0.astype(object), pa.string()),
+                "tok": pa.array(u.f1.astype(object), pa.string()),
+                "c": pa.array(c, I64),
+                "__b": pa.array(hs % np.int64(_PAIR_BUCKETS), I64),
+            }
+        )
+
+    combined = ds.map_batches(combine_block, batch_format="pyarrow", zero_copy_batch=True)
+
+    # tiny per-source totals (bounded by source cardinality) + corpus total
+    ns_tabs = [
+        b
+        for b in combined.map_batches(
+            lambda t: pa.table(
+                {"source": t.column("source"), "n": t.column("c")}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+        if b.num_columns
+    ]
+    ns_schema = pa.schema([("source", pa.string()), ("n", I64)])
+    ns = pa.concat_tables(ns_tabs) if ns_tabs else ns_schema.empty_table()
+    n_total = int(pc.sum(ns.column("n")).as_py() or 0)
+    ns_ref = lookup_ref(ns.column("source"), ns.column("n"))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        g = group
+        toks = g.column("tok").to_numpy(zero_copy_only=False).astype(str)
+        srcs = g.column("source").to_numpy(zero_copy_only=False).astype(str)
+        cs = g.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        # sum the per-BLOCK partials into complete (source, token) counts
+        order = np.lexsort((srcs, toks))
+        toks, srcs, cs = toks[order], srcs[order], cs[order]
+        new_pair = np.concatenate(
+            ([True], (toks[1:] != toks[:-1]) | (srcs[1:] != srcs[:-1]))
+        )
+        p_starts = np.flatnonzero(new_pair)
+        cs = np.add.reduceat(cs, p_starts)
+        toks, srcs = toks[p_starts], srcs[p_starts]
+        # per-token totals within the bucket (a token's counts are complete here)
+        starts = np.flatnonzero(np.concatenate(([True], toks[1:] != toks[:-1])))
+        tt = np.repeat(np.add.reduceat(cs, starts), np.diff(np.append(starts, len(toks))))
+        n_s = (
+            lookup_take(ns_ref, pa.array(srcs, pa.string()), default=0)
+            .cast(I64)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n_r = float(n_total) - n_s
+        c_r = tt - cs
+        lor = np.log((cs + 1.0) / (n_s - cs + 1.0)) - np.log((c_r + 1.0) / (n_r - c_r + 1.0))
+        # per-source top-k pre-cut (containment: global per-source top-k is
+        # in the union of bucket per-source top-ks)
+        out_idx: list[int] = []
+        so = np.lexsort((toks, -lor, srcs))
+        s_sorted = srcs[so]
+        b_starts = np.flatnonzero(np.concatenate(([True], s_sorted[1:] != s_sorted[:-1])))
+        b_ends = np.append(b_starts[1:], len(so))
+        for s, e in zip(b_starts, b_ends):
+            out_idx.extend(so[s : min(e, s + k)])
+        idx = np.asarray(out_idx, dtype=np.int64)
+        return pa.table(
+            {
+                "source": pa.array(srcs[idx], pa.string()),
+                "token": pa.array(toks[idx], pa.string()),
+                "lor": pa.array(lor[idx], F64),
+            }
+        )
+
+    cand_tabs = [
+        b
+        for b in combined.groupby("__b")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "r": pa.array([], I64),
+            "log_odds": pa.array([], pa.string()),
+        }
+    )
+    if not cand_tabs:
+        return empty
+    cand = pa.concat_tables(cand_tabs)
+    srcs = cand.column("source").to_numpy(zero_copy_only=False).astype(str)
+    toks = cand.column("token").to_numpy(zero_copy_only=False).astype(str)
+    lor = cand.column("lor").to_numpy(zero_copy_only=False)
+    so = np.lexsort((toks, -lor, srcs))
+    s_sorted = srcs[so]
+    b_starts = np.flatnonzero(np.concatenate(([True], s_sorted[1:] != s_sorted[:-1])))
+    b_ends = np.append(b_starts[1:], len(so))
+    out_idx: list[int] = []
+    ranks: list[int] = []
+    for s, e in zip(b_starts, b_ends):
+        take = so[s : min(e, s + k)]
+        out_idx.extend(take)
+        ranks.extend(range(1, len(take) + 1))
+    idx = np.asarray(out_idx, dtype=np.int64)
+    return pa.table(
+        {
+            "source": pa.array(srcs[idx], pa.string()),
+            "token": pa.array(toks[idx], pa.string()),
+            "r": pa.array(ranks, I64),
+            "log_odds": fmt_fixed(pa.array(lor[idx], F64), 4),
+        }
+    )
+
+
+def q_log_odds_keywords(sf_dir: str) -> pa.Table:
+    return log_odds_keywords(sf_dir, k=5)

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
-from metareadability_ray.functions.scalars import re2_tokens
+from metareadability_ray.functions.scalars import re2_tokens, stable_hash64
 from metareadability_ray.util import auto_actor_concurrency
 
 _TOKEN_RE = r"\S+"
@@ -539,6 +539,31 @@ def q_redact_pii(sf_dir: str) -> "ray.data.Dataset":
 
 
 # --------------------------------------------------------- winnowing fingerprint
+def winnow_mins(toks: list[str], k: int = 3, w: int = 4) -> set[str]:
+    """The winnowing fingerprint set of one token sequence (requires
+    ``len(toks) >= k``): md5-hex k-gram hashes, O(n) monotonic-deque
+    sliding-window minima over windows of ``min(w, n)`` hashes (short docs
+    emit the single whole-sequence window). Shared by
+    :func:`q_winnow_fingerprint` and :func:`q_winnow_pairs` so the
+    fingerprint definition cannot drift."""
+    from collections import deque
+
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
+    W = min(w, len(hs))
+    dq: deque[int] = deque()
+    mins: set[str] = set()
+    for i, h in enumerate(hs):
+        while dq and hs[dq[-1]] >= h:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - W:
+            dq.popleft()
+        if i >= W - 1:
+            mins.add(hs[dq[0]])
+    return mins
+
+
 def q_winnow_fingerprint(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Dataset":
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's public
     rolling-hash scheme): hash every k-gram of the token SEQUENCE, slide a
@@ -554,24 +579,7 @@ def q_winnow_fingerprint(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Datas
             toks = re2_tokens(t)
             if len(toks) < k:
                 continue
-            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-            hs = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
-            # O(n) sliding-window min via monotonic deque (strings have no
-            # numpy ufunc loop); window = min(w, n) so short docs emit the
-            # single whole-sequence window
-            from collections import deque
-
-            W = min(w, len(hs))
-            dq: deque[int] = deque()
-            mins: set[str] = set()
-            for i, h in enumerate(hs):
-                while dq and hs[dq[-1]] >= h:
-                    dq.pop()
-                dq.append(i)
-                if dq[0] <= i - W:
-                    dq.popleft()
-                if i >= W - 1:
-                    mins.add(hs[dq[0]])
+            mins = winnow_mins(toks, k, w)
             out_id.append(doc_id)
             out_n.append(len(mins))
             out_min.append(min(mins))
@@ -584,6 +592,98 @@ def q_winnow_fingerprint(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Datas
         )
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_winnow_pairs(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Dataset":
+    """MOSS-style plagiarism candidates (Schleimer et al., 2003): document
+    pairs sharing ≥1 winnowing fingerprint, with the shared-fingerprint
+    count as match strength. The fingerprint kernel is the SHARED
+    :func:`winnow_mins` (same k-gram hash, same window), so the pair
+    search and the per-doc fingerprint report cannot drift.
+
+    Shape: per-doc distinct (fingerprint, doc_id) rows — bounded by the
+    winnow density ~2/(w+1) of the token count — shuffle ONCE bucketed by
+    fingerprint hash (the minhash band machinery); inside a bucket each
+    fingerprint segment expands to its doc pairs (quadratic only in docs
+    sharing one fingerprint, the lsh_neardup in-bucket contract) and
+    per-bucket partials pre-sum before the final (doc_a, doc_b) groupby."""
+    ds = _docs(sf_dir)
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        out_f: list[str] = []
+        out_d: list[int] = []
+        for doc_id, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            toks = re2_tokens(t)
+            if len(toks) < k:
+                continue
+            mins = winnow_mins(toks, k, w)
+            out_f.extend(mins)
+            out_d.extend([doc_id] * len(mins))
+        hs = (
+            stable_hash64(np.asarray(out_f, dtype=object))
+            if out_f
+            else np.asarray([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "fp": pa.array(out_f, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "__b": pa.array(hs % np.int64(_PAIR_BUCKETS), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("fp", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(idx)
+        fps = g.column("fp").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], fps[1:] != fps[:-1])))
+        ends = np.append(starts[1:], len(fps))
+        pa_l, pb_l = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            pa_l.append(ids[s:e][ai])
+            pb_l.append(ids[s:e][bi])
+        if not pa_l:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        key = np.rec.fromarrays([np.concatenate(pa_l), np.concatenate(pb_l)])
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_a": pa.array(u.f0, pa.int64()),
+                "doc_b": pa.array(u.f1, pa.int64()),
+                "n_shared": pa.array(c, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    out = (
+        ds.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(_Sum("n_shared", alias_name="n_shared"))
+    )
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        out,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
+        ),
+    )
 
 
 # ------------------------------------------------------------------ exact dedup

@@ -1878,3 +1878,57 @@ REGISTRY["filter_funnel"] = QASpec(
     """,
     "custom(curation-funnel,gopher+lee2022-composed,per-block-counter-fold)",
 )
+REGISTRY["winnow_pairs"] = QASpec(
+    T.q_winnow_pairs,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ), gl AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(t) - 2),
+                              i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs
+        FROM toks WHERE length(t) >= 3
+    ), grams AS (
+        SELECT doc_id, unnest(generate_series(1, length(hs))) AS i, unnest(hs) AS h
+        FROM gl
+    ), wm AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE i <= greatest(n - 3, 1)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    "custom(moss-winnow-pair-search,Schleimer-2003,shared-fingerprint-kernel)",
+)
+from metareadability_ray.pipelines import ranking as RK2  # noqa: E402
+
+REGISTRY["log_odds_keywords"] = QASpec(
+    RK2.q_log_odds_keywords,
+    r"""
+    WITH w AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+               FROM documents WHERE source IS NOT NULL),
+    st AS (SELECT source, tok, count(*) AS c FROM w GROUP BY source, tok),
+    ns AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+    tt AS (SELECT tok, count(*) AS ct FROM w GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM w),
+    sc AS (SELECT st.source, st.tok,
+                  ln((st.c + 1.0) / (ns.n - st.c + 1.0))
+                - ln((tt.ct - st.c + 1.0)
+                     / (tot.n - ns.n - (tt.ct - st.c) + 1.0)) AS lor
+           FROM st JOIN ns USING (source) JOIN tt USING (tok) CROSS JOIN tot),
+    rk AS (SELECT source, tok, lor,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY lor DESC, tok) AS r
+           FROM sc)
+    SELECT source, tok AS token, r,
+           regexp_replace(printf('%.4f', lor), '^-(0\.0+)$', '\1') AS log_odds
+    FROM rk WHERE r <= 5
+    """,
+    "custom(fightin-words-log-odds,Monroe-2008,token-bucket-topk)",
+)
