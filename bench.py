@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "filter_funnel",
     "winnow_pairs",
     "log_odds_keywords",
+    "stupid_backoff_score",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

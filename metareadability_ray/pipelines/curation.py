@@ -544,3 +544,227 @@ def q_filter_funnel(
             "n_surviving": pa.array(totals, I64),
         }
     )
+
+
+# ---------------------------------------- Stupid Backoff held-out LM scoring
+def stupid_backoff_score(sf_dir: str, alpha: float = 0.4) -> "ray.data.Dataset":
+    """Held-out bigram LM scoring with Stupid Backoff (Brants et al., 2007,
+    "Large Language Models in Machine Translation" — THE web-scale
+    MapReduce LM paper): train a bigram model on the ``doc_id % 4 != 0``
+    corpus slice, score every held-out doc (``doc_id % 4 == 0``, ≥2 tokens)
+    as mean −log2 S(w_i | w_{i−1}) per bigram position, where
+
+        S(w2|w1) = c2(w1,w2)/c1(w1)            if c2 > 0
+                 = α · (c1(w2)+1)/(N+1)        otherwise (α = 0.4)
+
+    Brants' S is deliberately unnormalised ("stupid"); the backoff unigram
+    gets add-one smoothing so unseen held-out words score finitely (the
+    dsir_weights degeneracy precedent). The held-out split is what makes
+    backoff REAL — scoring the training slice with its own model never
+    leaves the c2 > 0 branch (the lm_perplexity caveat this op fixes).
+
+    Scale shape is the paper's own sharded-LM architecture: the BIGRAM
+    model — the part that grows with the corpus — is never broadcast and
+    never driver-resident. Train-slice per-block (w1, w2, count) partials
+    and held-out per-block (doc_id, w1, w2, k) rows shuffle ONCE together,
+    bucketed by hash(w1), so each bucket holds a complete shard of the
+    model plus exactly the queries that need it (Brants' "distribute by
+    first word" serving layout). Only the UNIGRAM model broadcasts (the
+    lm_perplexity / CCNet KenLM-ship precedent, bounded by vocabulary).
+    Per-doc results leave each bucket as two int64 partials (Σ k·microbits,
+    Σ k), so the final groupby(doc_id) moves 24 B/doc/bucket.
+
+    Float parity: each bigram's bits fix to int64 MICRO-bits
+    (``floor(bits·10⁶ + 0.5)``, spelled identically in the SQL twin) BEFORE
+    any cross-bucket summation, so partial-sum order cannot move the score;
+    the final division of two exact integers is one float op on both
+    engines, printed %.4f. NULL doc_id rows belong to neither slice (SQL:
+    NULL % 4 compares unknown both ways)."""
+    from metareadability_ray.pipelines.textops import _PAIR_BUCKETS
+    from metareadability_ray.functions.scalars import stable_hash64
+    from metareadability_ray.pipelines.webtext import _lm_model_parts
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if did is None or did % 4 == 0 or not t:
+                continue
+            toks.extend(re2_tokens(t))
+        if not toks:
+            return pa.table({"token": pa.array([], STR), "c": pa.array([], I64)})
+        u, c = np.unique(np.asarray(toks, dtype=object).astype(str), return_counts=True)
+        return pa.table({"token": pa.array(u, STR), "c": pa.array(c, I64)})
+
+    uni_ref, n_total, _v = _lm_model_parts(ds, uni_partial)
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        """Union rows: model partials (doc_id NULL) + held-out query rows."""
+        tr_w1: list[str] = []
+        tr_w2: list[str] = []
+        ho_d: list[int] = []
+        ho_w1: list[str] = []
+        ho_w2: list[str] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if did is None or not t:
+                continue
+            parts = re2_tokens(t)
+            if len(parts) < 2:
+                continue
+            if did % 4 != 0:
+                tr_w1.extend(parts[:-1])
+                tr_w2.extend(parts[1:])
+            else:
+                ho_d.extend([did] * (len(parts) - 1))
+                ho_w1.extend(parts[:-1])
+                ho_w2.extend(parts[1:])
+        cols = {"doc_id": [], "w1": [], "w2": [], "k": []}
+        if tr_w1:
+            u, c = np.unique(
+                np.rec.fromarrays(
+                    [
+                        np.asarray(tr_w1, dtype=object).astype(str),
+                        np.asarray(tr_w2, dtype=object).astype(str),
+                    ]
+                ),
+                return_counts=True,
+            )
+            cols["doc_id"].append(pa.nulls(len(u), I64))
+            cols["w1"].append(pa.array(u.f0.astype(object), STR))
+            cols["w2"].append(pa.array(u.f1.astype(object), STR))
+            cols["k"].append(pa.array(c, I64))
+        if ho_d:
+            u, c = np.unique(
+                np.rec.fromarrays(
+                    [
+                        np.asarray(ho_d, np.int64),
+                        np.asarray(ho_w1, dtype=object).astype(str),
+                        np.asarray(ho_w2, dtype=object).astype(str),
+                    ]
+                ),
+                return_counts=True,
+            )
+            cols["doc_id"].append(pa.array(u.f0, I64))
+            cols["w1"].append(pa.array(u.f1.astype(object), STR))
+            cols["w2"].append(pa.array(u.f2.astype(object), STR))
+            cols["k"].append(pa.array(c, I64))
+        if not cols["w1"]:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], I64),
+                    "w1": pa.array([], STR),
+                    "w2": pa.array([], STR),
+                    "k": pa.array([], I64),
+                    "__b": pa.array([], I64),
+                }
+            )
+        w1 = pa.concat_arrays(cols["w1"])
+        out = pa.table(
+            {
+                "doc_id": pa.concat_arrays(cols["doc_id"]),
+                "w1": w1,
+                "w2": pa.concat_arrays(cols["w2"]),
+                "k": pa.concat_arrays(cols["k"]),
+                "__b": pa.array(
+                    stable_hash64(w1.to_numpy(zero_copy_only=False).astype(object))
+                    % np.int64(_PAIR_BUCKETS),
+                    I64,
+                ),
+            }
+        )
+        return out
+
+    rows = ds.map_batches(bigram_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_f = float(n_total)
+
+    def bucket_score(group: pa.Table) -> pa.Table:
+        dids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        is_q = ~pa.compute.is_null(group.column("doc_id")).to_numpy(zero_copy_only=False)
+        w1 = group.column("w1").to_numpy(zero_copy_only=False).astype(str)
+        w2 = group.column("w2").to_numpy(zero_copy_only=False).astype(str)
+        ks = group.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], I64),
+                "nb": pa.array([], I64),
+                "k": pa.array([], I64),
+            }
+        )
+        if not is_q.any():
+            return empty
+        # complete bigram-shard counts from the model partials (this bucket
+        # holds EVERY partial for its w1 hash range, so the sum is exact)
+        pairs = np.rec.fromarrays([w1, w2])
+        uniq, inv = np.unique(pairs, return_inverse=True)
+        c2 = np.bincount(
+            inv[~is_q], weights=ks[~is_q].astype(np.float64), minlength=len(uniq)
+        )
+        q_c2 = c2[inv[is_q]]
+        q_w1, q_w2 = w1[is_q], w2[is_q]
+        q_k = ks[is_q]
+        q_d = dids[is_q].astype(np.int64)
+        c1a = (
+            lookup_take(uni_ref, pa.array(q_w1.astype(object), STR), default=0)
+            .cast(I64)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        c1b = (
+            lookup_take(uni_ref, pa.array(q_w2.astype(object), STR), default=0)
+            .cast(I64)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        seen = q_c2 > 0
+        bits = np.where(
+            seen,
+            -np.log2(np.where(seen, q_c2, 1.0) / np.where(c1a > 0, c1a, 1.0)),
+            -np.log2(alpha * (c1b + 1.0) / (n_f + 1.0)),
+        )
+        mb = np.floor(bits * 1_000_000.0 + 0.5).astype(np.int64)
+        order = np.argsort(q_d, kind="stable")
+        q_d, mb, q_k = q_d[order], mb[order], q_k[order]
+        starts = np.flatnonzero(np.concatenate(([True], q_d[1:] != q_d[:-1])))
+        return pa.table(
+            {
+                "doc_id": pa.array(q_d[starts], I64),
+                "nb": pa.array(np.add.reduceat(q_k * mb, starts), I64),
+                "k": pa.array(np.add.reduceat(q_k, starts), I64),
+            }
+        )
+
+    per_doc = (
+        rows.groupby("__b")
+        .map_groups(bucket_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("nb", alias_name="nb"), Sum("k", alias_name="k"))
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(k, I64),
+                "sb_bits": pa.array(
+                    ["%.4f" % (float(n) / (1_000_000.0 * float(kk))) for n, kk in zip(nb, k)],
+                    STR,
+                ),
+            }
+        )
+
+    out_schema = pa.schema([("doc_id", I64), ("n_bigrams", I64), ("sb_bits", STR)])
+    return with_schema_seed(
+        per_doc.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+def q_stupid_backoff_score(sf_dir: str) -> "ray.data.Dataset":
+    return stupid_backoff_score(sf_dir)

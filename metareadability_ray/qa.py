@@ -1932,3 +1932,44 @@ REGISTRY["log_odds_keywords"] = QASpec(
     """,
     "custom(fightin-words-log-odds,Monroe-2008,token-bucket-topk)",
 )
+
+REGISTRY["stupid_backoff_score"] = QASpec(
+    CU.q_stupid_backoff_score,
+    r"""
+    WITH tr AS (
+        SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+        WHERE doc_id % 4 != 0
+    ), ho AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        WHERE doc_id % 4 = 0 AND length(regexp_extract_all(text, '\S+')) >= 2
+    ), uni AS (SELECT unnest(t) AS w FROM tr),
+    c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    ntot AS (SELECT count(*) AS n FROM uni),
+    trbi AS (
+        SELECT unnest(list_transform(generate_series(1, length(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, length(t) - 1), i -> t[i+1])) AS w2
+        FROM tr WHERE length(t) >= 2
+    ), c2 AS (SELECT w1, w2, count(*) AS c FROM trbi GROUP BY w1, w2),
+    hobi AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, length(t) - 1), i -> t[i+1])) AS w2
+        FROM ho
+    ), hb AS (SELECT doc_id, w1, w2, count(*) AS k FROM hobi GROUP BY doc_id, w1, w2),
+    sc AS (
+        SELECT hb.doc_id, hb.k,
+               CAST(floor((CASE WHEN c2.c IS NOT NULL
+                     THEN -log2(c2.c / ca.c)
+                     ELSE -log2(0.4 * (coalesce(cb.c, 0) + 1.0) / (ntot.n + 1.0)) END)
+                    * 1000000.0 + 0.5) AS BIGINT) AS mb
+        FROM hb LEFT JOIN c2 ON hb.w1 = c2.w1 AND hb.w2 = c2.w2
+                LEFT JOIN c1 ca ON hb.w1 = ca.w
+                LEFT JOIN c1 cb ON hb.w2 = cb.w
+                CROSS JOIN ntot
+    )
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           printf('%.4f', sum(k * mb) / (1000000.0 * sum(k))) AS sb_bits
+    FROM sc GROUP BY doc_id
+    """,
+    "custom(stupid-backoff-heldout-lm,Brants-2007,sharded-bigram-model)",
+)

@@ -149,7 +149,7 @@ _PROP = dict(
         "collocations_pmi",
         "source_cap_sample", "mixture_weights", "ccnet_buckets",
         "dup_span_rewrite", "dsir_weights", "filter_funnel",
-        "winnow_pairs", "log_odds_keywords",
+        "winnow_pairs", "log_odds_keywords", "stupid_backoff_score",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
