@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "log_odds_keywords",
     "stupid_backoff_score",
+    "mad_outlier_docs",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

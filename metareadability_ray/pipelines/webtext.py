@@ -1690,3 +1690,72 @@ def q_quality_by_source(sf_dir: str) -> "ray.data.Dataset":
     return with_schema_seed(
         rolled.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True), out_schema
     )
+
+
+# --------------------------- robust (MAD) length-outlier detection
+def q_mad_outlier_docs(sf_dir: str, k: float = 2.0) -> "ray.data.Dataset":
+    """Robust length-outlier report: documents whose ``n_chars`` deviates
+    from the corpus median by more than ``k``× the median absolute
+    deviation (Hampel's robust z-score — the outlier rule that, unlike
+    mean/stddev, a handful of pathological pages cannot drag; the
+    complement of :func:`q_length_percentile_filter`'s fixed-percentile
+    band, reporting the TAIL instead of keeping the body).
+
+    Scale shape: one histogram reduce, zero extra passes for the MAD —
+    the deviation histogram is a driver-side TRANSFORM of the value
+    histogram (|v − med| with the same counts, equidistant values merged),
+    so both medians fold from the same O(distinct-lengths) table via
+    :func:`hist_quantile_cont` (bit-for-bit DuckDB ``quantile_cont``
+    parity, property-tested). Pass 2 streams the pruned 2-column corpus
+    through an exact float64 band compare — med is .5-granular, MAD
+    .25-granular, both dyadic, so the `>` is ulp-safe on both engines.
+    NULL ``n_chars`` rows join neither the histogram nor the output."""
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        col = batch.column("n_chars")
+        arr = col.to_numpy(zero_copy_only=False)
+        if col.null_count:
+            arr = arr[~pa.compute.is_null(col).to_numpy(zero_copy_only=False)]
+        vals, cnts = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"n_chars": pa.array(vals, pa.int64()), "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(vc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # one row per DISTINCT length
+    )
+    vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    if not len(vals):
+        return with_schema_seed(
+            ds.limit(0).map_batches(
+                lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+            ),
+            out_schema,
+        )
+    med = hist_quantile_cont(vals, cnts, 0.5)
+    # deviation histogram = |v - med| over the SAME counts (merge ties)
+    dev = np.abs(vals.astype(np.float64) - med)
+    dv, inv = np.unique(dev, return_inverse=True)
+    dc = np.bincount(inv, weights=cnts.astype(np.float64)).astype(np.int64)
+    mad = hist_quantile_cont(dv, dc, 0.5)
+    thr = k * mad
+
+    def tail(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_chars")
+        d = pc.abs(pc.subtract(pc.cast(c, pa.float64()), pa.scalar(med)))
+        keep = pc.fill_null(pc.greater(d, pa.scalar(thr)), False)
+        return batch.filter(keep)
+
+    return with_schema_seed(
+        ds.map_batches(tail, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )

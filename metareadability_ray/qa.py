@@ -1973,3 +1973,15 @@ REGISTRY["stupid_backoff_score"] = QASpec(
     """,
     "custom(stupid-backoff-heldout-lm,Brants-2007,sharded-bigram-model)",
 )
+
+REGISTRY["mad_outlier_docs"] = QASpec(
+    W.q_mad_outlier_docs,
+    """
+    WITH med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+    mad AS (SELECT quantile_cont(abs(n_chars - med.m), 0.5) AS d
+            FROM documents, med)
+    SELECT doc_id, n_chars FROM documents, med, mad
+    WHERE abs(n_chars - med.m) > 2.0 * mad.d
+    """,
+    "custom(hampel-mad-outliers,histogram-derived-robust-stats)",
+)
