@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "log_odds_keywords",
     "stupid_backoff_score",
     "mad_outlier_docs",
+    "distinct_ngram_ratio",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

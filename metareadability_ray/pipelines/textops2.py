@@ -585,3 +585,121 @@ def q_char_trigram_profile(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         counts.groupby("lang").map_groups(per_lang_topk, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# --------------------------- distinct-n corpus diversity (Li et al. 2016)
+def q_distinct_ngram_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source distinct-trigram ratio — the "distinct-n" corpus-diversity
+    metric of Li et al. 2016 ("A Diversity-Promoting Objective Function"):
+    ``n_distinct / n_grams`` over sliding 3-token grams. Low ratio = a
+    repetitive/templated source (the pre-mix diversity audit that catches
+    boilerplate farms BEFORE they dilute a training mix); NULL sources are
+    excluded (the source_js_divergence contract).
+
+    Scale shape: ONE shuffle of the per-block combined (source, gram, c)
+    vocabulary stream, bucketed by gram hash so each bucket sees complete
+    gram groups — exact in-bucket STRING grouping (no collision risk, the
+    source_overlap shape). Each bucket emits per-source (n_distinct,
+    n_grams) partials; gram-space buckets are disjoint so the final
+    source-cardinality groupby sums exacts. Hot grams cost one row per
+    block (combiner bound), text never shuffles. The ratio is one float
+    division of two exact int64s, printed %.4f on both engines."""
+    from metareadability_ray.functions.scalars import stable_hash64
+    from metareadability_ray.pipelines.relational import fmt_fixed
+    from metareadability_ray.pipelines.textops import _PAIR_BUCKETS
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_grams", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("distinct_ratio", pa.string()),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def combine_block(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        grams: list[str] = []
+        for s, t in zip(batch.column("source").to_pylist(), batch.column("text").to_pylist()):
+            if s is None or not t:
+                continue
+            toks = re2_tokens(t)
+            for i in range(len(toks) - 2):
+                srcs.append(s)
+                grams.append(" ".join(toks[i : i + 3]))
+        if not srcs:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "gram": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        u, c = np.unique(
+            np.rec.fromarrays(
+                [np.asarray(srcs, dtype=object).astype(str), np.asarray(grams, dtype=object).astype(str)]
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "source": pa.array(u.f0.astype(object), pa.string()),
+                "gram": pa.array(u.f1.astype(object), pa.string()),
+                "c": pa.array(c, pa.int64()),
+                "__b": pa.array(
+                    stable_hash64(u.f1.astype(object)) % np.int64(_PAIR_BUCKETS),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def bucket_partial(group: pa.Table) -> pa.Table:
+        srcs = group.column("source").to_numpy(zero_copy_only=False).astype(str)
+        grams = group.column("gram").to_numpy(zero_copy_only=False).astype(str)
+        cs = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.rec.fromarrays([srcs, grams])
+        order = np.argsort(pairs, kind="stable")
+        pairs, cs, srcs = pairs[order], cs[order], srcs[order]
+        new_pair = np.concatenate(([True], pairs[1:] != pairs[:-1]))
+        p_starts = np.flatnonzero(new_pair)
+        # per distinct (source, gram): total occurrences; distinct counts 1
+        tot = np.add.reduceat(cs, p_starts)
+        s_d = srcs[p_starts]
+        s_starts = np.flatnonzero(np.concatenate(([True], s_d[1:] != s_d[:-1])))
+        return pa.table(
+            {
+                "source": pa.array(s_d[s_starts].astype(object), pa.string()),
+                "nd": pa.array(
+                    np.diff(np.append(s_starts, len(s_d))).astype(np.int64), pa.int64()
+                ),
+                "ng": pa.array(np.add.reduceat(tot, s_starts), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(combine_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("nd", alias_name="nd"), Sum("ng", alias_name="ng"))
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        nd = batch.column("nd").to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = batch.column("ng").to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = nd.astype(np.float64) / ng.astype(np.float64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_grams": pa.array(ng, pa.int64()),
+                "n_distinct": pa.array(nd, pa.int64()),
+                "distinct_ratio": fmt_fixed(pa.array(ratio, pa.float64()), 4),
+            }
+        )
+
+    return with_schema_seed(
+        agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )

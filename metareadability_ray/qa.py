@@ -1985,3 +1985,22 @@ REGISTRY["mad_outlier_docs"] = QASpec(
     """,
     "custom(hampel-mad-outliers,histogram-derived-robust-stats)",
 )
+
+REGISTRY["distinct_ngram_ratio"] = QASpec(
+    T2.q_distinct_ngram_ratio,
+    r"""
+    WITH toks AS (
+        SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents
+        WHERE source IS NOT NULL
+    ), g AS (
+        SELECT source,
+               unnest(list_transform(generate_series(1, length(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        FROM toks WHERE length(t) >= 3
+    )
+    SELECT source, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+           printf('%.4f', count(DISTINCT gram) / count(*)) AS distinct_ratio
+    FROM g GROUP BY source
+    """,
+    "custom(distinct-n-diversity,Li-2016,gram-bucket-exact-distinct)",
+)
