@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "stupid_backoff_score",
     "mad_outlier_docs",
     "distinct_ngram_ratio",
+    "incremental_dedup",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1362,3 +1362,81 @@ def q_simhash_hamming_pairs(sf_dir: str) -> "ray.data.Dataset":
     return with_schema_seed(
         bucketed_map_groups(expanded, "key", per_group), out_schema
     )
+
+
+# ------------------------- incremental (snapshot-delta) exact dedup
+def q_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-increment dedup — the production DAILY shape of exact dedup:
+    classify every document of the new snapshot slice (``doc_id % 5 == 0``)
+    as ``dup`` (its md5(text) already exists in the base corpus, the
+    ``% 5 != 0`` slice) or ``fresh``. This is the operator a running
+    curation service executes per crawl drop: the base corpus is never
+    re-deduped, only probed.
+
+    Scale shape = q_exact_dedup's md5%64 bucket shuffle, asymmetric: the
+    base side ships per-block DISTINCT hashes only (32 B/distinct text per
+    block, no doc ids), the increment side ships (hash, doc_id); a bucket
+    holds every base hash in its range, so the membership probe is an
+    exact vectorized ``np.isin`` with no second pass and no broadcast —
+    at 10^12 base docs nothing base-sized ever sits on one node or the
+    driver. Null-text increment docs are always ``fresh`` (SQL: md5(NULL)
+    IS NULL joins nothing) and skip the shuffle entirely; null doc_ids
+    belong to neither slice (NULL % 5 compares unknown both ways)."""
+    ds = _docs(sf_dir)
+    _SENTINEL = "__null_text__"  # not a 32-hex md5; base never ships it
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        inc_d: list[int] = []
+        inc_h: list[str] = []
+        base_h: set[str] = set()
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if did is None:
+                continue
+            if did % 5 == 0:
+                inc_d.append(did)
+                inc_h.append(
+                    _SENTINEL if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+                )
+            elif t is not None:
+                base_h.add(hashlib.md5(t.encode("utf-8")).hexdigest())
+        hs = inc_h + sorted(base_h)
+        dids = inc_d + [None] * len(base_h)
+        buckets = [
+            0 if h is _SENTINEL or len(h) != 32 else int(h[:8], 16) % _PAIR_BUCKETS
+            for h in hs
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "doc_id": pa.array(dids, I64),
+                "__b": pa.array(buckets, I64),
+            }
+        )
+
+    def probe(group: pa.Table) -> pa.Table:
+        dcol = group.column("doc_id")
+        is_inc = ~pc.is_null(dcol).to_numpy(zero_copy_only=False)
+        hs = group.column("h").to_numpy(zero_copy_only=False).astype(str)
+        if not is_inc.any():
+            return pa.table(
+                {"doc_id": pa.array([], I64), "status": pa.array([], pa.string())}
+            )
+        hit = np.isin(hs[is_inc], np.unique(hs[~is_inc]))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    dcol.to_numpy(zero_copy_only=False)[is_inc].astype(np.int64), I64
+                ),
+                "status": pa.array(np.where(hit, "dup", "fresh").astype(object), pa.string()),
+            }
+        )
+
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema([("doc_id", I64), ("status", pa.string())])
+    return with_schema_seed(
+        ds.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(probe, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -2004,3 +2004,19 @@ REGISTRY["distinct_ngram_ratio"] = QASpec(
     """,
     "custom(distinct-n-diversity,Li-2016,gram-bucket-exact-distinct)",
 )
+
+REGISTRY["incremental_dedup"] = QASpec(
+    T.q_incremental_dedup,
+    """
+    WITH inc AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ), base AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE doc_id % 5 != 0 AND text IS NOT NULL
+    )
+    SELECT inc.doc_id,
+           CASE WHEN base.h IS NOT NULL THEN 'dup' ELSE 'fresh' END AS status
+    FROM inc LEFT JOIN base ON inc.h = base.h
+    """,
+    "custom(incremental-crawl-dedup,asymmetric-hash-probe)",
+)

@@ -150,7 +150,7 @@ _PROP = dict(
         "source_cap_sample", "mixture_weights", "ccnet_buckets",
         "dup_span_rewrite", "dsir_weights", "filter_funnel",
         "winnow_pairs", "log_odds_keywords", "stupid_backoff_score",
-        "mad_outlier_docs", "distinct_ngram_ratio",
+        "mad_outlier_docs", "distinct_ngram_ratio", "incremental_dedup",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
