@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "mad_outlier_docs",
     "distinct_ngram_ratio",
     "incremental_dedup",
+    "anchor_text_index",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1,0 +1,223 @@
+"""Web link-graph extraction: the anchor-text index (the classic web-search
+signal — Brin & Page 1998 §2.2 use anchor text as the strongest off-page
+relevance feature; every production crawler materialises exactly this table
+from its page store).
+
+Two stages over the Common-Crawl-style ``pages`` schema:
+
+* :func:`enrich_links` — a deterministic per-row adapter that gives the
+  docs2pages synthetic corpus a realistic OUTLINK section (cross-host nav
+  links, a pure function of ``doc_id`` — the docs2pages determinism
+  contract), because the base adapter's single ``/a`` footer link would
+  make any link-graph operator degenerate. It touches only the html
+  column, appending before ``</body>``, so the flagship's extraction
+  fields (headline/pubdate/byline live far from the footer region) are
+  untouched — and the flagship never reads THESE pages anyway (this module
+  builds its own stream).
+* :func:`anchor_text_index` — per TARGET url: in-link count, distinct
+  linking hosts, and the modal anchor text (ties → lexicographically
+  smallest). Extraction uses the production DOM parse (oracle.dom.parse,
+  the fastparse single-pass tokenizer held identical to the stdlib
+  reference by the 59-case differential suite) — NOT a regex — so nested
+  markup inside ``<a>`` renders the way the flagship renders text.
+
+Scale shape: pages stream block-by-block (never materialised); each block
+emits only (target_url, anchor, src_host) triples — anchors are a few
+tokens, html never shuffles. Triples shuffle ONCE bucketed by target-url
+hash, so a bucket holds complete target groups and the per-target
+aggregate (count / distinct hosts / modal anchor) is exact in one
+vectorized lexsort pass. Host-domain skew (every crawl's reality: a few
+hub targets receive millions of in-links) is bounded the usual way: the
+per-block combiner collapses duplicate (target, anchor, host) triples
+before the shuffle, so a hub's cost is one row per distinct triple per
+block, not one per link occurrence.
+"""
+
+from __future__ import annotations
+
+import random
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from metareadability_ray.pipelines.docs2pages import pages_dataset
+from metareadability_ray.util import with_schema_seed
+
+I64 = pa.int64()
+STR = pa.string()
+
+_LINK_WORDS = (
+    "archive briefing live report update analysis opinion sports world "
+    "local business tech science health weather markets results preview"
+).split()
+_N_HOSTS = 10  # synthetic cross-host universe: s0..s9.example.org
+
+
+def _outlink_html(doc_id: int) -> str:
+    """Deterministic nav-link block for one page (pure function of doc_id)."""
+    rng = random.Random(doc_id * 2654435761 % (2**31))
+    n = 5 + rng.randrange(8)
+    parts = []
+    for _ in range(n):
+        host = f"s{rng.randrange(_N_HOSTS)}.example.org"
+        w1, w2 = rng.choice(_LINK_WORDS), rng.choice(_LINK_WORDS)
+        path = f"/{w1}/{rng.randrange(200)}"
+        anchor = f"{w1} {w2}" if rng.random() < 0.7 else w2
+        parts.append(f'<a href="https://{host}{path}">{anchor}</a>')
+    # ~30% of links are site-relative (resolve against the page's own host)
+    for _ in range(2 + rng.randrange(3)):
+        w = rng.choice(_LINK_WORDS)
+        parts.append(f'<a href="/{w}/{rng.randrange(200)}">{w}</a>')
+    return "<nav class=\"outlinks\">" + " ".join(parts) + "</nav>"
+
+
+def enrich_links(batch: pa.Table) -> pa.Table:
+    """Append the deterministic outlink nav before ``</body>``."""
+    htmls = batch.column("html").to_pylist()
+    urls = batch.column("url").to_pylist()
+    out = []
+    for url, raw in zip(urls, htmls):
+        # doc_id is recoverable from the docs2pages url tail ("...-<id>.html")
+        stem = url.rsplit("-", 1)[-1].split(".")[0]
+        doc_id = int(stem)
+        nav = _outlink_html(doc_id).encode("utf-8")
+        body_end = raw.rfind(b"</body>")
+        out.append(raw[:body_end] + nav + raw[body_end:] if body_end >= 0 else raw + nav)
+    return batch.set_column(batch.column_names.index("html"), "html", pa.array(out, pa.binary()))
+
+
+def _page_anchors(url: str, raw: bytes) -> list[tuple[str, str, str]]:
+    """(target_url, anchor_text, src_host) triples of one page via the
+    production DOM parse; relative hrefs resolve against the page host,
+    fragment-only/empty hrefs drop, anchor text whitespace-normalises."""
+    from oracle.dom import parse
+    from oracle.encoding import decode_html
+    from oracle.textnorm import norm_ws
+
+    text, _ = decode_html(raw)
+    try:
+        root = parse(text)
+    except Exception:
+        return []
+    sp = urlsplit(url)
+    src_host = sp.netloc
+    out: list[tuple[str, str, str]] = []
+    for node in root.iter():
+        if node.tag != "a":
+            continue
+        href = node.get("href").strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.startswith("http://") or href.startswith("https://"):
+            target = href
+        elif href.startswith("/"):
+            target = f"{sp.scheme}://{src_host}{href}"
+        else:
+            continue  # non-root-relative: out of scope (no base resolution)
+        buf: list[str] = []
+        node.collect_text(buf)
+        anchor = norm_ws(" ".join(buf))
+        out.append((target, anchor, src_host))
+    return out
+
+
+def anchor_text_index(sf_dir: str, buckets: int = 64) -> "ray.data.Dataset":
+    """Per-target anchor-text index over the link-enriched pages stream:
+    (target_url, n_links, n_src_hosts, top_anchor)."""
+    from metareadability_ray.functions.scalars import stable_hash64
+
+    ds = pages_dataset(sf_dir).map_batches(
+        enrich_links, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ts: list[str] = []
+        an: list[str] = []
+        hs: list[str] = []
+        cs: list[int] = []
+        rows: dict[tuple[str, str, str], int] = {}
+        for url, raw in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
+            for trip in _page_anchors(url, raw):
+                rows[trip] = rows.get(trip, 0) + 1
+        for (t, a, h), c in rows.items():
+            ts.append(t)
+            an.append(a)
+            hs.append(h)
+            cs.append(c)
+        if not ts:
+            return pa.table(
+                {
+                    "target": pa.array([], STR),
+                    "anchor": pa.array([], STR),
+                    "src_host": pa.array([], STR),
+                    "c": pa.array([], I64),
+                    "__b": pa.array([], I64),
+                }
+            )
+        return pa.table(
+            {
+                "target": pa.array(ts, STR),
+                "anchor": pa.array(an, STR),
+                "src_host": pa.array(hs, STR),
+                "c": pa.array(cs, I64),
+                "__b": pa.array(
+                    stable_hash64(np.asarray(ts, dtype=object)) % np.int64(buckets), I64
+                ),
+            }
+        )
+
+    def per_target(group: pa.Table) -> pa.Table:
+        tg = group.column("target").to_numpy(zero_copy_only=False).astype(str)
+        an = group.column("anchor").to_numpy(zero_copy_only=False).astype(str)
+        hs = group.column("src_host").to_numpy(zero_copy_only=False).astype(str)
+        cs = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((hs, an, tg))
+        tg, an, hs, cs = tg[order], an[order], hs[order], cs[order]
+        t_starts = np.flatnonzero(np.concatenate(([True], tg[1:] != tg[:-1])))
+        t_ends = np.append(t_starts[1:], len(tg))
+        out_t: list[str] = []
+        out_n: list[int] = []
+        out_h: list[int] = []
+        out_a: list[str] = []
+        for s, e in zip(t_starts, t_ends):
+            out_t.append(str(tg[s]))
+            out_n.append(int(cs[s:e].sum()))
+            out_h.append(len(np.unique(hs[s:e])))
+            # modal anchor: sum block partials per anchor, max count, tie → min anchor
+            a_seg = an[s:e]
+            a_starts = np.flatnonzero(np.concatenate(([True], a_seg[1:] != a_seg[:-1])))
+            a_tot = np.add.reduceat(cs[s:e], a_starts)
+            best = a_starts[int(np.argmax(a_tot))]  # argmax takes FIRST max; a_seg sorted asc
+            out_a.append(str(a_seg[best]))
+        return pa.table(
+            {
+                "target_url": pa.array(out_t, STR),
+                "n_links": pa.array(out_n, I64),
+                "n_src_hosts": pa.array(out_h, I64),
+                "top_anchor": pa.array(out_a, STR),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("target_url", STR),
+            ("n_links", I64),
+            ("n_src_hosts", I64),
+            ("top_anchor", STR),
+        ]
+    )
+    return with_schema_seed(
+        ds.map_batches(triples, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_target, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def q_anchor_text_index(sf_dir: str) -> "ray.data.Dataset":
+    return anchor_text_index(sf_dir)

@@ -2020,3 +2020,12 @@ REGISTRY["incremental_dedup"] = QASpec(
     """,
     "custom(incremental-crawl-dedup,asymmetric-hash-probe)",
 )
+
+from metareadability_ray.pipelines import linkgraph as LG  # noqa: E402
+
+REGISTRY["anchor_text_index"] = QASpec(
+    LG.q_anchor_text_index,
+    None,  # DOM parsing is not SQL-expressible; parity via the independent
+    # regex-oracle agreement test (tests/test_linkgraph.py)
+    "custom(anchor-text-index,BrinPage-1998,target-bucket-shuffle)",
+)

@@ -1,0 +1,108 @@
+"""anchor_text_index: independent regex-oracle agreement + kernel edge cases.
+
+The distributed operator parses with the production DOM tree
+(oracle.dom.parse); the test oracle here re-extracts every anchor with a
+regex and re-aggregates with plain dicts — a genuinely independent
+implementation, so agreement checks the whole chain (enrichment determinism,
+href resolution, normalization, bucketed shuffle, per-target aggregate).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+_A_RE = re.compile(
+    r"""<a[^>]*\shref=(["'])(.*?)\1[^>]*>(.*?)</a>""", re.IGNORECASE | re.DOTALL
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _regex_anchors(url: str, raw: bytes):
+    sp = urlsplit(url)
+    out = []
+    for m in _A_RE.finditer(raw.decode("utf-8")):
+        href = m.group(2).strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.startswith(("http://", "https://")):
+            target = href
+        elif href.startswith("/"):
+            target = f"{sp.scheme}://{sp.netloc}{href}"
+        else:
+            continue
+        anchor = _WS_RE.sub(" ", _TAG_RE.sub(" ", m.group(3))).strip()
+        out.append((target, anchor, sp.netloc))
+    return out
+
+
+def _expected_index():
+    from metareadability_ray.pipelines.docs2pages import docs_to_pages_batch
+    from metareadability_ray.pipelines.linkgraph import enrich_links
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    pages = enrich_links(docs_to_pages_batch(docs))
+    per_target_anchors: dict[str, Counter] = defaultdict(Counter)
+    per_target_hosts: dict[str, set] = defaultdict(set)
+    for url, raw in zip(pages.column("url").to_pylist(), pages.column("html").to_pylist()):
+        for target, anchor, host in _regex_anchors(url, raw):
+            per_target_anchors[target][anchor] += 1
+            per_target_hosts[target].add(host)
+    rows = {}
+    for t, cnt in per_target_anchors.items():
+        # tie-break: max count, then lexicographically SMALLEST anchor
+        maxc = max(cnt.values())
+        top = min(a for a, c in cnt.items() if c == maxc)
+        rows[t] = (sum(cnt.values()), len(per_target_hosts[t]), top)
+    return rows
+
+
+def test_anchor_index_matches_regex_oracle(ray_session):
+    import ray
+
+    from metareadability_ray.pipelines.linkgraph import anchor_text_index
+
+    res = anchor_text_index(SF)
+    tabs = [ray.get(r) for r in res.to_arrow_refs()]
+    tab = pa.concat_tables([t for t in tabs if t.num_rows])
+    got = {
+        r["target_url"]: (r["n_links"], r["n_src_hosts"], r["top_anchor"])
+        for r in tab.to_pylist()
+    }
+    want = _expected_index()
+    assert got == want
+    assert len(got) > 1000  # the enriched corpus produces a real graph
+
+
+def test_page_anchor_kernel_edges():
+    from metareadability_ray.pipelines.linkgraph import _page_anchors
+
+    html = (
+        b"<html><body>"
+        b'<a href="#frag">skip</a>'
+        b'<a href="">skip2</a>'
+        b'<a href="relative/no">skip3</a>'
+        b'<a href="/local/1">go <b>deep</b> text</a>'
+        b'<a href="https://other.example/x">abs</a>'
+        b"</body></html>"
+    )
+    got = _page_anchors("https://h.example.org/a/b.html", html)
+    assert got == [
+        ("https://h.example.org/local/1", "go deep text", "h.example.org"),
+        ("https://other.example/x", "abs", "h.example.org"),
+    ]
+
+
+def test_page_anchor_malformed_never_raises():
+    from metareadability_ray.pipelines.linkgraph import _page_anchors
+
+    assert isinstance(_page_anchors("https://h/x", b"<a href='/y'>z"), list)
+    assert _page_anchors("https://h/x", b"\xff\xfe garbage <<<>>") == []
