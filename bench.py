@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "distinct_ngram_ratio",
     "incremental_dedup",
     "anchor_text_index",
+    "containment_pairs",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

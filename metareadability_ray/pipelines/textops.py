@@ -802,6 +802,7 @@ def ngram_jaccard_pairs(
     thresh_num: int = 1,
     thresh_den: int = 2,
     df_cut: int | None = None,
+    containment: bool = False,
 ) -> "ray.data.Dataset":
     """EXACT k-gram Jaccard near-dup pairs with jaccard ≥ num/den, via an
     inverted shingle index (no false negatives: any pair with jaccard > 0
@@ -919,8 +920,53 @@ def ngram_jaccard_pairs(
             }
         )
 
+    def count_and_containment(group: pa.Table) -> pa.Table:
+        # containment variant of the SAME run-length pass: Broder's
+        # DIRECTIONAL coefficient inter/|sub| — a pair emits up to twice,
+        # once per direction that clears the cut (quote/subset detection:
+        # a short doc wholly inside a long one has containment 1 but tiny
+        # jaccard, which is exactly the case the jaccard cut misses).
+        empty = pa.table(
+            {
+                "doc_sub": pa.array([], I64),
+                "doc_sup": pa.array([], I64),
+                "inter": pa.array([], I64),
+                "sub_size": pa.array([], I64),
+            }
+        )
+        a = group.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) == 0:
+            return empty
+        b = group.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = group.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = group.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        inter = np.diff(np.append(starts, len(a))).astype(np.int64)
+        a, b, sa, sb = a[starts], b[starts], sa[starts], sb[starts]
+        m1 = inter * np.int64(thresh_den) >= np.int64(thresh_num) * sa
+        m2 = inter * np.int64(thresh_den) >= np.int64(thresh_num) * sb
+        return pa.table(
+            {
+                "doc_sub": pa.array(np.concatenate([a[m1], b[m2]]), I64),
+                "doc_sup": pa.array(np.concatenate([b[m1], a[m2]]), I64),
+                "inter": pa.array(np.concatenate([inter[m1], inter[m2]]), I64),
+                "sub_size": pa.array(np.concatenate([sa[m1], sb[m2]]), I64),
+            }
+        )
+
     from metareadability_ray.util import with_schema_seed
 
+    final_fn = count_and_containment if containment else count_and_threshold
+    final_schema = (
+        pa.schema([("doc_sub", I64), ("doc_sup", I64), ("inter", I64), ("sub_size", I64)])
+        if containment
+        else pa.schema([("doc_a", I64), ("doc_b", I64), ("inter", I64), ("union_size", I64)])
+    )
     # schema seed: a corpus with no near-dup pairs legitimately yields zero
     # rows, and Ray's groupby path then carries no schema (hypothesis-found)
     return with_schema_seed(
@@ -929,13 +975,23 @@ def ngram_jaccard_pairs(
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(count_and_threshold, batch_format="pyarrow"),
-        pa.schema([("doc_a", I64), ("doc_b", I64), ("inter", I64), ("union_size", I64)]),
+        .map_groups(final_fn, batch_format="pyarrow"),
+        final_schema,
     )
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     return ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5)
+
+
+def q_containment_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Broder containment pairs (containment(sub→sup) = inter/|sub| ≥ 0.8):
+    the asymmetric twin of :func:`q_ngram_jaccard_pairs`, from the SAME
+    inverted-index kernel (shared explode/pair stages, so the shingle and
+    pair definitions cannot drift) with a directional final cut — the
+    quote-inclusion / subset-document detector jaccard structurally misses
+    (a tweet embedded in an article: containment 1, jaccard ≈ 0)."""
+    return ngram_jaccard_pairs(sf_dir, k=3, thresh_num=8, thresh_den=10, containment=True)
 
 
 # ------------------------------------------------------------------ MinHash+LSH

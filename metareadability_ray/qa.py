@@ -2029,3 +2029,19 @@ REGISTRY["anchor_text_index"] = QASpec(
     # regex-oracle agreement test (tests/test_linkgraph.py)
     "custom(anchor-text-index,BrinPage-1998,target-bucket-shuffle)",
 )
+
+REGISTRY["containment_pairs"] = QASpec(
+    T.q_containment_pairs,
+    f"""
+    WITH {_NGRAM_CTES}
+    SELECT doc_sub, doc_sup, inter, sub_size FROM (
+        SELECT i.doc_a AS doc_sub, i.doc_b AS doc_sup, i.inter,
+               sa.set_size AS sub_size
+        FROM inter_t i JOIN sz sa ON i.doc_a = sa.doc_id
+        UNION ALL
+        SELECT i.doc_b, i.doc_a, i.inter, sb.set_size
+        FROM inter_t i JOIN sz sb ON i.doc_b = sb.doc_id
+    ) WHERE inter * 10 >= 8 * sub_size
+    """,
+    "custom(broder-containment-pairs,shared-inverted-index-kernel)",
+)
