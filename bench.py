@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "anchor_text_index",
     "containment_pairs",
+    "url_pagerank",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -673,3 +673,225 @@ def q_dedup_cascade(sf_dir: str) -> pa.Table:
             "n_remaining": pa.array([n for _, _, n in stages], pa.int64()),
         }
     )
+
+
+# ----------------------------------------- directed PageRank (web link graph)
+def _local_pagerank_directed(
+    et: pa.Table, damping: float = 0.85, iters: int = 20
+) -> pa.Table:
+    """Deterministic numpy power iteration on a DIRECTED edge table with the
+    standard dangling-mass redistribution (Page et al., 1999 §2.6): nodes
+    with no outlinks donate their rank uniformly:
+    r ← (1−d)/N + d·(Σ_in r/outdeg + D/N), D = Σ_dangling r.
+    The small-graph oracle the distributed rounds are tested against."""
+    src = et.column("src").to_numpy(zero_copy_only=False)
+    dst = et.column("dst").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst])) if len(src) else np.array([], np.int64)
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], I64), "pagerank": pa.array([], pa.float64())})
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    dang = outdeg == 0.0
+    safe = np.where(dang, 1.0, outdeg)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        d_mass = float(r[dang].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / safe[si])
+        r = (1.0 - damping) / n + damping * (contrib + d_mass / n)
+    return pa.table({"doc_id": pa.array(nodes, I64), "pagerank": pa.array(r, pa.float64())})
+
+
+def pagerank_directed(
+    edges: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 20,
+    num_partitions: int = 8,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Directed-graph PageRank over an (src, dst) int64 edge Dataset — the
+    web variant of :func:`pagerank` (that one symmetrizes; a link graph
+    must not), with the dangling-mass term real links make unavoidable
+    (most crawl-frontier URLs have no fetched outlinks, so without the
+    D/N redistribution their rank mass leaks and the vector no longer
+    sums to 1). Size-adaptive with the same threshold contract as CC /
+    undirected pagerank; distributed≡local property-tested.
+
+    Distributed round shape: one bucket reduce builds the static node
+    table (outdeg + dangling flag, the flag RIDES in the ranks table so no
+    per-round re-attach); 1/outdeg attaches to edges once. Each round:
+    the dangling mass D is a per-block partial sum driver-folded over
+    ≤ num_partitions scalars (sorted before summation — deterministic);
+    ranks re-attach to edge sources (reduce-side, keyed src); per-dst
+    contributions zero-SEEDED with the node table so inflow-less nodes
+    keep a row (the union replaces LEFT-join semantics reduce_side_attach
+    lacks); one bucketed sum finishes the round. Two corpus-bounded
+    16-24 B/row shuffles per round, lineage cut between rounds."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        tabs = list(edges.iter_batches(batch_format="pyarrow"))
+        et = (
+            pa.concat_tables(tabs, promote_options="permissive")
+            if tabs
+            else pa.table({"src": pa.array([], I64), "dst": pa.array([], I64)})
+        )
+        return ray.data.from_arrow(_local_pagerank_directed(et, damping, iters))
+
+    F64 = pa.float64()
+    I8 = pa.int8()
+
+    def snapshot(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        refs = [r for r in ds.repartition(num_partitions).to_arrow_refs()]
+        return ray.data.from_arrow_refs(refs)
+
+    # --- static node table: (doc_id, outdeg, dang) in ONE bucket reduce
+    def node_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").cast(I64)
+        d = batch.column("dst").cast(I64)
+        if isinstance(s, pa.ChunkedArray):
+            s, d = s.combine_chunks(), d.combine_chunks()
+        ids = pa.concat_arrays([s, d])
+        is_src = pa.array(
+            np.concatenate(
+                [np.ones(len(s), np.int64), np.zeros(len(d), np.int64)]
+            ),
+            I64,
+        )
+        b = ids.to_numpy(zero_copy_only=False) % np.int64(_PAIR_BUCKETS)
+        return pa.table({"doc_id": ids, "is_src": is_src, "__b": pa.array(b, I64)})
+
+    def node_reduce(group: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(group.select(["doc_id", "is_src"]), "doc_id").aggregate(
+            [("is_src", "sum")]
+        )
+        od = t.column("is_src_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "outdeg": pa.array(od, I64),
+                "dang": pa.array((od == 0).astype(np.int8), I8),
+            }
+        )
+
+    nodes = snapshot(
+        edges.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(node_reduce, batch_format="pyarrow")
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], I64), "pagerank": pa.array([], pa.float64())})
+        )
+
+    def to_invdeg(batch: pa.Table) -> pa.Table:
+        od = batch.column("outdeg").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = od > 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "inv_deg": pa.array(1.0 / od[keep], F64),
+            }
+        )
+
+    invdeg = nodes.map_batches(to_invdeg, batch_format="pyarrow", zero_copy_batch=True)
+    edges_w = snapshot(
+        reduce_side_attach(
+            edges, "src", [("src", I64), ("dst", I64)], invdeg, "doc_id", "inv_deg", "inv_deg", F64
+        )
+    )
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "r": pa.array(np.full(batch.num_rows, 1.0 / n_nodes), F64),
+                "dang": batch.column("dang"),
+            }
+        )
+
+    ranks = snapshot(nodes.map_batches(init_ranks, batch_format="pyarrow", zero_copy_batch=True))
+    base = (1.0 - damping) / n_nodes
+
+    def dang_partial(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        dg = batch.column("dang").to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({"s": pa.array([float(r[dg].sum())], F64)})
+
+    import gc
+    import math
+
+    for _ in range(iters):
+        parts = [
+            row["s"]
+            for row in ranks.map_batches(
+                dang_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        ]
+        d_mass = math.fsum(sorted(parts))
+
+        withr = reduce_side_attach(
+            edges_w, "src", [("src", I64), ("dst", I64), ("inv_deg", F64)],
+            ranks, "doc_id", "r", "r", F64,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            c = (
+                batch.column("r").to_numpy(zero_copy_only=False)
+                * batch.column("inv_deg").to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "doc_id": batch.column("dst"),
+                    "c": pa.array(c, F64),
+                    "dang": pa.array(np.zeros(batch.num_rows, np.int8), I8),
+                }
+            )
+
+        def zero_seed(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "c": pa.array(np.zeros(batch.num_rows), F64),
+                    "dang": batch.column("dang"),
+                }
+            )
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = batch.column("doc_id").cast(I64).to_numpy(zero_copy_only=False) % np.int64(
+                _PAIR_BUCKETS
+            )
+            return batch.append_column("__b", pa.array(b, I64))
+
+        def round_reduce(group: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(group.select(["doc_id", "c", "dang"]), "doc_id").aggregate(
+                [("c", "sum"), ("dang", "max")]
+            )
+            r_new = base + damping * (
+                t.column("c_sum").to_numpy(zero_copy_only=False) + d_mass / n_nodes
+            )
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "r": pa.array(r_new, F64),
+                    "dang": t.column("dang_max").cast(I8),
+                }
+            )
+
+        stream = (
+            withr.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .union(ranks.map_batches(zero_seed, batch_format="pyarrow", zero_copy_batch=True))
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__b")
+            .map_groups(round_reduce, batch_format="pyarrow")
+        )
+        ranks = snapshot(stream)
+        gc.collect()
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"), "pagerank": batch.column("r")})
+
+    return ranks.map_batches(out, batch_format="pyarrow", zero_copy_batch=True)

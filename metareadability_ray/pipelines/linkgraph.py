@@ -221,3 +221,127 @@ def anchor_text_index(sf_dir: str, buckets: int = 64) -> "ray.data.Dataset":
 
 def q_anchor_text_index(sf_dir: str) -> "ray.data.Dataset":
     return anchor_text_index(sf_dir)
+
+
+# ------------------------------------------------- URL PageRank (Page 1999)
+def url_pagerank(
+    sf_dir: str, damping: float = 0.85, iters: int = 20, local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """PageRank over the EXTRACTED url link graph — the full Brin–Page
+    composition this module exists for: parse pages → anchor edges →
+    directed power iteration with dangling-mass redistribution (most
+    targets are frontier URLs with no fetched outlinks — precisely the
+    dangling case the dup-graph :func:`clustering.pagerank` never meets).
+
+    Shape: per-block DISTINCT (src, dst) id pairs (ids = 62-bit masked
+    stable url hashes, non-negative for the reduce-side-attach contract;
+    at 10^12 urls the 62-bit space gives ~10^-5 expected collision rate —
+    disclosed, and the id→url table would catch any in the attach) →
+    one bucketed global edge dedup (16 B/row) → size-adaptive
+    :func:`clustering.pagerank_directed` → ranks re-attach urls via one
+    reduce-side join against the distinct node table. Html never leaves
+    the first stage; everything after is fixed-width integers."""
+    from metareadability_ray.functions.scalars import stable_hash64
+    from metareadability_ray.pipelines.clustering import pagerank_directed
+    from metareadability_ray.pipelines.textops import reduce_side_attach
+
+    _MASK = np.int64((1 << 62) - 1)
+    buckets = 64
+
+    ds = pages_dataset(sf_dir).map_batches(
+        enrich_links, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        for url, raw in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
+            for target, _anchor, _h in _page_anchors(url, raw):
+                pairs.add((url, target))
+        if not pairs:
+            return pa.table(
+                {
+                    "src_url": pa.array([], STR),
+                    "dst_url": pa.array([], STR),
+                    "src": pa.array([], I64),
+                    "dst": pa.array([], I64),
+                    "__b": pa.array([], I64),
+                }
+            )
+        su = np.asarray([p[0] for p in pairs], dtype=object)
+        du = np.asarray([p[1] for p in pairs], dtype=object)
+        sid = stable_hash64(su) & _MASK
+        did = stable_hash64(du) & _MASK
+        return pa.table(
+            {
+                "src_url": pa.array(su, STR),
+                "dst_url": pa.array(du, STR),
+                "src": pa.array(sid, I64),
+                "dst": pa.array(did, I64),
+                "__b": pa.array((sid * np.int64(1_000_003) + did) % np.int64(buckets), I64),
+            }
+        )
+
+    raw_edges = ds.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_edges(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        key = np.rec.fromarrays([s, d])
+        _, idx = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "src": pa.array(s[idx], I64),
+                "dst": pa.array(d[idx], I64),
+            }
+        )
+
+    edges = raw_edges.groupby("__b").map_groups(dedup_edges, batch_format="pyarrow")
+
+    # distinct (id, url) node table for the final attach
+    def node_rows(batch: pa.Table) -> pa.Table:
+        ids: dict[int, str] = {}
+        for c_id, c_url in (("src", "src_url"), ("dst", "dst_url")):
+            for i, u in zip(batch.column(c_id).to_pylist(), batch.column(c_url).to_pylist()):
+                ids[i] = u
+        return pa.table(
+            {
+                "id": pa.array(list(ids.keys()), I64),
+                "url": pa.array(list(ids.values()), STR),
+                "__b": pa.array([i % buckets for i in ids.keys()], I64),
+            }
+        )
+
+    def dedup_nodes(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        _, idx = np.unique(ids, return_index=True)
+        return pa.table(
+            {
+                "id": pa.array(ids[idx], I64),
+                "url": group.column("url").take(pa.array(idx)),
+            }
+        )
+
+    nodes = (
+        raw_edges.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(dedup_nodes, batch_format="pyarrow")
+    )
+
+    ranks = pagerank_directed(
+        edges, damping=damping, iters=iters, local_threshold=local_threshold
+    )
+    F64 = pa.float64()
+    joined = reduce_side_attach(
+        ranks, "doc_id", [("doc_id", I64), ("pagerank", F64)], nodes, "id", "url", "url", STR
+    )
+    out_schema = pa.schema([("url", STR), ("pagerank", F64)])
+    return with_schema_seed(
+        joined.map_batches(
+            lambda b: b.select(["url", "pagerank"]), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        out_schema,
+    )
+
+
+def q_url_pagerank(sf_dir: str) -> "ray.data.Dataset":
+    return url_pagerank(sf_dir)

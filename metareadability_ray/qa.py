@@ -2045,3 +2045,11 @@ REGISTRY["containment_pairs"] = QASpec(
     """,
     "custom(broder-containment-pairs,shared-inverted-index-kernel)",
 )
+
+REGISTRY["url_pagerank"] = QASpec(
+    LG.q_url_pagerank,
+    None,  # iterative numerical fixed point — no SQL twin; tested by exact
+    # numpy-oracle replay over independently regex-extracted edges and a
+    # distributed≡local property (tests/test_linkgraph.py)
+    "custom(url-pagerank,Page-1999-directed+dangling,extract-graph-rank-composition)",
+)

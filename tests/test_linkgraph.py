@@ -106,3 +106,76 @@ def test_page_anchor_malformed_never_raises():
 
     assert isinstance(_page_anchors("https://h/x", b"<a href='/y'>z"), list)
     assert _page_anchors("https://h/x", b"\xff\xfe garbage <<<>>") == []
+
+
+def _regex_edges():
+    """Distinct directed (src_url, target_url) edges via the independent
+    regex extractor — the url_pagerank oracle input."""
+    from metareadability_ray.pipelines.docs2pages import docs_to_pages_batch
+    from metareadability_ray.pipelines.linkgraph import enrich_links
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    pages = enrich_links(docs_to_pages_batch(docs))
+    edges = set()
+    for url, raw in zip(pages.column("url").to_pylist(), pages.column("html").to_pylist()):
+        for target, _a, _h in _regex_anchors(url, raw):
+            edges.add((url, target))
+    return edges
+
+
+def _numpy_pagerank_directed(edges, damping=0.85, iters=20):
+    import numpy as np
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    si = np.array([idx[a] for a, _ in edges])
+    di = np.array([idx[b] for _, b in edges])
+    outdeg = np.bincount(si, minlength=n).astype(float)
+    dang = outdeg == 0
+    safe = np.where(dang, 1.0, outdeg)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        d_mass = float(r[dang].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / safe[si])
+        r = (1.0 - damping) / n + damping * (contrib + d_mass / n)
+    return dict(zip(nodes, r))
+
+
+def _rank_table(res):
+    import ray
+
+    tabs = [ray.get(r) for r in res.to_arrow_refs()]
+    return pa.concat_tables([t for t in tabs if t.num_rows])
+
+
+def test_url_pagerank_matches_independent_oracle(ray_session):
+    import numpy as np
+
+    from metareadability_ray.pipelines.linkgraph import url_pagerank
+
+    tab = _rank_table(url_pagerank(SF))
+    got = dict(zip(tab.column("url").to_pylist(), tab.column("pagerank").to_pylist()))
+    want = _numpy_pagerank_directed(_regex_edges())
+    assert set(got) == set(want)
+    g = np.array([got[u] for u in sorted(got)])
+    w = np.array([want[u] for u in sorted(want)])
+    np.testing.assert_allclose(g, w, rtol=1e-9)
+    # mass conservation: the dangling redistribution keeps Σr = 1
+    assert abs(g.sum() - 1.0) < 1e-9
+
+
+def test_url_pagerank_distributed_equals_local(ray_session):
+    import numpy as np
+
+    from metareadability_ray.pipelines.linkgraph import url_pagerank
+
+    local = _rank_table(url_pagerank(SF))
+    dist = _rank_table(url_pagerank(SF, local_threshold=0))
+    gl = dict(zip(local.column("url").to_pylist(), local.column("pagerank").to_pylist()))
+    gd = dict(zip(dist.column("url").to_pylist(), dist.column("pagerank").to_pylist()))
+    assert set(gl) == set(gd)
+    a = np.array([gl[u] for u in sorted(gl)])
+    b = np.array([gd[u] for u in sorted(gd)])
+    np.testing.assert_allclose(a, b, rtol=1e-9)
