@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "anchor_text_index",
     "containment_pairs",
     "url_pagerank",
+    "bigram_cond_entropy",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1759,3 +1759,54 @@ def q_mad_outlier_docs(sf_dir: str, k: float = 2.0) -> "ray.data.Dataset":
     return with_schema_seed(
         ds.map_batches(tail, batch_format="pyarrow", zero_copy_batch=True), out_schema
     )
+
+
+# --------------------- per-doc bigram conditional entropy (predictability)
+def q_bigram_cond_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document bigram conditional entropy H(W₂|W₁) in bits — the
+    information-theoretic predictability signal (Shannon 1951's next-token
+    uncertainty, per doc): H = −Σ p(w1,w2)·log2(c12/c1). Low H = the next
+    token is near-deterministic given the current one (templated/repetitive
+    text — the smooth-valued cousin of Gopher's top_bigram_fraction rule);
+    H(W₂|W₁) ≤ H(W₂) always, and the GAP is how much structure unigram
+    entropy misses.
+
+    Pure per-batch kernel, zero shuffle (a doc is one row): bigram counts
+    and the first-position marginal come from one ``np.unique`` each, terms
+    sum in bigram-sorted order, %.4f on both engines absorbs the
+    summation-order ulps (the token_entropy contract). Docs with < 2
+    tokens emit no row (no bigram exists — matches the SQL join shape)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pa.Table:
+        out_ids: list[int] = []
+        out_h: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = re2_tokens(t)
+            if len(toks) < 2:
+                continue
+            w1 = np.asarray(toks[:-1], dtype=object).astype(str)
+            w2 = np.asarray(toks[1:], dtype=object).astype(str)
+            pairs, c12 = np.unique(np.rec.fromarrays([w1, w2]), return_counts=True)
+            # first-position marginal: c1(w1) = Σ_w2 c12 — reduceat over the
+            # pair-sorted runs (pairs sort primarily by w1)
+            u1 = pairs.f0
+            starts = np.flatnonzero(np.concatenate(([True], u1[1:] != u1[:-1])))
+            c1 = np.repeat(
+                np.add.reduceat(c12, starts), np.diff(np.append(starts, len(c12)))
+            )
+            n = float(c12.sum())
+            p12 = c12 / n
+            h = float(-(p12 * np.log2(c12 / c1)).sum())
+            out_ids.append(did)
+            out_h.append("%.4f" % h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "cond_entropy": pa.array(out_h, pa.string()),
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow", zero_copy_batch=True)

@@ -2053,3 +2053,24 @@ REGISTRY["url_pagerank"] = QASpec(
     # distributed≡local property (tests/test_linkgraph.py)
     "custom(url-pagerank,Page-1999-directed+dangling,extract-graph-rank-composition)",
 )
+
+REGISTRY["bigram_cond_entropy"] = QASpec(
+    W.q_bigram_cond_entropy,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, length(t) - 1), i -> t[i+1])) AS w2
+        FROM toks WHERE length(t) >= 2
+    ), bc AS (SELECT doc_id, w1, w2, count(*) AS c12 FROM bi GROUP BY doc_id, w1, w2),
+    m1 AS (SELECT doc_id, w1, sum(c12) AS c1 FROM bc GROUP BY doc_id, w1),
+    tot AS (SELECT doc_id, sum(c12) AS n FROM bc GROUP BY doc_id)
+    SELECT bc.doc_id,
+           printf('%.4f', -sum((c12 / n) * log2(c12 / c1))) AS cond_entropy
+    FROM bc JOIN m1 USING (doc_id, w1) JOIN tot USING (doc_id)
+    GROUP BY bc.doc_id
+    """,
+    "custom(bigram-conditional-entropy,Shannon-1951-predictability)",
+)
