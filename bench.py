@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "url_pagerank",
     "bigram_cond_entropy",
+    "blocklist_filter",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

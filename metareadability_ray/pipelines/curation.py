@@ -768,3 +768,53 @@ def stupid_backoff_score(sf_dir: str, alpha: float = 0.4) -> "ray.data.Dataset":
 
 def q_stupid_backoff_score(sf_dir: str) -> "ray.data.Dataset":
     return stupid_backoff_score(sf_dir)
+
+
+# --------------------------------------------- C4-style blocklist filtering
+_DEMO_BLOCKLIST = ("spark", "vector", "dup")  # corpus words, so the sf gate
+# exercises real hits; production passes its own list (C4 ships ~400 terms)
+
+
+def q_blocklist_filter(
+    sf_dir: str, blocklist: tuple[str, ...] = _DEMO_BLOCKLIST
+) -> "ray.data.Dataset":
+    """The C4 "bad words" rule (Raffel et al., 2020 §2.2: drop any page
+    containing a blocklisted word, case-insensitive): per document, the
+    blocklist hit count and the resulting keep flag. EVERY doc classifies —
+    token-less/null docs are legitimate keeps with 0 hits (a filter that
+    silently drops unscorable docs corrupts the funnel accounting).
+
+    Zero shuffle: the blocklist is a constant small side (broadcast-free —
+    it ships inside the task closure, the degenerate broadcast), matching
+    is one Arrow ``utf8_lower`` + ``is_in`` pass over the batch token
+    stream with a segment-sum per doc (``pc.utf8_lower`` = the DuckDB
+    ``lower()`` twin, the normalized_dedup parity precedent)."""
+    bl = pa.array(sorted(blocklist), STR)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_pylist()
+        toks: list[str] = []
+        ngs: list[int] = []
+        for t in batch.column("text").to_pylist():
+            parts = re2_tokens(t) if t else []
+            toks.extend(parts)
+            ngs.append(len(parts))
+        if toks:
+            hit = pc.is_in(pc.utf8_lower(pa.array(toks, STR)), value_set=bl)
+            hv = pc.fill_null(hit, False).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            hv = np.zeros(0, np.int64)
+        bounds = np.cumsum([0] + ngs)
+        n_hits = np.add.reduceat(
+            np.append(hv, 0), bounds[:-1]
+        ) * (np.diff(bounds) > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, I64),
+                "n_hits": pa.array(n_hits.astype(np.int64), I64),
+                "keep": pa.array(n_hits == 0),
+            }
+        )
+
+    return ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

@@ -2074,3 +2074,18 @@ REGISTRY["bigram_cond_entropy"] = QASpec(
     """,
     "custom(bigram-conditional-entropy,Shannon-1951-predictability)",
 )
+
+REGISTRY["blocklist_filter"] = QASpec(
+    CU.q_blocklist_filter,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+    ), hits AS (
+        SELECT doc_id, count(*) AS n FROM toks
+        WHERE lower(tok) IN ('dup', 'spark', 'vector') GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(hits.n, 0) AS n_hits, coalesce(hits.n, 0) = 0 AS keep
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    """,
+    "custom(c4-blocklist-filter,Raffel-2020)",
+)

@@ -151,7 +151,7 @@ _PROP = dict(
         "dup_span_rewrite", "dsir_weights", "filter_funnel",
         "winnow_pairs", "log_odds_keywords", "stupid_backoff_score",
         "mad_outlier_docs", "distinct_ngram_ratio", "incremental_dedup",
-        "containment_pairs", "bigram_cond_entropy",
+        "containment_pairs", "bigram_cond_entropy", "blocklist_filter",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
