@@ -30,9 +30,19 @@ _EPOCH = dt.datetime(2015, 1, 1)
 _SPAN_S = int((dt.datetime(2025, 1, 1) - _EPOCH).total_seconds())
 
 
-def _page_for_doc(doc_id: int, text: str, lang: str, source: str):
-    """Pure function of (doc_id, text, lang, source) → one pages row."""
-    rng = random.Random(doc_id)
+def _page_for_doc(doc_id: int | None, text: str, lang: str, source: str):
+    """Pure function of (doc_id, text, lang, source) → one pages row.
+
+    A null doc_id must NOT fall through to ``random.Random(None)`` (OS
+    entropy — that would silently break the determinism contract, r4
+    ADVICE): anonymous docs seed from their content instead, so the page
+    is still a pure function of the row. ``random.Random(str)`` seeds via
+    sha512, deterministic across processes (no PYTHONHASHSEED exposure).
+    Their url tail is ``-None.html`` — downstream id-recovery stages
+    (linkgraph.enrich_links) guard the parse."""
+    rng = random.Random(
+        doc_id if doc_id is not None else "anon:%s:%s:%s" % (text, lang, source)
+    )
     words = text.split()[:6] or ["untitled"]
     headline = " ".join(w.capitalize() for w in words)
     slug = "-".join(w.lower() for w in words)[:60]

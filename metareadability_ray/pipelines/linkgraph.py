@@ -82,9 +82,16 @@ def enrich_links(batch: pa.Table) -> pa.Table:
     urls = batch.column("url").to_pylist()
     out = []
     for url, raw in zip(urls, htmls):
-        # doc_id is recoverable from the docs2pages url tail ("...-<id>.html")
+        # doc_id is recoverable from the docs2pages url tail ("...-<id>.html");
+        # a null doc_id upstream yields "...-None.html" — guard the parse so
+        # one anonymous doc can't crash the whole run (r4 ADVICE): such pages
+        # pass through un-enriched (no deterministic id → no deterministic nav)
         stem = url.rsplit("-", 1)[-1].split(".")[0]
-        doc_id = int(stem)
+        try:
+            doc_id = int(stem)
+        except ValueError:
+            out.append(raw)
+            continue
         nav = _outlink_html(doc_id).encode("utf-8")
         body_end = raw.rfind(b"</body>")
         out.append(raw[:body_end] + nav + raw[body_end:] if body_end >= 0 else raw + nav)
@@ -281,7 +288,14 @@ def url_pagerank(
             }
         )
 
-    raw_edges = ds.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize ONCE: both the edge-dedup chain and the node-table chain
+    # consume raw_edges; left lazy, Ray re-executes the expensive
+    # pages → enrich → DOM-parse lineage end-to-end twice (r4 ADVICE). The
+    # materialized set is edge triples (urls + ids), corpus-link-bounded and
+    # object-store-resident — NOT the page bytes.
+    raw_edges = ds.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def dedup_edges(group: pa.Table) -> pa.Table:
         s = group.column("src").to_numpy(zero_copy_only=False)

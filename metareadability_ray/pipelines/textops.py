@@ -1436,8 +1436,13 @@ def q_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
     exact vectorized ``np.isin`` with no second pass and no broadcast —
     at 10^12 base docs nothing base-sized ever sits on one node or the
     driver. Null-text increment docs are always ``fresh`` (SQL: md5(NULL)
-    IS NULL joins nothing) and skip the shuffle entirely; null doc_ids
-    belong to neither slice (NULL % 5 compares unknown both ways)."""
+    IS NULL joins nothing): they ride the SAME shuffle as sentinel rows
+    spread by ``doc_id % buckets`` — the sentinel is not a 32-hex md5 so
+    no bucket can match it against a base hash, and spreading by id means
+    a null-text-heavy increment adds no hot bucket (the r4 ADVICE flagged
+    the earlier all-to-bucket-0 routing as an undisclosed skew). Null
+    doc_ids belong to neither slice (NULL % 5 compares unknown both
+    ways)."""
     ds = _docs(sf_dir)
     _SENTINEL = "__null_text__"  # not a 32-hex md5; base never ships it
 
@@ -1458,8 +1463,8 @@ def q_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
         hs = inc_h + sorted(base_h)
         dids = inc_d + [None] * len(base_h)
         buckets = [
-            0 if h is _SENTINEL or len(h) != 32 else int(h[:8], 16) % _PAIR_BUCKETS
-            for h in hs
+            (did % _PAIR_BUCKETS) if h is _SENTINEL else int(h[:8], 16) % _PAIR_BUCKETS
+            for h, did in zip(hs, dids)
         ]
         return pa.table(
             {

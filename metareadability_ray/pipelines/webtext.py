@@ -1775,14 +1775,18 @@ def q_bigram_cond_entropy(sf_dir: str) -> "ray.data.Dataset":
     and the first-position marginal come from one ``np.unique`` each, terms
     sum in bigram-sorted order, %.4f on both engines absorbs the
     summation-order ulps (the token_entropy contract). Docs with < 2
-    tokens emit no row (no bigram exists — matches the SQL join shape)."""
+    tokens emit no row (no bigram exists — matches the SQL join shape);
+    null doc_id docs are skipped on both engines (a per-doc statistic has
+    no addressable row for an anonymous doc — the stupid_backoff_score /
+    incremental_dedup precedent; SQL GROUP BY doc_id would otherwise pool
+    every null-id doc into ONE merged-bigram row)."""
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def ent(batch: pa.Table) -> pa.Table:
         out_ids: list[int] = []
         out_h: list[str] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            if did is None or not t:
                 continue
             toks = re2_tokens(t)
             if len(toks) < 2:

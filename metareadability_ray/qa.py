@@ -2058,7 +2058,12 @@ REGISTRY["bigram_cond_entropy"] = QASpec(
     W.q_bigram_cond_entropy,
     r"""
     WITH toks AS (
+        -- doc_id IS NOT NULL: null-id docs are skipped on BOTH engines (a
+        -- per-doc statistic has no addressable row for an anonymous doc;
+        -- GROUP BY doc_id would otherwise POOL all null-id docs into one
+        -- merged-bigram row — the r4 ADVICE divergence)
         SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        WHERE doc_id IS NOT NULL
     ), bi AS (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, length(t) - 1), i -> t[i])) AS w1,
@@ -2078,14 +2083,17 @@ REGISTRY["bigram_cond_entropy"] = QASpec(
 REGISTRY["blocklist_filter"] = QASpec(
     CU.q_blocklist_filter,
     r"""
-    WITH toks AS (
-        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
-    ), hits AS (
-        SELECT doc_id, count(*) AS n FROM toks
-        WHERE lower(tok) IN ('dup', 'spark', 'vector') GROUP BY doc_id
-    )
-    SELECT d.doc_id, coalesce(hits.n, 0) AS n_hits, coalesce(hits.n, 0) = 0 AS keep
-    FROM documents d LEFT JOIN hits USING (doc_id)
+    -- row-wise (no doc_id re-join): the filter is a per-ROW classification,
+    -- so the SQL twin must not route hit counts through a doc_id equi-join —
+    -- LEFT JOIN ... USING (doc_id) never matches NULL ids (a null-id doc
+    -- full of blocklisted words came back keep=true, the r4 ADVICE
+    -- divergence) and would multiply rows on duplicate ids
+    SELECT doc_id,
+           coalesce(length(list_filter(regexp_extract_all(text, '\S+'),
+                    t -> lower(t) IN ('dup', 'spark', 'vector'))), 0) AS n_hits,
+           coalesce(length(list_filter(regexp_extract_all(text, '\S+'),
+                    t -> lower(t) IN ('dup', 'spark', 'vector'))), 0) = 0 AS keep
+    FROM documents
     """,
     "custom(c4-blocklist-filter,Raffel-2020)",
 )

@@ -38,9 +38,16 @@ def documents_table(draw):
     langs = draw(
         st.lists(st.one_of(st.none(), st.sampled_from(["en", "de", "fr"])), min_size=n, max_size=n)
     )
+    # NULL doc_id is legal too (a crawl row whose id column failed to parse):
+    # hypothesis sometimes nulls the LAST id — probes the null-id semantics
+    # of every doc-keyed query (the r4 ADVICE found two kernels/twins that
+    # diverged exactly here; the fixed sf testdata never ships a null id)
+    ids: list = list(range(n))
+    if draw(st.booleans()):
+        ids[-1] = None
     return pa.table(
         {
-            "doc_id": pa.array(range(n), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
             # every 5th doc has a NULL source: legal per the schema, its own
