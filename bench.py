@@ -194,6 +194,10 @@ BENCH_QUERIES = [
     "url_pagerank",
     "bigram_cond_entropy",
     "blocklist_filter",
+    # Round-5 corpus-audit batch
+    "corpus_diff",
+    "table_profile",
+    "embedding_dim_stats",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

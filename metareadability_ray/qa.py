@@ -2097,3 +2097,77 @@ REGISTRY["blocklist_filter"] = QASpec(
     """,
     "custom(c4-blocklist-filter,Raffel-2020)",
 )
+
+# --------------------------------------------------- corpus-audit operators
+from metareadability_ray.pipelines import audit as AU  # noqa: E402
+
+REGISTRY["corpus_diff"] = QASpec(
+    AU.q_corpus_diff,
+    r"""
+    -- the same deterministic two-snapshot derivation as the Ray harness
+    -- (production diffs two real snapshot dirs; the sf gate has one table)
+    WITH old_snap AS (
+        SELECT doc_id, md5(coalesce(text, '')) AS h
+        FROM documents WHERE doc_id IS NOT NULL
+    ), new_snap AS (
+        SELECT doc_id,
+               md5(coalesce(text, '') ||
+                   CASE WHEN doc_id % 5 = 0 THEN ' [v2]' ELSE '' END) AS h
+        FROM documents WHERE doc_id IS NOT NULL AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000000, md5('added:' || coalesce(text, ''))
+        FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 = 3
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    """,
+    "custom(corpus-snapshot-diff,curation-regression-audit)",
+)
+
+REGISTRY["table_profile"] = QASpec(
+    AU.q_table_profile,
+    r"""
+    SELECT 'doc_id' AS col, count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+           min(text), max(text) FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+           min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+    """,
+    "custom(table-profiler,one-pass-column-stats)",
+)
+
+REGISTRY["embedding_dim_stats"] = QASpec(
+    AU.q_embedding_dim_stats,
+    r"""
+    -- identical micro-int fixing + float64 expression as the Ray kernel
+    -- (centroid_confusion precedent): stats derive from EXACT int64 sums
+    WITH vals AS (
+        SELECT i AS dim, CAST(floor(embedding[i] * 1000000 + 0.5) AS BIGINT) AS mv
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT dim, count(*) AS n,
+           printf('%.4f', sum(mv) / 1e6 / count(*)) AS mean,
+           printf('%.4f', sqrt(greatest(
+               sum(mv * mv) / 1e12 / count(*) - (sum(mv) / 1e6 / count(*)) ** 2,
+               0))) AS std,
+           printf('%.4f', min(mv) / 1e6) AS min_v,
+           printf('%.4f', max(mv) / 1e6) AS max_v
+    FROM vals GROUP BY dim
+    """,
+    "custom(embedding-dim-health,per-dimension-moments)",
+)

@@ -159,6 +159,7 @@ _PROP = dict(
         "winnow_pairs", "log_odds_keywords", "stupid_backoff_score",
         "mad_outlier_docs", "distinct_ngram_ratio", "incremental_dedup",
         "containment_pairs", "bigram_cond_entropy", "blocklist_filter",
+        "corpus_diff", "table_profile",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -565,7 +566,7 @@ def _run_both_emb(name, emb, docs, tmp_path_factory) -> None:
 
 @pytest.mark.parametrize(
     "name", ["knn_bruteforce", "neardup_cosine", "label_stats", "label_centroids",
-             "centroid_confusion"]
+             "centroid_confusion", "embedding_dim_stats"]
 )
 def test_query_conformance_on_generated_embeddings(ray_session, tmp_path_factory, name):
     @settings(max_examples=max(6, _N_EX * 6 // 8), deadline=None,
