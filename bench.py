@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "table_profile",
     "embedding_dim_stats",
+    "url_hits",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -895,3 +895,197 @@ def pagerank_directed(
         return pa.table({"doc_id": batch.column("doc_id"), "pagerank": batch.column("r")})
 
     return ranks.map_batches(out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ HITS (hubs & authorities)
+def _local_hits(et: pa.Table, iters: int = 20) -> pa.Table:
+    """Deterministic numpy HITS power iteration (Kleinberg 1999 §3): per
+    round a(v) = Σ_{(u,v)} h(u) then h(u) = Σ_{(u,v)} a(v), each
+    L2-normalized. The small-graph oracle the distributed rounds are
+    tested against. Init h = 1/√N (already normalized — identical to the
+    all-ones init after the first normalization)."""
+    src = et.column("src").to_numpy(zero_copy_only=False)
+    dst = et.column("dst").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst])) if len(src) else np.array([], np.int64)
+    n = len(nodes)
+    F64 = pa.float64()
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], I64),
+             "authority": pa.array([], F64),
+             "hub": pa.array([], F64)}
+        )
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, di, h[si])
+        na = float(np.sqrt((a * a).sum()))
+        if na > 0:
+            a = a / na
+        h = np.zeros(n)
+        np.add.at(h, si, a[di])
+        nh = float(np.sqrt((h * h).sum()))
+        if nh > 0:
+            h = h / nh
+    return pa.table(
+        {"doc_id": pa.array(nodes, I64),
+         "authority": pa.array(a, F64),
+         "hub": pa.array(h, F64)}
+    )
+
+
+def hits_directed(
+    edges: "ray.data.Dataset",
+    iters: int = 20,
+    num_partitions: int = 8,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Distributed HITS over an (src, dst) int64 edge Dataset — PageRank's
+    query-independent companion (Kleinberg 1999): authorities are pages
+    many hubs point AT, hubs are pages pointing at many authorities; the
+    two scores are the fixed point of a(v)=Σ h(u), h(u)=Σ a(v) with L2
+    normalization each half-step. Size-adaptive with the same threshold
+    contract as CC / pagerank; distributed≡local property-tested.
+
+    Distributed round shape (the pagerank_directed machinery, mirrored
+    for the two half-steps): the current score attaches to edges
+    reduce-side (keyed src for the authority step, keyed dst for the hub
+    step); per-target contributions zero-SEED with the node table so
+    score-less nodes keep rows; one bucketed sum finishes the half-step;
+    the L2 norm folds from per-block partial sums of squares
+    (``math.fsum`` over sorted partials — deterministic) and divides in a
+    stateless map. Two corpus-bounded shuffles per half-step, lineage cut
+    (snapshot) between rounds. Nothing graph-sized on the driver: the
+    norm fold is ≤ num_partitions scalars."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    F64 = pa.float64()
+    if n_edges <= local_threshold:
+        tabs = list(edges.iter_batches(batch_format="pyarrow"))
+        et = (
+            pa.concat_tables(tabs, promote_options="permissive")
+            if tabs
+            else pa.table({"src": pa.array([], I64), "dst": pa.array([], I64)})
+        )
+        return ray.data.from_arrow(_local_hits(et, iters))
+
+    def snapshot(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        refs = [r for r in ds.repartition(num_partitions).to_arrow_refs()]
+        return ray.data.from_arrow_refs(refs)
+
+    # distinct node table (one bucket reduce)
+    def node_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").cast(I64)
+        d = batch.column("dst").cast(I64)
+        if isinstance(s, pa.ChunkedArray):
+            s, d = s.combine_chunks(), d.combine_chunks()
+        ids = pa.concat_arrays([s, d])
+        b = ids.to_numpy(zero_copy_only=False) % np.int64(_PAIR_BUCKETS)
+        return pa.table({"doc_id": ids, "__b": pa.array(b, I64)})
+
+    def node_reduce(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(ids, I64)})
+
+    nodes = snapshot(
+        edges.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(node_reduce, batch_format="pyarrow")
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(_local_hits(pa.table(
+            {"src": pa.array([], I64), "dst": pa.array([], I64)})))
+
+    import gc
+    import math
+
+    h0 = 1.0 / math.sqrt(n_nodes)
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "v": pa.array(np.full(batch.num_rows, h0), F64)}
+        )
+
+    h_ds = snapshot(nodes.map_batches(init_scores, batch_format="pyarrow", zero_copy_batch=True))
+
+    def half_step(scores: "ray.data.Dataset", score_key: str, target_key: str):
+        """scores (doc_id, v) attach to edges on ``score_key``; summed per
+        ``target_key``; L2-normalized. Returns the new (doc_id, v) ds."""
+        withv = reduce_side_attach(
+            edges, score_key, [("src", I64), ("dst", I64)],
+            scores, "doc_id", "v", "v", F64,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch.column(target_key), "c": batch.column("v")}
+            )
+
+        def zero_seed(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "c": pa.array(np.zeros(batch.num_rows), F64)}
+            )
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = batch.column("doc_id").cast(I64).to_numpy(zero_copy_only=False) % np.int64(
+                _PAIR_BUCKETS
+            )
+            return batch.append_column("__b", pa.array(b, I64))
+
+        def sum_reduce(group: pa.Table) -> pa.Table:
+            t = pa.TableGroupBy(group.select(["doc_id", "c"]), "doc_id").aggregate(
+                [("c", "sum")]
+            )
+            return pa.table({"doc_id": t.column("doc_id"), "v": t.column("c_sum").cast(F64)})
+
+        raw = snapshot(
+            withv.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .union(nodes.map_batches(zero_seed, batch_format="pyarrow", zero_copy_batch=True))
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__b")
+            .map_groups(sum_reduce, batch_format="pyarrow")
+        )
+
+        def sq_partial(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([float((v * v).sum())], F64)})
+
+        parts = [
+            row["s"]
+            for row in raw.map_batches(
+                sq_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        ]
+        norm = math.sqrt(math.fsum(sorted(parts)))
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "v": pa.array(v / norm if norm > 0 else v, F64)}
+            )
+
+        return snapshot(raw.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True))
+
+    a_ds = h_ds
+    for _ in range(iters):
+        a_ds = half_step(h_ds, "src", "dst")   # authorities from hubs
+        h_ds = half_step(a_ds, "dst", "src")   # hubs from authorities
+        gc.collect()
+
+    # zip the two score tables into (doc_id, authority, hub)
+    joined = reduce_side_attach(
+        a_ds.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"), "authority": b.column("v")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "doc_id", [("doc_id", I64), ("authority", F64)],
+        h_ds, "doc_id", "v", "hub", F64,
+    )
+    return joined

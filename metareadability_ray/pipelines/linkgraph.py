@@ -231,29 +231,19 @@ def q_anchor_text_index(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ------------------------------------------------- URL PageRank (Page 1999)
-def url_pagerank(
-    sf_dir: str, damping: float = 0.85, iters: int = 20, local_threshold: int = 1_000_000
-) -> "ray.data.Dataset":
-    """PageRank over the EXTRACTED url link graph — the full Brin–Page
-    composition this module exists for: parse pages → anchor edges →
-    directed power iteration with dangling-mass redistribution (most
-    targets are frontier URLs with no fetched outlinks — precisely the
-    dangling case the dup-graph :func:`clustering.pagerank` never meets).
-
-    Shape: per-block DISTINCT (src, dst) id pairs (ids = 62-bit masked
-    stable url hashes, non-negative for the reduce-side-attach contract;
-    at 10^12 urls the 62-bit space gives ~10^-5 expected collision rate —
-    disclosed, and the id→url table would catch any in the attach) →
-    one bucketed global edge dedup (16 B/row) → size-adaptive
-    :func:`clustering.pagerank_directed` → ranks re-attach urls via one
-    reduce-side join against the distinct node table. Html never leaves
-    the first stage; everything after is fixed-width integers."""
+def link_graph_tables(sf_dir: str, buckets: int = 64):
+    """The shared link-graph build every whole-graph operator starts from
+    (url_pagerank, url_hits): parse the enriched pages stream → per-block
+    DISTINCT (src, dst) id pairs (ids = 62-bit masked stable url hashes,
+    non-negative for the reduce-side-attach contract; at 10^12 urls the
+    62-bit space gives ~10^-5 expected collision rate — disclosed, and
+    the id→url table would catch any in the attach) → one bucketed global
+    edge dedup (16 B/row) plus the distinct (id, url) node table for the
+    final attach. Html never leaves the first stage; everything after is
+    fixed-width integers. Returns ``(edges, nodes)`` Datasets."""
     from metareadability_ray.functions.scalars import stable_hash64
-    from metareadability_ray.pipelines.clustering import pagerank_directed
-    from metareadability_ray.pipelines.textops import reduce_side_attach
 
     _MASK = np.int64((1 << 62) - 1)
-    buckets = 64
 
     ds = pages_dataset(sf_dir).map_batches(
         enrich_links, batch_format="pyarrow", zero_copy_batch=True
@@ -340,7 +330,24 @@ def url_pagerank(
         .groupby("__b")
         .map_groups(dedup_nodes, batch_format="pyarrow")
     )
+    return edges, nodes
 
+
+def url_pagerank(
+    sf_dir: str, damping: float = 0.85, iters: int = 20, local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """PageRank over the EXTRACTED url link graph — the full Brin–Page
+    composition this module exists for: parse pages → anchor edges →
+    directed power iteration with dangling-mass redistribution (most
+    targets are frontier URLs with no fetched outlinks — precisely the
+    dangling case the dup-graph :func:`clustering.pagerank` never meets).
+    Graph build shape: :func:`link_graph_tables`; iteration shape:
+    size-adaptive :func:`clustering.pagerank_directed`; ranks re-attach
+    urls via one reduce-side join against the distinct node table."""
+    from metareadability_ray.pipelines.clustering import pagerank_directed
+    from metareadability_ray.pipelines.textops import reduce_side_attach
+
+    edges, nodes = link_graph_tables(sf_dir)
     ranks = pagerank_directed(
         edges, damping=damping, iters=iters, local_threshold=local_threshold
     )
@@ -359,3 +366,40 @@ def url_pagerank(
 
 def q_url_pagerank(sf_dir: str) -> "ray.data.Dataset":
     return url_pagerank(sf_dir)
+
+
+def url_hits(
+    sf_dir: str, iters: int = 20, local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities over the EXTRACTED url link graph
+    (Kleinberg 1999) — PageRank's companion ranking, and structurally its
+    mirror test: on this corpus the hub mass concentrates on the fetched
+    pages (they hold the outlinks) while the authority mass concentrates
+    on the frontier targets — the opposite split from pagerank's
+    dangling-mass smoothing, so the two operators probe different halves
+    of the same graph build. Same :func:`link_graph_tables` graph, same
+    size-adaptive iteration contract (:func:`clustering.hits_directed`),
+    scores re-attach urls via one reduce-side join."""
+    from metareadability_ray.pipelines.clustering import hits_directed
+    from metareadability_ray.pipelines.textops import reduce_side_attach
+
+    edges, nodes = link_graph_tables(sf_dir)
+    scores = hits_directed(edges, iters=iters, local_threshold=local_threshold)
+    F64 = pa.float64()
+    joined = reduce_side_attach(
+        scores, "doc_id",
+        [("doc_id", I64), ("authority", F64), ("hub", F64)],
+        nodes, "id", "url", "url", STR,
+    )
+    out_schema = pa.schema([("url", STR), ("authority", F64), ("hub", F64)])
+    return with_schema_seed(
+        joined.map_batches(
+            lambda b: b.select(["url", "authority", "hub"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        out_schema,
+    )
+
+
+def q_url_hits(sf_dir: str) -> "ray.data.Dataset":
+    return url_hits(sf_dir)

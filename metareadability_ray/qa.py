@@ -2171,3 +2171,11 @@ REGISTRY["embedding_dim_stats"] = QASpec(
     """,
     "custom(embedding-dim-health,per-dimension-moments)",
 )
+
+REGISTRY["url_hits"] = QASpec(
+    LG.q_url_hits,
+    None,  # iterative numerical fixed point — no SQL twin; tested by exact
+    # numpy-oracle replay over independently regex-extracted edges and a
+    # distributed≡local property (tests/test_linkgraph.py)
+    "custom(url-hits,Kleinberg-1999-hubs-authorities)",
+)

@@ -179,3 +179,68 @@ def test_url_pagerank_distributed_equals_local(ray_session):
     a = np.array([gl[u] for u in sorted(gl)])
     b = np.array([gd[u] for u in sorted(gd)])
     np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def _numpy_hits(edges, iters=20):
+    """Independent HITS replay over the regex-extracted edge set (same
+    independence argument as _numpy_pagerank_directed)."""
+    import numpy as np
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    si = np.array([idx[a] for a, _ in edges])
+    di = np.array([idx[b] for _, b in edges])
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, di, h[si])
+        na = float(np.sqrt((a * a).sum()))
+        if na > 0:
+            a /= na
+        h = np.zeros(n)
+        np.add.at(h, si, a[di])
+        nh = float(np.sqrt((h * h).sum()))
+        if nh > 0:
+            h /= nh
+    return {u: (a[i], h[i]) for u, i in idx.items()}
+
+
+def test_url_hits_matches_independent_oracle(ray_session):
+    import numpy as np
+
+    from metareadability_ray.pipelines.linkgraph import url_hits
+
+    tab = _rank_table(url_hits(SF))
+    got = {
+        r["url"]: (r["authority"], r["hub"]) for r in tab.to_pylist()
+    }
+    want = _numpy_hits(_regex_edges())
+    assert set(got) == set(want)
+    g = np.array([got[u] for u in sorted(got)])
+    w = np.array([want[u] for u in sorted(want)])
+    np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-12)
+    # L2 normalization invariant on both score vectors
+    assert abs(float((g[:, 0] ** 2).sum()) - 1.0) < 1e-9
+    assert abs(float((g[:, 1] ** 2).sum()) - 1.0) < 1e-9
+    # structural sanity: fetched pages (the only outlink holders) carry the
+    # hub mass; frontier targets carry the authority mass
+    fetched = {u for u, _ in _regex_edges()}
+    hub_top = max(got, key=lambda u: got[u][1])
+    assert hub_top in fetched
+
+
+def test_url_hits_distributed_equals_local(ray_session):
+    import numpy as np
+
+    from metareadability_ray.pipelines.linkgraph import url_hits
+
+    local = _rank_table(url_hits(SF))
+    dist = _rank_table(url_hits(SF, local_threshold=0))
+    gl = {r["url"]: (r["authority"], r["hub"]) for r in local.to_pylist()}
+    gd = {r["url"]: (r["authority"], r["hub"]) for r in dist.to_pylist()}
+    assert set(gl) == set(gd)
+    a = np.array([gl[u] for u in sorted(gl)])
+    b = np.array([gd[u] for u in sorted(gd)])
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
