@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "table_profile",
     "embedding_dim_stats",
     "url_hits",
+    "distinct_ngram_hll",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -703,3 +703,106 @@ def q_distinct_ngram_ratio(sf_dir: str) -> "ray.data.Dataset":
     return with_schema_seed(
         agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True), out_schema
     )
+
+
+def q_distinct_ngram_hll(sf_dir: str) -> "ray.data.Dataset":
+    """HyperLogLog twin of :func:`q_distinct_ngram_ratio` — the 100 TB
+    path. The exact op must shuffle the per-block distinct (source, gram)
+    vocabulary (one row per distinct gram per block: correct, but the
+    vocabulary of a web-scale source is itself TB-scale). This twin
+    shuffles NO grams at all: each block emits one 4 KiB register table
+    plus an exact gram COUNT per source, and the per-source merge is a
+    register max + int sum — the sketch version of the same audit at
+    ~1.6 % relative error (p=12; agreement vs the exact op is pinned in
+    tests/test_textops2_hll.py, determinism by construction: the gram
+    hash is the unsalted stable_hash64 + splitmix finalizer, so any
+    cluster layout produces byte-identical registers).
+
+    Same gram definition and NULL-source contract as the exact op (the
+    two share the shingle loop's semantics; a drift here would be caught
+    by the agreement test)."""
+    from metareadability_ray.functions.scalars import re2_tokens, stable_hash64
+    from metareadability_ray.pipelines.relational2 import _HLL_M, _HLL_P, _splitmix64
+    from metareadability_ray.util import with_schema_seed
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_grams", pa.int64()),
+            ("approx_distinct", pa.int64()),
+            ("approx_ratio", pa.string()),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        grams: list[str] = []
+        for s, t in zip(batch.column("source").to_pylist(), batch.column("text").to_pylist()):
+            if s is None or not t:
+                continue
+            toks = re2_tokens(t)
+            for i in range(len(toks) - 2):
+                srcs.append(s)
+                grams.append(" ".join(toks[i : i + 3]))
+        if not srcs:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "regs": pa.array([], pa.list_(pa.uint8())),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        sa = np.asarray(srcs, dtype=object).astype(str)
+        h = _splitmix64(
+            stable_hash64(np.asarray(grams, dtype=object)).view(np.uint64)
+        )
+        idx = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
+        w = h >> np.uint64(_HLL_P)  # 52 significant bits → float64-exact
+        _, exp = np.frexp(w.astype(np.float64))
+        rank = np.where(w > 0, 52 - exp + 1, 53).astype(np.uint8)
+        out_s, out_r, out_n = [], [], []
+        for s in np.unique(sa):
+            sel = sa == s
+            regs = np.zeros(_HLL_M, dtype=np.uint8)
+            np.maximum.at(regs, idx[sel], rank[sel])
+            out_s.append(str(s))
+            out_r.append(regs.tolist())
+            out_n.append(int(sel.sum()))
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "regs": pa.array(out_r, pa.list_(pa.uint8())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        for r in group.column("regs").to_pylist():
+            regs = np.maximum(regs, np.asarray(r, dtype=np.uint8))
+        n_grams = int(pc.sum(group.column("n")).as_py())
+        est = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M / np.sum(
+            2.0 ** -regs.astype(np.float64)
+        )
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * _HLL_M and zeros:
+            est = _HLL_M * np.log(_HLL_M / zeros)
+        est_i = int(round(est))
+        return pa.table(
+            {
+                "source": pa.array([group.column("source")[0].as_py()], pa.string()),
+                "n_grams": pa.array([n_grams], pa.int64()),
+                "approx_distinct": pa.array([est_i], pa.int64()),
+                "approx_ratio": pa.array(
+                    ["%.4f" % (est_i / n_grams if n_grams else 0.0)], pa.string()
+                ),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow"),
+        out_schema,
+    )

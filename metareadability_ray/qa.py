@@ -2179,3 +2179,11 @@ REGISTRY["url_hits"] = QASpec(
     # distributed≡local property (tests/test_linkgraph.py)
     "custom(url-hits,Kleinberg-1999-hubs-authorities)",
 )
+
+REGISTRY["distinct_ngram_hll"] = QASpec(
+    T2.q_distinct_ngram_hll,
+    None,  # sketch (register-valued) — no SQL twin; agreement vs the exact
+    # distinct_ngram_ratio op (≤5% rel err) + determinism pinned in
+    # tests/test_textops2_hll.py
+    "custom(distinct-ngram-hll,Flajolet-2007-scale-twin-of-distinct_ngram_ratio)",
+)
