@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     "url_hits",
     "distinct_ngram_hll",
+    "cluster_topics",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

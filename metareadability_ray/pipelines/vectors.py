@@ -1523,3 +1523,179 @@ def q_centroid_confusion(sf_dir: str) -> "ray.data.Dataset":
         out,
         pa.schema([("label", pa.int64()), ("pred_label", pa.int64()), ("n", pa.int64())]),
     )
+
+
+# ------------------------------------------------ cluster topic labeling
+def cluster_topics(
+    sf_dir: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    top_m: int = 5,
+) -> pa.Table:
+    """Corpus-exploration topic labels: spherical k-means over the
+    embedding column (the :func:`train_ivf_centroids` quantizer), then
+    the top-``m`` DISTINCTIVE terms per cluster by class-based TF-IDF
+    (c-TF-IDF, Grootendorst 2022: treat each cluster as one pseudo-doc;
+    score(t, c) = tf(t, c) · log(k / df_clusters(t)), so corpus-wide
+    stopwords — df = k — score exactly 0 and cluster-specific vocabulary
+    rises). The "what is actually IN this 100 TB corpus" audit.
+
+    Scale shape: the assignment pass broadcasts k×d centroid floats and
+    emits (doc_id, cluster) only; text moves ONCE through the
+    reduce-side cluster attach; the term stream is per-block combined
+    (cluster, token, count) partials — one row per distinct (cluster,
+    token) per block — through ONE token-hash-bucketed shuffle, so each
+    bucket holds complete token groups and both tf and df_clusters are
+    exact in-bucket with no second pass; per-(bucket, cluster) top-m
+    prefilters cut the driver fold to ≤ buckets × k × m rows. Null
+    doc_ids and docs without embeddings drop (inner attach — an
+    unembedded doc has no cluster); ties break (score desc, token asc)."""
+    from metareadability_ray.functions.scalars import re2_tokens, stable_hash64
+    from metareadability_ray.pipelines.textops import _PAIR_BUCKETS, reduce_side_attach
+
+    I64 = pa.int64()
+    STR = pa.string()
+    C = train_ivf_centroids(sf_dir, n_clusters=n_clusters, iters=iters)
+    k_eff = C.shape[0]
+    c_ref = ray.put(C)
+
+    emb = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        M = _emb_matrix(batch)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.where(nrm == 0, 1.0, nrm)
+        a = (M @ Cm.T).argmax(axis=1).astype(np.int64)
+        ids = batch.column("vec_id").cast(I64)
+        keep = ~pc.is_null(ids).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": ids.filter(pa.array(keep)), "cluster": pa.array(a[keep], I64)}
+        )
+
+    assigns = emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-cluster doc counts: per-block bincount partials, driver fold ≤ blocks×k
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c = np.bincount(
+            batch.column("cluster").to_numpy(zero_copy_only=False), minlength=k_eff
+        )
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"cluster": pa.array(nz.astype(np.int64), I64),
+             "n": pa.array(c[nz].astype(np.int64), I64)}
+        )
+
+    n_docs = np.zeros(k_eff, np.int64)
+    for t in [
+        ray.get(r)
+        for r in assigns.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]:
+        for r in t.to_pylist():
+            n_docs[r["cluster"]] += r["n"]
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def drop_null_ids(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("doc_id")))
+
+    withc = reduce_side_attach(
+        docs.map_batches(drop_null_ids, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id", [("doc_id", I64), ("text", STR)],
+        assigns, "doc_id", "cluster", "cluster", I64,
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cls: list[int] = []
+        toks: list[str] = []
+        for cl, t in zip(batch.column("cluster").to_pylist(), batch.column("text").to_pylist()):
+            if cl is None or not t:
+                continue
+            parts = re2_tokens(t)
+            cls.extend([cl] * len(parts))
+            toks.extend(parts)
+        if not cls:
+            return pa.table(
+                {"cluster": pa.array([], I64), "token": pa.array([], STR),
+                 "c": pa.array([], I64), "__b": pa.array([], I64)}
+            )
+        u, c = np.unique(
+            np.rec.fromarrays(
+                [np.asarray(cls, np.int64), np.asarray(toks, dtype=object).astype(str)]
+            ),
+            return_counts=True,
+        )
+        tk = u.f1.astype(object)
+        return pa.table(
+            {
+                "cluster": pa.array(u.f0.astype(np.int64), I64),
+                "token": pa.array(tk, STR),
+                "c": pa.array(c.astype(np.int64), I64),
+                "__b": pa.array(stable_hash64(tk) % np.int64(_PAIR_BUCKETS), I64),
+            }
+        )
+
+    def bucket_topm(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster").to_numpy(zero_copy_only=False)
+        tk = group.column("token").to_numpy(zero_copy_only=False).astype(str)
+        cc = group.column("c").to_numpy(zero_copy_only=False)
+        # exact per-(cluster, token) sums: lexsort + run-length reduceat
+        order = np.lexsort((cl, tk))
+        tk, cl, cc = tk[order], cl[order], cc[order]
+        newrun = np.concatenate(
+            ([True], (tk[1:] != tk[:-1]) | (cl[1:] != cl[:-1]))
+        )
+        starts = np.flatnonzero(newrun)
+        tku, clu = tk[starts], cl[starts]
+        csum = np.add.reduceat(cc, starts)
+        # df_clusters per token: buckets are token-disjoint, so the count
+        # of distinct clusters per token HERE is the global df
+        tstart = np.flatnonzero(np.concatenate(([True], tku[1:] != tku[:-1])))
+        df = np.repeat(np.diff(np.append(tstart, len(tku))), np.diff(np.append(tstart, len(tku))))
+        score = csum.astype(np.float64) * np.log(k_eff / df.astype(np.float64))
+        out_c, out_t, out_s = [], [], []
+        for clv in np.unique(clu):
+            # strictly positive scores only: a token in EVERY cluster
+            # (df = k) scores 0 — emitting those would fill the top list
+            # with alphabetized stopwords on a homogeneous corpus; an
+            # empty term list is the honest "no distinctive vocabulary"
+            sel = np.flatnonzero((clu == clv) & (score > 0))
+            o = sel[np.lexsort((tku[sel], -score[sel]))][:top_m]
+            out_c.extend([int(clv)] * len(o))
+            out_t.extend(tku[o].tolist())
+            out_s.extend(score[o].tolist())
+        return pa.table(
+            {"cluster": pa.array(out_c, I64), "token": pa.array(out_t, STR),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    cand = [
+        ray.get(r)
+        for r in withc.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_topm, batch_format="pyarrow")
+        .to_arrow_refs()
+    ]
+    rows = [r for t in cand for r in t.to_pylist()]
+    terms: list[str] = []
+    for clv in range(k_eff):
+        mine = sorted(
+            (r for r in rows if r["cluster"] == clv),
+            key=lambda r: (-r["score"], r["token"]),
+        )[:top_m]
+        terms.append(" ".join(r["token"] for r in mine))
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k_eff, dtype=np.int64), pa.int64()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "top_terms": pa.array(terms, pa.string()),
+        }
+    )
+
+
+def q_cluster_topics(sf_dir: str) -> pa.Table:
+    return cluster_topics(sf_dir)

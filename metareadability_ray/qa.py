@@ -2187,3 +2187,10 @@ REGISTRY["distinct_ngram_hll"] = QASpec(
     # tests/test_textops2_hll.py
     "custom(distinct-ngram-hll,Flajolet-2007-scale-twin-of-distinct_ngram_ratio)",
 )
+
+REGISTRY["cluster_topics"] = QASpec(
+    V.q_cluster_topics,
+    None,  # k-means + c-TF-IDF — no SQL twin; planted-vocabulary recovery,
+    # determinism and doc-accounting pinned in tests/test_cluster_topics.py
+    "custom(cluster-topics,cTFIDF-Grootendorst-2022,corpus-exploration)",
+)

@@ -678,6 +678,29 @@ def test_rows_only_smoke_on_generated_embeddings(ray_session, tmp_path_factory, 
     inner()
 
 
+def test_cluster_topics_smoke_on_generated(ray_session, tmp_path_factory):
+    """Dual-table (embeddings for k-means, documents for the term stream)
+    topic labeling: must run and stay self-consistent on adversarial
+    generated corpora (tiny k_eff < n_clusters, null texts/ids, unicode)."""
+    @settings(max_examples=max(4, _N_EX // 2), deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(documents_table(), embeddings_table())
+    def inner(docs, emb):
+        import gc
+
+        from metareadability_ray.qa import REGISTRY
+
+        d = tmp_path_factory.mktemp("propsmoke_topics")
+        pq.write_table(docs, str(d / "documents.parquet"))
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+        t = REGISTRY["cluster_topics"].fn(str(d))
+        assert t.num_rows >= 1
+        assert sum(r["n_docs"] for r in t.to_pylist()) == emb.num_rows
+        gc.collect()
+
+    inner()
+
+
 def test_dedup_cascade_smoke_on_generated(ray_session, tmp_path_factory):
     """The composed cascade needs BOTH tables (documents for exact/LSH,
     embeddings for the semantic stage) — its own dual-table smoke: must run
