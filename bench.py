@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "url_hits",
     "distinct_ngram_hll",
     "cluster_topics",
+    "tokenizer_fertility",
+    "canary_scan",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -818,3 +818,148 @@ def q_blocklist_filter(
         )
 
     return ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- tokenizer fertility
+def q_tokenizer_fertility(sf_dir: str) -> "ray.data.Dataset":
+    """Per-language tokenizer fertility: characters per BPE-ish pretoken —
+    the cross-lingual cost audit of a training mix (a language whose text
+    costs 2× the tokens per character gets half the effective context and
+    double the compute per byte of signal; the standard argument for
+    per-lang token budgeting). Pretokens use the SAME regex as
+    bpe_token_stats so the two operators cannot drift.
+
+    Zero-shuffle-of-text: per block, one vectorized
+    ``utf8_length`` + ``count_substring_regex`` pass collapses to one
+    (lang, n_docs, n_chars, n_bpe_tokens) partial row per lang per block;
+    one lang-cardinality groupby sums exact int64s; the ratio is one
+    float division printed %.4f on both engines. NULL langs are excluded
+    on both engines (the source_js_divergence contract); NULL texts count
+    as docs with 0 chars / 0 tokens (coalesce on the SQL side)."""
+    from metareadability_ray.pipelines.textops import _BPE_RE
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column("lang"))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], STR), "n_docs": pa.array([], I64),
+                 "n_chars": pa.array([], I64), "n_bpe_tokens": pa.array([], I64)}
+            )
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object).astype(str)
+        chars = (
+            pc.fill_null(pc.utf8_length(b.column("text")), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        toks = (
+            pc.fill_null(pc.count_substring_regex(b.column("text"), _BPE_RE), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(langs, kind="stable")
+        sl, sc, st = langs[order], chars[order], toks[order]
+        starts = np.flatnonzero(np.concatenate(([True], sl[1:] != sl[:-1])))
+        return pa.table(
+            {
+                "lang": pa.array(sl[starts].astype(object), STR),
+                "n_docs": pa.array(
+                    np.diff(np.append(starts, len(sl))).astype(np.int64), I64
+                ),
+                "n_chars": pa.array(np.add.reduceat(sc, starts), I64),
+                "n_bpe_tokens": pa.array(np.add.reduceat(st, starts), I64),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        nd = int(pc.sum(group.column("n_docs")).as_py())
+        nc = int(pc.sum(group.column("n_chars")).as_py())
+        nt = int(pc.sum(group.column("n_bpe_tokens")).as_py())
+        return pa.table(
+            {
+                "lang": pa.array([group.column("lang")[0].as_py()], STR),
+                "n_docs": pa.array([nd], I64),
+                "n_chars": pa.array([nc], I64),
+                "n_bpe_tokens": pa.array([nt], I64),
+                "chars_per_token": pa.array(["%.4f" % (nc / max(nt, 1))], STR),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("lang", STR), ("n_docs", I64), ("n_chars", I64),
+         ("n_bpe_tokens", I64), ("chars_per_token", STR)]
+    )
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(finish, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+# ------------------------------------------------------------- canary scan
+_DEMO_CANARIES = ("dup row", "spark", "vector")
+
+
+def q_canary_scan(
+    sf_dir: str, canaries: tuple[str, ...] = _DEMO_CANARIES
+) -> "ray.data.Dataset":
+    """Contamination canary scan: for each canary STRING (not token —
+    eval-set sentences and guid-style canaries cross token boundaries),
+    the number of documents containing it and the total occurrence count.
+    This is the leak audit run before a training export: published canary
+    GUIDs (the Carlini-style memorization probes) and held-out eval
+    sentences must hit 0. The demo list uses corpus substrings so the sf
+    gate exercises real hits; production passes the eval-set canaries.
+
+    Zero shuffle: the canary list is a constant small side in the task
+    closure; per block one vectorized ``pc.count_substring`` pass per
+    canary collapses to a single (canary, docs_hit, occurrences) partial
+    row, and a canary-cardinality groupby sums exact int64s. Canary
+    strings must not self-overlap (no proper prefix = suffix) — both
+    engines count non-overlapping leftmost matches, which only diverge on
+    self-overlapping patterns (documented; the SQL twin's replace()-based
+    counter has the same contract)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    cl = tuple(sorted(canaries))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        hits: list[int] = []
+        occs: list[int] = []
+        for c in cl:
+            n = pc.fill_null(pc.count_substring(text, c), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            hits.append(int((n > 0).sum()))
+            occs.append(int(n.sum()))
+        return pa.table(
+            {
+                "canary": pa.array(list(cl), STR),
+                "n_docs_hit": pa.array(hits, I64),
+                "n_occurrences": pa.array(occs, I64),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canary": pa.array([group.column("canary")[0].as_py()], STR),
+                "n_docs_hit": pa.array(
+                    [int(pc.sum(group.column("n_docs_hit")).as_py())], I64
+                ),
+                "n_occurrences": pa.array(
+                    [int(pc.sum(group.column("n_occurrences")).as_py())], I64
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("canary")
+        .map_groups(finish, batch_format="pyarrow")
+    )

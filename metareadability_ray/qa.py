@@ -2194,3 +2194,38 @@ REGISTRY["cluster_topics"] = QASpec(
     # determinism and doc-accounting pinned in tests/test_cluster_topics.py
     "custom(cluster-topics,cTFIDF-Grootendorst-2022,corpus-exploration)",
 )
+
+REGISTRY["tokenizer_fertility"] = QASpec(
+    CU.q_tokenizer_fertility,
+    r"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(sum(length(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 0) AS BIGINT)
+               AS n_bpe_tokens,
+           printf('%.4f', CAST(coalesce(sum(length(text)), 0) AS BIGINT) * 1.0 /
+                  greatest(CAST(coalesce(sum(length(regexp_extract_all(text,
+                      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))), 0) AS BIGINT), 1))
+               AS chars_per_token
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    """,
+    "custom(tokenizer-fertility,per-lang-chars-per-bpe-pretoken)",
+)
+
+REGISTRY["canary_scan"] = QASpec(
+    CU.q_canary_scan,
+    r"""
+    -- LEFT JOIN ON TRUE keeps every canary row (0 hits) even over an
+    -- all-null corpus; occurrence count via the replace()-length identity
+    -- (exact for non-self-overlapping canaries — the operator's contract)
+    WITH c(canary) AS (VALUES ('dup row'), ('spark'), ('vector'))
+    SELECT c.canary,
+           CAST(coalesce(sum(CASE WHEN contains(text, c.canary) THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_docs_hit,
+           CAST(coalesce(sum(CAST((length(text) - length(replace(text, c.canary, '')))
+               / length(c.canary) AS BIGINT)), 0) AS BIGINT) AS n_occurrences
+    FROM c LEFT JOIN documents ON TRUE
+    GROUP BY c.canary
+    """,
+    "custom(canary-scan,Carlini-memorization-probe-audit)",
+)

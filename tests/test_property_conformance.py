@@ -159,7 +159,7 @@ _PROP = dict(
         "winnow_pairs", "log_odds_keywords", "stupid_backoff_score",
         "mad_outlier_docs", "distinct_ngram_ratio", "incremental_dedup",
         "containment_pairs", "bigram_cond_entropy", "blocklist_filter",
-        "corpus_diff", "table_profile",
+        "corpus_diff", "table_profile", "tokenizer_fertility", "canary_scan",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
