@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "cluster_topics",
     "tokenizer_fertility",
     "canary_scan",
+    "kmeanspp_sample",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

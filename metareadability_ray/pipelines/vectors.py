@@ -1699,3 +1699,196 @@ def cluster_topics(
 
 def q_cluster_topics(sf_dir: str) -> pa.Table:
     return cluster_topics(sf_dir)
+
+
+# ------------------------------------------- k-means|| seeding (Bahmani 2012)
+def _kmeanspar_draws(ids: np.ndarray, rnd: int) -> np.ndarray:
+    """Deterministic uniform(0,1) draw per (vec_id, round) via the splitmix64
+    finalizer — the sampling decisions are a pure function of the row, so
+    any cluster layout / retry / block order produces the identical seed
+    set (the HLL register discipline applied to sampling)."""
+    from metareadability_ray.pipelines.relational2 import _splitmix64
+
+    h = _splitmix64(
+        (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ^ np.uint64((rnd * 0xD1B54A32D192ED03) % (1 << 64))
+    )
+    return h.astype(np.float64) / float(2**64)
+
+
+def _d2_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, |C|) squared-Euclidean matrix via the SAME expansion on every
+    path (||x||² − 2x·c + ||c||²) — rowwise, no cross-row reduction, so
+    the per-point floats are identical on any layout."""
+    return np.maximum(
+        (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :],
+        0.0,
+    )
+
+
+def _d2_nano(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Per-point min-d² fixed to int64 NANO-units: integer partial sums are
+    order-independent, so the distributed φ fold is bit-equal to the local
+    oracle's (the centroid_confusion discipline). Block partials stay
+    < 2^63 up to ~10⁶ rows/block at d² ≲ 4·10⁹ nano; the driver fold is
+    Python ints (unbounded)."""
+    d2 = _d2_matrix(X, C).min(axis=1)
+    return np.floor(d2 * 1e9 + 0.5).astype(np.int64)
+
+
+def _kmeanspar_local(
+    ids: np.ndarray, X: np.ndarray, k: int, rounds: int, ell: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process replay of the EXACT distributed k-means|| logic
+    (same seed point, same φ folds, same deterministic draws, same
+    weighted farthest-point finish) — the test oracle. Returns (vec_ids
+    of the k seeds, their weights)."""
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    cand_idx = [0]  # smallest vec_id is the deterministic first candidate
+    for rnd in range(1, rounds + 1):
+        C = X[cand_idx]
+        d2i = _d2_nano(X, C)
+        phi = int(d2i.sum())
+        if phi <= 0:
+            break
+        u = _kmeanspar_draws(ids, rnd)
+        new = np.flatnonzero(u < np.minimum(1.0, ell * (d2i / phi)))
+        cand_idx = sorted(set(cand_idx) | set(new.tolist()))
+    C = X[cand_idx]
+    assign = _d2_matrix(X, C).argmin(axis=1)
+    w = np.bincount(assign, minlength=len(cand_idx)).astype(np.int64)
+    # deterministic weighted farthest-point finish (greedy k-means++ with
+    # the argmax of weight·d² instead of a random draw; ties → lowest id)
+    sel = [0]
+    for _ in range(min(k, len(cand_idx)) - 1):
+        D = ((C[:, None, :] - C[sel][None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        score = w.astype(np.float64) * D
+        best = int(np.argmax(score))  # argmax keeps the FIRST maximum
+        sel.append(best)
+    sel_ids = np.asarray([int(ids[cand_idx[i]]) for i in sel], dtype=np.int64)
+    return sel_ids, w[sel]
+
+
+def kmeanspp_sample(
+    sf_dir: str, k: int = 8, rounds: int = 5, oversample: int | None = None
+) -> pa.Table:
+    """Scalable k-means|| seeding (Bahmani et al., 2012): the distributed
+    answer to "pick k diverse, representative documents from 10^12" —
+    k-means++'s sequential k passes collapse to ``rounds`` passes that
+    each sample ~ℓ points with probability ℓ·d²(x,C)/φ, then a local
+    weighted finish runs on the tiny candidate set. Used for seeding
+    big k-means runs, coreset construction, and diverse few-shot pools.
+
+    Every stochastic choice is a pure function of (vec_id, round) via the
+    splitmix64 finalizer — no RNG state, so any cluster layout produces
+    the identical seed set, and the single-process oracle replays the
+    distributed run EXACTLY (tests/test_kmeanspp.py). Per round: one
+    broadcast of the candidate matrix (ℓ·rounds × d floats), one pass
+    computing per-block partial φ sums (fsum-over-sorted driver fold, ≤
+    blocks scalars), one pass emitting the sampled rows (expected ℓ per
+    round — candidate-sized, never corpus-sized); the weight pass is a
+    per-block bincount folded at O(blocks × candidates). The corpus is
+    never materialized anywhere. Output: the k seed vec_ids with their
+    attraction weights, in selection order."""
+    I64 = pa.int64()
+    ell = oversample if oversample is not None else 2 * k
+    ds = ray.data.read_parquet(_p(sf_dir), columns=["vec_id", "embedding"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(I64)
+        keep = ~pc.is_null(ids).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep))
+
+    ds = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # deterministic first candidate: the smallest vec_id's embedding
+    min_id = ds.min("vec_id")
+    seed_tab = ds.filter(expr=f"vec_id == {min_id}").take_all()
+    C_ids = [int(seed_tab[0]["vec_id"])]
+    C = np.asarray([seed_tab[0]["embedding"]], dtype=np.float64)
+
+    for rnd in range(1, rounds + 1):
+        c_ref = ray.put(C)
+
+        def phi_partial(batch: pa.Table, _ref=c_ref) -> pa.Table:
+            Cm = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            d2i = _d2_nano(_emb_matrix(batch), Cm)
+            return pa.table({"s": pa.array([int(d2i.sum())], I64)})
+
+        phi = sum(
+            int(r["s"])
+            for r in ds.map_batches(
+                phi_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        )
+        if phi <= 0:
+            break
+
+        def sample(batch: pa.Table, _ref=c_ref, _rnd=rnd, _phi=phi) -> pa.Table:
+            Cm = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            d2i = _d2_nano(_emb_matrix(batch), Cm)
+            ids = batch.column("vec_id").cast(I64).to_numpy(zero_copy_only=False)
+            u = _kmeanspar_draws(ids, _rnd)
+            keep = u < np.minimum(1.0, ell * (d2i / _phi))
+            return batch.filter(pa.array(keep))
+
+        new = [
+            r
+            for t in [
+                ray.get(x)
+                for x in ds.map_batches(
+                    sample, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            ]
+            for r in t.to_pylist()
+        ]
+        known = set(C_ids)
+        for r in sorted(new, key=lambda r: r["vec_id"]):
+            if r["vec_id"] not in known:
+                known.add(r["vec_id"])
+                C_ids.append(int(r["vec_id"]))
+                C = np.vstack([C, np.asarray(r["embedding"], dtype=np.float64)])
+
+    # candidate order must be vec_id-sorted for oracle equality
+    order = np.argsort(np.asarray(C_ids, dtype=np.int64))
+    C_ids = [C_ids[i] for i in order]
+    C = C[order]
+    c_ref = ray.put(C)
+
+    def w_partial(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        a = _d2_matrix(_emb_matrix(batch), Cm).argmin(axis=1)
+        c = np.bincount(a, minlength=Cm.shape[0])
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"cand": pa.array(nz.astype(np.int64), I64),
+             "n": pa.array(c[nz].astype(np.int64), I64)}
+        )
+
+    w = np.zeros(len(C_ids), np.int64)
+    for t in [
+        ray.get(r)
+        for r in ds.map_batches(w_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ]:
+        for r in t.to_pylist():
+            w[r["cand"]] += r["n"]
+
+    sel = [0]
+    for _ in range(min(k, len(C_ids)) - 1):
+        D = ((C[:, None, :] - C[sel][None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        score = w.astype(np.float64) * D
+        best = int(np.argmax(score))
+        sel.append(best)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(sel), dtype=np.int64), pa.int64()),
+            "vec_id": pa.array([C_ids[i] for i in sel], pa.int64()),
+            "weight": pa.array([int(w[i]) for i in sel], pa.int64()),
+        }
+    )
+
+
+def q_kmeanspp_sample(sf_dir: str) -> pa.Table:
+    return kmeanspp_sample(sf_dir)

@@ -2229,3 +2229,11 @@ REGISTRY["canary_scan"] = QASpec(
     """,
     "custom(canary-scan,Carlini-memorization-probe-audit)",
 )
+
+REGISTRY["kmeanspp_sample"] = QASpec(
+    V.q_kmeanspp_sample,
+    None,  # iterative sampling algorithm — no SQL twin; exact local-oracle
+    # replay (bit-identical, not approximate), determinism, and
+    # planted-cluster coverage pinned in tests/test_kmeanspp.py
+    "custom(kmeans-parallel-seeding,Bahmani-2012-scalable-kmeanspp)",
+)

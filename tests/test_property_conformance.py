@@ -619,7 +619,7 @@ _ROWS_ONLY_DOCS = [
     "anchor_text_index", "url_pagerank", "url_hits", "distinct_ngram_hll",
 ]
 _ROWS_ONLY_EVENTS = ["hll_distinct_users", "similar_users_sketch"]
-_ROWS_ONLY_EMB = ["lsh_bucket_stats", "lsh_neardup_pairs", "semdedup", "quantize_int8", "pca_project", "ivf_topk", "pq_topk", "mmr_select"]
+_ROWS_ONLY_EMB = ["lsh_bucket_stats", "lsh_neardup_pairs", "semdedup", "quantize_int8", "pca_project", "ivf_topk", "pq_topk", "mmr_select", "kmeanspp_sample"]
 
 
 def _smoke(name, d):
