@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "canary_scan",
     "kmeanspp_sample",
+    "compression_ratio",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

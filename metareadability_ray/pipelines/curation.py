@@ -963,3 +963,47 @@ def q_canary_scan(
         .groupby("canary")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------ compression ratio
+def q_compression_ratio(sf_dir: str, level: int = 6) -> "ray.data.Dataset":
+    """Per-document zlib compression ratio (compressed bytes / raw UTF-8
+    bytes) — the classic model-free redundancy signal (used across web
+    curation stacks as a repetition/boilerplate detector: templated or
+    looping text compresses far below natural prose, machine-generated
+    gibberish compresses near 1.0). Complements the token-level
+    repetition rules (gopher_repetition, bigram_cond_entropy) with a
+    byte-level one that needs no tokenizer.
+
+    Zero shuffle, stateless map: one zlib.compress per doc (C speed) at a
+    FIXED level so the ratio is deterministic across platforms (zlib's
+    output is stable for a given level/strategy). Null/empty texts emit
+    ratio NULL (0 raw bytes — unscorable, kept so funnel accounting sees
+    every doc; the blocklist_filter every-doc-classifies contract).
+    No SQL twin (DuckDB has no zlib scalar): value snapshots + monotone
+    invariants pinned in tests/test_compression_ratio.py."""
+    import zlib
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        out_r: list[float | None] = []
+        out_n: list[int] = []
+        for t in batch.column("text").to_pylist():
+            if not t:
+                out_r.append(None)
+                out_n.append(0)
+                continue
+            raw = t.encode("utf-8")
+            out_r.append(len(zlib.compress(raw, level)) / len(raw))
+            out_n.append(len(raw))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_bytes": pa.array(out_n, I64),
+                "compression_ratio": pa.array(out_r, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)

@@ -2237,3 +2237,11 @@ REGISTRY["kmeanspp_sample"] = QASpec(
     # planted-cluster coverage pinned in tests/test_kmeanspp.py
     "custom(kmeans-parallel-seeding,Bahmani-2012-scalable-kmeanspp)",
 )
+
+REGISTRY["compression_ratio"] = QASpec(
+    CU.q_compression_ratio,
+    None,  # zlib has no DuckDB scalar — rows-only; repetition/noise
+    # separation, null handling and determinism pinned in
+    # tests/test_compression_ratio.py
+    "custom(compression-ratio,byte-level-redundancy-signal)",
+)
