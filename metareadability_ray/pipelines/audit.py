@@ -331,8 +331,10 @@ def q_embedding_dim_stats(sf_dir: str) -> pa.Table:
                 }
             )
         dims = np.diff(offs)
-        # ragged-safe component index within each list (dim, 0-based)
-        idx = np.arange(len(flat)) - np.repeat(offs[:-1], dims)
+        # ragged-safe component index within each list (dim, 0-based);
+        # offs[0] subtraction: a SLICED ListArray's offsets are not
+        # zero-based while flatten() returns only the slice's values
+        idx = np.arange(len(flat)) - np.repeat(offs[:-1] - offs[0], dims)
         mv = np.floor(flat * 1e6 + 0.5).astype(np.int64)
         # sort by dim, then reduceat per dim-run — int64 reduceat stays
         # int64, so every partial is EXACT (bincount's float64 weights
