@@ -282,14 +282,18 @@ def q_normalized_dedup(sf_dir: str) -> "ray.data.Dataset":
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        # count over norm_hash, NOT doc_id: Arrow's hash "count" skips
+        # nulls but the SQL twin's count(*) counts every row — a null-id
+        # duplicate must still raise n_forms (the exact_dedup r5
+        # null-doc_id find; norm_hash is sentinel-filled, never null)
         t = pa.TableGroupBy(group.select(["norm_hash", "doc_id"]), "norm_hash").aggregate(
-            [("doc_id", "min"), ("doc_id", "count")]
+            [("doc_id", "min"), ("norm_hash", "count")]
         )
         return pa.table(
             {
                 "norm_hash": t.column("norm_hash"),
                 "keep_doc_id": t.column("doc_id_min"),
-                "n_forms": t.column("doc_id_count").cast(I64),
+                "n_forms": t.column("norm_hash_count").cast(I64),
             }
         )
 

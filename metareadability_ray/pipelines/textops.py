@@ -720,14 +720,18 @@ def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        # count over text_hash, NOT doc_id: Arrow's hash "count" skips
+        # nulls, but the SQL twin's count(*) counts every copy — a
+        # null-id duplicate must still raise n_copies (r5 null-doc_id
+        # conformance find); text_hash is sentinel-filled, never null
         t = pa.TableGroupBy(group.select(["text_hash", "doc_id"]), "text_hash").aggregate(
-            [("doc_id", "min"), ("doc_id", "count")]
+            [("doc_id", "min"), ("text_hash", "count")]
         )
         return pa.table(
             {
                 "text_hash": t.column("text_hash"),
                 "keep_doc_id": t.column("doc_id_min"),
-                "n_copies": t.column("doc_id_count").cast(I64),
+                "n_copies": t.column("text_hash_count").cast(I64),
             }
         )
 
