@@ -1079,11 +1079,20 @@ class MinHasher:
         self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sigs = [
-            _doc_minhash(re2_tokens(t), self.a, self.b, self.k, self._cache)
-            for t in batch.column("text").to_pylist()
-        ]
+        # null doc_id rows are skipped: a near-dup PAIR is a pair of ids,
+        # so an anonymous doc can neither be emitted nor survive dedup
+        # (the corpus_diff / bigram_cond_entropy null-id contract; a null
+        # id reaching the banding stage crashed the int64 repeat — r5
+        # null-doc_id conformance find)
+        ids = []
+        sigs = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if did is None:
+                continue
+            ids.append(did)
+            sigs.append(_doc_minhash(re2_tokens(t), self.a, self.b, self.k, self._cache))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
