@@ -44,7 +44,12 @@ def _batch_chunks(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     doc_ids: list[int] = []
     chunks: list[str] = []
     for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-        if not t:
+        # null-id docs are skipped on BOTH engines across the whole chunk
+        # family (per-doc outputs have no addressable row for an anonymous
+        # doc, and count(DISTINCT doc_id) boilerplate thresholds ignore
+        # NULL anyway — the bigram_cond_entropy contract; the twins carry
+        # the matching doc_id IS NOT NULL)
+        if did is None or not t:
             continue
         toks = re2_tokens(t)
         cs = [" ".join(toks[i : i + _CHUNK_W]) for i in range(0, len(toks), _CHUNK_W)]
@@ -350,7 +355,9 @@ def q_top_bigram_fraction(sf_dir: str) -> "ray.data.Dataset":
         top: list[int] = []
         total: list[int] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            # null-id docs skip on BOTH engines (SQL GROUP BY doc_id would
+            # pool them — the bigram_cond_entropy r5 null-id contract)
+            if did is None or not t:
                 continue
             toks = re2_tokens(t)
             if len(toks) < 2:
@@ -380,11 +387,15 @@ def q_gopher_repetition(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def panel(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+        # null-id docs skip on BOTH engines (SQL per-doc grouping has no
+        # addressable row for an anonymous doc — r5 null-id contract)
+        ids = [d for d in batch.column("doc_id").to_pylist() if d is not None]
         cols: dict[str, list[int]] = {f"top{n}_n": [] for n in (2, 3, 4)}
         for n in (2, 3, 4):
             cols[f"n{n}"] = []
-        for t in batch.column("text").to_pylist():
+        for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if did is None:
+                continue
             toks = re2_tokens(t)
             for n in (2, 3, 4):
                 if len(toks) < n:
@@ -1371,7 +1382,9 @@ def q_gopher_quality_filter(sf_dir: str) -> "ray.data.Dataset":
     def panel(batch: pa.Table) -> pa.Table:
         out: dict[str, list] = {f.name: [] for f in out_schema}
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            # null-id docs skip on BOTH engines (SQL GROUP BY doc_id would
+            # pool them — r5 null-id contract)
+            if did is None or not t:
                 continue
             toks = re2_tokens(t)
             if len(toks) == 0:

@@ -724,7 +724,8 @@ REGISTRY: dict[str, QASpec] = {
     "common_chunks": QASpec(
         W.q_common_chunks,
         r"""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                      WHERE doc_id IS NOT NULL),
              ch AS (SELECT doc_id,
                            unnest(list_transform(generate_series(1, length(t), 3),
                                                  i -> array_to_string(t[i:i+2], ' '))) AS chunk
@@ -737,7 +738,8 @@ REGISTRY: dict[str, QASpec] = {
     "para_dedup_stats": QASpec(
         W.q_para_dedup_stats,
         r"""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                      WHERE doc_id IS NOT NULL),
              ch AS (SELECT doc_id,
                            unnest(list_transform(generate_series(1, length(t), 3),
                                                  i -> array_to_string(t[i:i+2], ' '))) AS chunk
@@ -753,7 +755,8 @@ REGISTRY: dict[str, QASpec] = {
     "dup_chunk_ratio": QASpec(
         W.q_dup_chunk_ratio,
         r"""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                      WHERE doc_id IS NOT NULL),
              ch AS (SELECT doc_id,
                            unnest(list_transform(generate_series(1, length(t), 3),
                                                  i -> array_to_string(t[i:i+2], ' '))) AS chunk
@@ -780,7 +783,8 @@ REGISTRY: dict[str, QASpec] = {
     "top_bigram_fraction": QASpec(
         W.q_top_bigram_fraction,
         r"""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                      WHERE doc_id IS NOT NULL),
              bi AS (SELECT doc_id,
                            unnest(list_transform(generate_series(1, length(t) - 1),
                                                  i -> t[i] || ' ' || t[i+1])) AS bigram
@@ -794,7 +798,8 @@ REGISTRY: dict[str, QASpec] = {
     "gopher_repetition": QASpec(
         W.q_gopher_repetition,
         r"""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                      WHERE doc_id IS NOT NULL),
              g2 AS (SELECT doc_id,
                            unnest(list_transform(generate_series(1, length(t) - 1),
                                                  i -> t[i] || ' ' || t[i+1])) AS g
@@ -820,7 +825,10 @@ REGISTRY: dict[str, QASpec] = {
                COALESCE(top2_n, 0) AS top2_n, COALESCE(n2, 0) AS n2,
                COALESCE(top3_n, 0) AS top3_n, COALESCE(n3, 0) AS n3,
                COALESCE(top4_n, 0) AS top4_n, COALESCE(n4, 0) AS n4
-        FROM documents d
+        -- the zeros-row base must carry the SAME null-id filter as toks:
+        -- LEFT JOIN USING (doc_id) never matches NULL, so an unfiltered
+        -- base emitted a zeros row per anonymous doc the kernel skips
+        FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
         LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
         """,
         "custom(gopher-repetition-panel)",
@@ -1239,7 +1247,8 @@ REGISTRY["token_budget_mix"] = QASpec(
 REGISTRY["para_dedup_rewrite"] = QASpec(
     W.q_para_dedup_rewrite,
     r"""
-    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                  WHERE doc_id IS NOT NULL),
          ch AS (SELECT doc_id, g.i AS i, array_to_string(t[g.i:g.i+2], ' ') AS chunk
                 FROM toks, UNNEST(generate_series(1, length(t), 3)) AS g(i)),
          common AS (SELECT chunk FROM ch GROUP BY chunk
@@ -1287,7 +1296,8 @@ REGISTRY["dup_span_stats"] = QASpec(
 REGISTRY["gopher_quality_filter"] = QASpec(
     W.q_gopher_quality_filter,
     r"""
-    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                  WHERE doc_id IS NOT NULL),
          w AS (SELECT doc_id, u.w AS w FROM toks, UNNEST(t) AS u(w)),
          agg AS (SELECT doc_id, count(*) AS n_words,
                         CAST(sum(length(w)) AS BIGINT) AS word_chars,
