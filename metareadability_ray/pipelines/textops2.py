@@ -43,7 +43,12 @@ def _batch_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         if not t:
             continue
         parts = re2_tokens(t)
-        doc_ids.extend([did] * len(parts))
+        # null doc_id rides as the -1 SENTINEL (ids are non-negative by
+        # schema): corpus-level consumers (word counts, zipf, heavy
+        # hitters) keep the anonymous docs' tokens — their SQL twins
+        # count every token — while per-doc consumers (tfidf, oov_rate)
+        # mask doc_ids >= 0 to match their twins' doc_id IS NOT NULL
+        doc_ids.extend([did if did is not None else -1] * len(parts))
         toks.extend(parts)
     return np.asarray(doc_ids, dtype=np.int64), np.asarray(toks, dtype=object)
 
@@ -149,6 +154,11 @@ def q_train_test_split(sf_dir: str) -> "ray.data.Dataset":
     def assign(batch: pa.Table) -> pa.Table:
         splits = []
         for i in batch.column("doc_id").to_pylist():
+            if i is None:
+                # SQL: md5(CAST(NULL AS VARCHAR)) is NULL, both CASE
+                # comparisons are unknown, the row falls to ELSE 'test'
+                splits.append("test")
+                continue
             h = hashlib.md5(str(i).encode()).hexdigest()[0]
             splits.append("train" if h < "c" else ("val" if h < "e" else "test"))
         # NULL lang is a legal GROUP BY key; encoded for Ray's sort groupby
@@ -242,6 +252,8 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     def df_partial(batch: pa.Table) -> pa.Table:
         doc_ids, toks = _batch_tokens(batch)
+        m = doc_ids >= 0  # per-doc op: anonymous docs skip (twin filters too)
+        doc_ids, toks = doc_ids[m], toks[m]
         if len(toks) == 0:
             return pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
         # distinct (doc, token) within the batch, then count per token
@@ -267,6 +279,8 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     def score(batch: pa.Table) -> pa.Table:
         doc_ids, toks = _batch_tokens(batch)
+        m = doc_ids >= 0  # per-doc op: anonymous docs skip (twin filters too)
+        doc_ids, toks = doc_ids[m], toks[m]
         if len(toks) == 0:
             return pa.table(
                 {
@@ -365,6 +379,8 @@ def q_oov_rate(sf_dir: str, vocab_size: int = _OOV_VOCAB) -> "ray.data.Dataset":
 
     def score(batch: pa.Table) -> pa.Table:
         doc_ids, toks = _batch_tokens(batch)
+        m = doc_ids >= 0  # per-doc output: anonymous docs skip; the corpus
+        doc_ids, toks = doc_ids[m], toks[m]  # vocab above still saw them
         if len(doc_ids) == 0:
             return pa.table({f.name: pa.array([], f.type) for f in out_schema})
         inv = ~np.isin(toks.astype(str), vocab)

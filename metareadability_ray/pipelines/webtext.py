@@ -326,7 +326,8 @@ def q_token_entropy(sf_dir: str) -> "ray.data.Dataset":
         out_ids: list[int] = []
         out_h: list[str] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            # null-id docs skip on BOTH engines (r5 null-id contract)
+            if did is None or not t:
                 continue
             toks = re2_tokens(t)
             if not toks:

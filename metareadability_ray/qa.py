@@ -772,7 +772,7 @@ REGISTRY: dict[str, QASpec] = {
         WITH tc AS (
             SELECT doc_id, token, count(*) AS c FROM (
                 SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
-                FROM documents)
+                FROM documents WHERE doc_id IS NOT NULL)
             GROUP BY doc_id, token),
         tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id)
         SELECT tc.doc_id, printf('%.4f', -sum((c / n) * log2(c / n))) AS entropy
@@ -1001,6 +1001,7 @@ REGISTRY: dict[str, QASpec] = {
         r"""
         WITH toks AS (
             SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+            WHERE doc_id IS NOT NULL
         ), tf AS (
             SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
         ), df AS (
@@ -1371,7 +1372,9 @@ REGISTRY["oov_rate"] = QASpec(
          vocab AS (SELECT w FROM cnt ORDER BY n DESC, w ASC LIMIT 64)
     SELECT doc_id, count(*) AS n_tokens,
            count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab)) AS n_oov
-    FROM toks GROUP BY doc_id
+    -- vocab above intentionally keeps anonymous docs' tokens (corpus
+    -- statistic); only the per-doc report filters them (r5 null-id contract)
+    FROM toks WHERE doc_id IS NOT NULL GROUP BY doc_id
     """,
     "custom(vocabulary-coverage,top-v-broadcast-probe)",
 )
