@@ -198,7 +198,9 @@ def q_ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
             batch.column("text").to_pylist(),
             enc_null_key(batch.column("lang")).to_pylist(),
         ):
-            if not t:
+            # null-id docs skip: the twin's final JOIN documents USING
+            # (doc_id) drops them anyway (NULL never joins — r5 contract)
+            if did is None or not t:
                 continue
             parts = re2_tokens(t)
             if parts:
@@ -404,7 +406,9 @@ def q_dsir_weights(sf_dir: str, target_lang: str = "en") -> "ray.data.Dataset":
         doc_ids: list[int] = []
         toks: list[str] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            # per-doc weight: null ids skip (twin's dt filters too — r5);
+            # the source/target MODELS above still see their tokens
+            if did is None or not t:
                 continue
             parts = re2_tokens(t)
             doc_ids.extend([did] * len(parts))
@@ -489,8 +493,13 @@ def q_filter_funnel(
         grams: list[str] = []
         quals: list[int] = []
         ngs: list[int] = []
-        for t in batch.column("text").to_pylist():
-            if not t:
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            # stage 0 counts EVERY corpus row (incl. anonymous docs), but
+            # stages 1+ skip null ids on both engines: SQL's per-doc agg
+            # GROUP BY doc_id pools them (r5 null-id contract)
+            if did is None or not t:
                 continue
             toks = re2_tokens(t)
             L = len(toks)

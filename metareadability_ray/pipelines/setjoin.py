@@ -71,6 +71,8 @@ def _shingle_sets(sf_dir: str, k: int) -> "ray.data.Dataset":
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
+            if doc_id is None:  # pair ops skip anonymous docs (r5 contract)
+                continue
             h = np.sort(_shingle_hashes(re2_tokens(t), k, cache).view(np.int64))
             ids.append(doc_id)
             sizes.append(len(h))

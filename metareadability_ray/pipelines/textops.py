@@ -613,6 +613,8 @@ def q_winnow_pairs(sf_dir: str, k: int = 3, w: int = 4) -> "ray.data.Dataset":
         out_f: list[str] = []
         out_d: list[int] = []
         for doc_id, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            if doc_id is None:  # pair ops skip anonymous docs (r5 contract)
+                continue
             toks = re2_tokens(t)
             if len(toks) < k:
                 continue
@@ -831,6 +833,13 @@ def ngram_jaccard_pairs(
         for doc_id, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
+            # null-id docs emit no postings: the SQL twin's doc_a < doc_b
+            # pair predicate is unknown on NULL (no pair survives), while
+            # the kernel's null id decayed to INT64_MIN downstream and
+            # DID pair — dup_clusters then emitted phantom clusters (r5
+            # null-doc_id conformance find, the MinHasher contract)
+            if doc_id is None:
+                continue
             sh = _shingles(re2_tokens(t), k)
             out_s.extend(sh)
             out_d.extend([doc_id] * len(sh))

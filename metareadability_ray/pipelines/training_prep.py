@@ -201,6 +201,11 @@ def q_shard_assignment(sf_dir: str, num_shards: int = 16):
     docs = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # a shard route needs an id; null-id rows are excluded on BOTH
+        # engines (twin filters too — r5 null-id contract)
+        batch = batch.filter(pc.is_valid(batch.column("doc_id")))
         sh = _shard_of(batch.column("doc_id"), num_shards)
         chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
         n = np.bincount(sh, minlength=num_shards)
@@ -379,7 +384,9 @@ def _token_counts(sf_dir: str) -> "ray.data.Dataset":
         ids: list[int] = []
         ns: list[int] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            # packing orders by doc_id — an anonymous doc has no
+            # deterministic pack position; skip on BOTH engines (r5)
+            if did is None or not t:
                 continue
             k = len(re2_tokens(t))
             if k > 0:
@@ -518,7 +525,9 @@ def q_token_budget_mix(sf_dir: str, den: int = _MIX_DEN) -> "ray.data.Dataset":
             batch.column("source").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            if not t:
+            # budget cut orders by (md5(id), id) — anonymous docs have no
+            # deterministic position; skip on BOTH engines (r5)
+            if did is None or not t:
                 continue
             k = len(re2_tokens(t))
             if k > 0:

@@ -906,7 +906,9 @@ def q_lm_perplexity(sf_dir: str) -> "ray.data.Dataset":
         doc_ids: list[int] = []
         toks: list[str] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            # per-doc score: null ids skip (twin's dt filters too — r5);
+            # the LM itself (count_partial above) still sees their tokens
+            if did is None or not t:
                 continue
             parts = re2_tokens(t)
             doc_ids.extend([did] * len(parts))
@@ -1085,7 +1087,11 @@ def _span_batch_grams(
     offs: list[int] = []
     grams: list[str] = []
     for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-        if not t:
+        # null-id docs skip on BOTH engines across the span family (per-doc
+        # outputs pool under SQL GROUP BY doc_id, the dup-set df uses
+        # count(DISTINCT doc_id) which ignores NULL anyway; twins carry the
+        # matching doc_id IS NOT NULL — r5 null-id contract)
+        if did is None or not t:
             continue
         toks = re2_tokens(t)
         if len(toks) < k:
@@ -1211,7 +1217,7 @@ def q_dup_span_stats(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
         docs: list[tuple[int, int, int]] = []  # (doc_id, L, n_grams)
         grams: list[str] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            if did is None or not t:  # r5 null-id contract (twin filters too)
                 continue
             toks = re2_tokens(t)
             L = len(toks)
@@ -1280,7 +1286,7 @@ def q_dup_span_rewrite(sf_dir: str, k: int = _SPAN_K) -> "ray.data.Dataset":
         docs: list[tuple[int, list[str], int]] = []  # (doc_id, toks, n_grams)
         grams: list[str] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            if did is None or not t:  # r5 null-id contract (twin filters too)
                 continue
             toks = re2_tokens(t)
             L = len(toks)
@@ -1436,7 +1442,7 @@ def q_intra_doc_dedup(sf_dir: str) -> "ray.data.Dataset":
         out_n: list[int] = []
         out_r: list[int] = []
         for did, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if not t:
+            if did is None or not t:  # r5 null-id contract (twin filters too)
                 continue
             toks = re2_tokens(t)
             if not toks:

@@ -1136,7 +1136,7 @@ REGISTRY: dict[str, QASpec] = {
                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
                    % 16 AS shard,
                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents GROUP BY 1
+        FROM documents WHERE doc_id IS NOT NULL GROUP BY 1
         """,
         "export(md5-shard-routing)",
     ),
@@ -1196,7 +1196,10 @@ REGISTRY["lm_perplexity"] = QASpec(
     r"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
-    dt AS (SELECT doc_id, token, count(*) AS k FROM toks GROUP BY doc_id, token),
+    -- dt filters null ids (per-doc score has no row for an anonymous doc);
+    -- gc/tot keep every token: the LM is a corpus statistic (r5 contract)
+    dt AS (SELECT doc_id, token, count(*) AS k FROM toks
+           WHERE doc_id IS NOT NULL GROUP BY doc_id, token),
     gc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
     tot AS (SELECT count(*) AS n, count(DISTINCT token) AS v FROM toks)
     SELECT dt.doc_id,
@@ -1216,7 +1219,7 @@ REGISTRY["pack_contexts"] = QASpec(
         SELECT doc_id, n,
                sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) - n AS tok_start
-        FROM n WHERE n > 0)
+        FROM n WHERE n > 0 AND doc_id IS NOT NULL)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_tokens,
            CAST(tok_start AS BIGINT) AS tok_start,
@@ -1233,7 +1236,7 @@ REGISTRY["token_budget_mix"] = QASpec(
         SELECT doc_id, source, length(regexp_extract_all(text, '\S+')) AS n,
                md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents),
-    nn AS (SELECT * FROM n WHERE n > 0),
+    nn AS (SELECT * FROM n WHERE n > 0 AND doc_id IS NOT NULL),
     t AS (SELECT source, (sum(n) + 3) // 4 AS budget FROM nn GROUP BY source),
     c AS (SELECT doc_id, source, n,
                  sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
@@ -1278,7 +1281,8 @@ REGISTRY["dup_span_stats"] = QASpec(
     W.q_dup_span_stats,
     r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-                  WHERE text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
+                  WHERE doc_id IS NOT NULL
+                    AND text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
          g AS (SELECT doc_id, g.i AS i, array_to_string(t[g.i:g.i+3], ' ') AS gram
                FROM toks, UNNEST(generate_series(1, length(t) - 3, 1)) AS g(i)),
          common AS (SELECT gram FROM g GROUP BY gram
@@ -1320,7 +1324,8 @@ REGISTRY["intra_doc_dedup"] = QASpec(
     W.q_intra_doc_dedup,
     r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-                  WHERE text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
+                  WHERE doc_id IS NOT NULL
+                    AND text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
          cl AS (SELECT doc_id, list_transform(generate_series(1, length(t), 3),
                                               i -> array_to_string(t[i:i+2], ' ')) AS cs
                 FROM toks),
@@ -1795,7 +1800,8 @@ REGISTRY["dup_span_rewrite"] = QASpec(
     W.q_dup_span_rewrite,
     r"""
     WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-                  WHERE text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
+                  WHERE doc_id IS NOT NULL
+                    AND text IS NOT NULL AND length(regexp_extract_all(text, '\S+')) > 0),
          g AS (SELECT doc_id, g.i AS i, array_to_string(t[g.i:g.i+3], ' ') AS gram
                FROM toks, UNNEST(generate_series(1, length(t) - 3, 1)) AS g(i)),
          common AS (SELECT gram FROM g GROUP BY gram
@@ -1820,7 +1826,8 @@ REGISTRY["dsir_weights"] = QASpec(
     WITH toks AS (
         SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS token
         FROM documents),
-    dt AS (SELECT doc_id, token, count(*) AS k FROM toks GROUP BY doc_id, token),
+    dt AS (SELECT doc_id, token, count(*) AS k FROM toks
+           WHERE doc_id IS NOT NULL GROUP BY doc_id, token),
     src AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
     stot AS (SELECT count(*) AS n, count(DISTINCT token) AS v FROM toks),
     tgt AS (SELECT token, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY token),
@@ -1862,7 +1869,8 @@ REGISTRY["centroid_confusion"] = QASpec(
 REGISTRY["filter_funnel"] = QASpec(
     CU.q_filter_funnel,
     r"""
-    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+                  WHERE doc_id IS NOT NULL),
          w AS (SELECT doc_id, u.w AS w FROM toks, UNNEST(t) AS u(w)),
          agg AS (SELECT doc_id, count(*) AS n,
                         CAST(sum(length(w)) AS BIGINT) AS wc,
