@@ -154,6 +154,10 @@ def reduce_side_attach(
     names = [c for c, _ in row_cols]
 
     def row_side(batch: pa.Table) -> pa.Table:
+        # NULL join keys never match (SQL inner-join semantics — and a
+        # null key crashed the int64 bucket math, r5 null-id find): drop
+        # them on both sides before bucketing
+        batch = batch.filter(pc.is_valid(batch.column(key)))
         cols = {c: batch.column(c).cast(t) for c, t in row_cols}
         cols[out_col] = pa.nulls(batch.num_rows, val_type)
         cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
@@ -162,6 +166,7 @@ def reduce_side_attach(
         return pa.table(cols)
 
     def attach_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(attach_key)))
         n = batch.num_rows
         cols = {}
         for c, t in row_cols:
