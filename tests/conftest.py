@@ -124,3 +124,26 @@ def fixture_pages(tmp_path_factory):
     out = tmp_path_factory.mktemp("fixture_corpus")
     paths = generate(str(out), n_rows=400, seed=42)
     return paths
+
+
+@pytest.fixture
+def fresh_ray_session():
+    """A just-recycled Ray session for actor-pool-heavy smoke tests.
+
+    Ray 2.49 leaks MapWorker actor handles per completed dataset; across
+    many hypothesis examples the leaked workers can hold every CPU of the
+    small test session and the NEXT dataset wedges forever (observed twice
+    in r5: a 3-LSH-smoke pytest invocation and the full suite's smoke
+    region, both stuck >20 min with zero progress). The between-test
+    recycle can't help a test that starts on an already-aged session —
+    these tests get a guaranteed-fresh one instead (~5 s each, ~25 tests)."""
+    import gc
+
+    import ray
+
+    gc.collect()
+    if ray.is_initialized():
+        ray.shutdown()
+    _init_ray()
+    _RAY_TESTS_SINCE_INIT["n"] = 0
+    yield ray

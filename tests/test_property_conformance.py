@@ -641,7 +641,7 @@ def _smoke(name, d):
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_DOCS)
-def test_rows_only_smoke_on_generated_documents(ray_session, tmp_path_factory, name):
+def test_rows_only_smoke_on_generated_documents(fresh_ray_session, tmp_path_factory, name):
     @settings(max_examples=max(4, _N_EX // 2), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(documents_table())
@@ -654,7 +654,7 @@ def test_rows_only_smoke_on_generated_documents(ray_session, tmp_path_factory, n
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_EVENTS)
-def test_rows_only_smoke_on_generated_events(ray_session, tmp_path_factory, name):
+def test_rows_only_smoke_on_generated_events(fresh_ray_session, tmp_path_factory, name):
     @settings(max_examples=max(4, _N_EX // 2), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(events_table())
@@ -667,7 +667,7 @@ def test_rows_only_smoke_on_generated_events(ray_session, tmp_path_factory, name
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_EMB)
-def test_rows_only_smoke_on_generated_embeddings(ray_session, tmp_path_factory, name):
+def test_rows_only_smoke_on_generated_embeddings(fresh_ray_session, tmp_path_factory, name):
     @settings(max_examples=max(4, _N_EX // 2), deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
     @given(embeddings_table())
