@@ -90,11 +90,16 @@ _RAY_TESTS_SINCE_INIT = {"n": 0}
 # horizon while preserving the one-command suite; cross-test state is all
 # driver-side (pa.Table memos, on-disk fixtures), so a restart is invisible
 # to the tests themselves.
-_RAY_RECYCLE_EVERY = max(8, 800 // int(__import__("os").environ.get("CONF_MAX_EXAMPLES", "8")))
+_RAY_RECYCLE_EVERY = max(8, 240 // int(__import__("os").environ.get("CONF_MAX_EXAMPLES", "8")))
 # task specs accumulate per HYPOTHESIS EXAMPLE, not per test, so a 25-example
 # soak ages the session ~3× faster than a default run — scale the recycle
-# interval inversely with the example budget (8 ex → every 100 tests,
-# 25 ex → every 32, 100 ex → every 8).
+# interval inversely with the example budget (8 ex → every 30 tests,
+# 25 ex → every ~10). Tightened from 800// in r5: two full-suite runs
+# wedged mid-conformance (a starved-session hang, not a crash — the
+# cancel no-op turns the 2.49 shutdown crash into waiting) at ~70-80
+# conformance tests into one session; every-30 keeps the conformance
+# region to ≤ ~500 datasets per session at the cost of ~20 extra 5 s
+# recycles per suite run.
 
 
 @pytest.fixture(autouse=True)
