@@ -205,6 +205,11 @@ BENCH_QUERIES = [
     "canary_scan",
     "kmeanspp_sample",
     "compression_ratio",
+    "charset_profile",
+    "markup_leakage",
+    "hash_feature_score",
+    "event_type_overlap",
+    "contrastive_pairs",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -315,6 +315,39 @@ def q_dedup_survivors(sf_dir: str) -> "ray.data.Dataset":
     return scalable_anti_join(docs, "doc_id", ray.data.from_arrow(losers))
 
 
+def q_contrastive_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """(anchor, positive) training pairs mined from the dup-cluster table —
+    the free contrastive-learning byproduct of dedup (near-duplicate docs
+    are natural positives for embedding-model training; negatives come from
+    in-batch sampling at train time, so only positives are materialized).
+    Each cluster member pairs with its cluster representative (the min-id
+    survivor), giving a spanning star per cluster: O(cluster_size) pairs,
+    never the O(size²) full clique.
+
+    Scale shape: a zero-cost projection of the cluster table (bounded by
+    dup count, already size-adaptively computed by ``connected_components``)
+    — no new shuffle, no text movement; the downstream trainer joins text
+    by doc_id when it builds batches. Null-id docs can never appear: pair
+    emission upstream skips them (the r5 null-doc_id contract)."""
+    clusters = _clusters_table(sf_dir)
+    pairs = clusters.filter(
+        pc.invert(pc.equal(clusters.column("doc_id"), clusters.column("cluster_id")))
+    )
+    out = pa.table(
+        {
+            "anchor_id": pairs.column("cluster_id"),
+            "positive_id": pairs.column("doc_id"),
+        }
+    )
+    import ray.data
+
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        ray.data.from_arrow(out), pa.schema([("anchor_id", I64), ("positive_id", I64)])
+    )
+
+
 # ----------------------------------------- PageRank over the dup-pair graph
 def _local_pagerank(
     et: pa.Table, damping: float = 0.85, iters: int = 20

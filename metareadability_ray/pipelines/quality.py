@@ -1,0 +1,346 @@
+"""Corpus-hygiene audit operators: charset/mojibake profiling, raw-markup
+leakage detection, hashed-feature linear scoring, and cross-stream user
+overlap. These are the "is this text actually clean prose?" checks a
+web-scale curation run executes between extraction and training export
+(SURVEY.md §2.2/§2.5 families; no reference counterpart — scale-out
+additions per the §2 "Impl" convention).
+
+Scale discipline (matches webtext.py / curation.py): per-document kernels
+are zero-shuffle vectorized Arrow passes; the only streams that shuffle are
+per-block-combined partial rows (bounded by group cardinality per block,
+never by corpus size). Float policy: every reported ratio is a single
+double division of exact int64s printed %.4f on both engines, and the
+hashed-feature score sums integer milli-units so partial-sum order can
+never move a printed digit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from metareadability_ray.functions.scalars import re2_tokens
+from metareadability_ray.util import with_schema_seed
+
+I64 = pa.int64()
+STR = pa.string()
+
+# NULL-source sentinel for groupby partials: Ray Data's hash groupby and
+# SQL GROUP BY both treat NULL as its own group, but encoding it explicitly
+# in the partial rows keeps the shuffle key non-null (cheap and unambiguous;
+# "\x00" cannot appear in a real source name — parquet strings from the
+# generator are word-like).
+_NULL_KEY = "\x00"
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _empty(cols: dict[str, pa.DataType]) -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in cols.items()})
+
+
+# --------------------------------------------------------------- charset
+def q_charset_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document charset hygiene profile: codepoint count, non-ASCII
+    count, digit count, U+FFFD replacement-character count (the decode-
+    failure smoking gun), and the non-ASCII fraction. This is the mojibake
+    / binary-junk audit a crawl corpus runs before language ID — a doc full
+    of U+FFFD or with an implausible non-ASCII ratio for its claimed lang
+    is a decode casualty, not prose.
+
+    Scale shape: pure per-batch Arrow kernel chain (``utf8_length`` +
+    ``replace_substring_regex`` + ``count_substring``), zero shuffle, zero
+    Python per-row work. Per-doc contract: null-``doc_id`` rows are skipped
+    on BOTH engines (no addressable output row for an anonymous doc); null
+    text keeps its row with zero counts and NULL pct (the
+    every-doc-classifies funnel convention, compression_ratio precedent).
+    """
+    out_schema = pa.schema(
+        [
+            ("doc_id", I64),
+            ("n_chars", I64),
+            ("n_non_ascii", I64),
+            ("n_digits", I64),
+            ("n_fffd", I64),
+            ("non_ascii_pct", STR),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("doc_id")))
+        if b.num_rows == 0:
+            return _empty({f.name: f.type for f in out_schema})
+        text = b.column("text")
+        n_chars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+        ascii_only = pc.replace_substring_regex(text, pattern=r"[^\x00-\x7F]", replacement="")
+        n_ascii = pc.fill_null(pc.utf8_length(ascii_only), 0).to_numpy(zero_copy_only=False)
+        no_digits = pc.replace_substring_regex(text, pattern="[0-9]", replacement="")
+        n_nodig = pc.fill_null(pc.utf8_length(no_digits), 0).to_numpy(zero_copy_only=False)
+        n_fffd = pc.fill_null(pc.count_substring(text, "�"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        n_non_ascii = (n_chars - n_ascii).astype(np.int64)
+        pct = [
+            None if c == 0 else "%.4f" % (na / c) for c, na in zip(n_chars, n_non_ascii)
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pa.array(n_chars.astype(np.int64), I64),
+                "n_non_ascii": pa.array(n_non_ascii, I64),
+                "n_digits": pa.array((n_chars - n_nodig).astype(np.int64), I64),
+                "n_fffd": pa.array(n_fffd.astype(np.int64), I64),
+                "non_ascii_pct": pa.array(pct, STR),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# --------------------------------------------------------------- markup
+# Tag-like and entity-like residue: extraction output should contain
+# NEITHER. Registered as a default; production passes its own bank.
+_MARKUP_PAT = "(<[A-Za-z][^>]*>)|(&[a-z]+;)"
+
+
+def q_markup_leakage(sf_dir: str, pattern: str = _MARKUP_PAT) -> "ray.data.Dataset":
+    """Per-source raw-markup leakage audit: how many documents per source
+    still contain HTML-ish residue (tags, entities) after extraction — the
+    standard "did the boilerplate stripper actually run on this slice?"
+    regression check over a curated corpus. A source whose flag rate jumps
+    between snapshots has an extraction bug, not new content.
+
+    Scale shape: one vectorized ``count_substring_regex`` pass per block
+    collapses to a single (source, n_docs, n_flagged, n_hits) partial row
+    per source per block; one source-cardinality groupby sums exact int64s.
+    Text never shuffles. NULL source is its own group (SQL GROUP BY
+    semantics, carried through the shuffle via an explicit sentinel); NULL
+    text counts as an unflagged doc (corpus-level stats keep anonymous
+    docs — grouping is by source, not doc_id)."""
+    out_schema = pa.schema(
+        [
+            ("source", STR),
+            ("n_docs", I64),
+            ("n_flagged", I64),
+            ("n_hits", I64),
+            ("flag_pct", STR),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty(
+                {"__src": STR, "n_docs": I64, "n_flagged": I64, "n_hits": I64}
+            )
+        srcs = np.asarray(
+            [_NULL_KEY if s is None else s for s in batch.column("source").to_pylist()],
+            dtype=object,
+        )
+        hits = (
+            pc.fill_null(pc.count_substring_regex(batch.column("text"), pattern), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(srcs, kind="stable")
+        ss, hh = srcs[order], hits[order]
+        starts = np.flatnonzero(np.concatenate(([True], ss[1:] != ss[:-1])))
+        return pa.table(
+            {
+                "__src": pa.array(ss[starts].astype(object), STR),
+                "n_docs": pa.array(np.diff(np.append(starts, len(ss))).astype(np.int64), I64),
+                "n_flagged": pa.array(np.add.reduceat(hh > 0, starts).astype(np.int64), I64),
+                "n_hits": pa.array(np.add.reduceat(hh, starts), I64),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        src = group.column("__src")[0].as_py()
+        nd = int(pc.sum(group.column("n_docs")).as_py())
+        nf = int(pc.sum(group.column("n_flagged")).as_py())
+        nh = int(pc.sum(group.column("n_hits")).as_py())
+        return pa.table(
+            {
+                "source": pa.array([None if src == _NULL_KEY else src], STR),
+                "n_docs": pa.array([nd], I64),
+                "n_flagged": pa.array([nf], I64),
+                "n_hits": pa.array([nh], I64),
+                "flag_pct": pa.array(["%.4f" % (nf / nd)], STR),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__src")
+        .map_groups(finish, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+# ------------------------------------------------------ hashed linear model
+def _token_weights_milli(tokens: np.ndarray) -> np.ndarray:
+    """Integer milli-weight per token: first 8 md5 hex digits → uint32 →
+    ``% 2001 - 1000`` ∈ [-1000, 1000]. A deterministic hashed-feature
+    weight table (the fastText / hashing-trick layout) that needs NO
+    broadcast: the "model" is the hash function itself, so every worker
+    owns all weights for free. A trained model would ship its weight
+    vector once via ``ray.put`` and look up by the same token hash —
+    identical plumbing, identical shuffle profile (none)."""
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        out[i] = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 2001 - 1000
+    return out
+
+
+def q_hash_feature_score(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document hashed bag-of-words linear score — the shape of every
+    fastText-style quality classifier run over a crawl (CCNet's LM-filter
+    stand-in, the DSIR hashed-ngram feature map): tokenize, hash each token
+    into a fixed weight table, average. The registered weights are
+    hash-derived (deterministic, honestly a stand-in — this sandbox trains
+    no model); the kernel, batching, and distribution are exactly what a
+    trained hashed-linear model uses.
+
+    Scale shape: zero shuffle — per block, ``np.unique`` collapses the
+    token stream to distinct tokens (one md5 each, cached by uniqueness),
+    weights map back by inverse index, and per-doc sums are one
+    ``np.add.reduceat``. Weights are integer milli-units, so sums are
+    exact int64 and the final ``%.4f`` is one double division on both
+    engines. Per-doc contract: null-id docs skipped on both engines;
+    null/empty-text docs keep their row with n_tokens=0, NULL score."""
+    out_schema = pa.schema([("doc_id", I64), ("n_tokens", I64), ("score", STR)])
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("doc_id")))
+        if b.num_rows == 0:
+            return _empty({f.name: f.type for f in out_schema})
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_n = np.zeros(len(ids), dtype=np.int64)
+        out_s: list = [None] * len(ids)
+        all_toks: list[str] = []
+        doc_idx: list[int] = []
+        for i, t in enumerate(b.column("text").to_pylist()):
+            toks = re2_tokens(t)
+            out_n[i] = len(toks)
+            all_toks.extend(toks)
+            doc_idx.extend([i] * len(toks))
+        if all_toks:
+            toks_np = np.asarray(all_toks, dtype=object)
+            uniq, inv = np.unique(toks_np, return_inverse=True)
+            w = _token_weights_milli(uniq)[inv]
+            di = np.asarray(doc_idx, dtype=np.int64)
+            # doc_idx is nondecreasing by construction → reduceat segments
+            starts = np.flatnonzero(np.concatenate(([True], di[1:] != di[:-1])))
+            sums = np.add.reduceat(w, starts)
+            for s, tot in zip(di[starts], sums):
+                out_s[int(s)] = "%.4f" % (int(tot) / (1000.0 * out_n[int(s)]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, I64),
+                "n_tokens": pa.array(out_n, I64),
+                "score": pa.array(out_s, STR),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# ------------------------------------------------------- event-type overlap
+_OVL_BUCKETS = 64
+
+
+def q_event_type_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Pairwise audience overlap between event types: for every pair of
+    types, the number of DISTINCT users who did both — the cross-feature
+    engagement matrix (the events-stream analogue of ``source_overlap``'s
+    contamination matrix). NULL user/type rows drop on both engines (SQL
+    join-key semantics).
+
+    Scale shape: per-block combiner collapses each block to its DISTINCT
+    (user, type) pairs; only that deduped stream shuffles, bucketed by
+    ``user_id % 64`` so each reduce task sees complete user groups
+    (in-bucket lexsort + run-length grouping); per-user pair emission is
+    O(types-per-user²) with the type universe small by construction; bucket
+    partials collapse in one final groupby over ≤ buckets × |types|² rows.
+    """
+    out_schema = pa.schema([("type_a", STR), ("type_b", STR), ("n_users", I64)])
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch.column("user_id")), pc.is_valid(batch.column("event_type"))
+        )
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return _empty({"user_id": I64, "event_type": STR, "__b": I64})
+        pairs = {
+            (u, t)
+            for u, t in zip(
+                b.column("user_id").to_pylist(), b.column("event_type").to_pylist()
+            )
+        }
+        us = np.asarray([p[0] for p in pairs], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(us, I64),
+                "event_type": pa.array([p[1] for p in pairs], STR),
+                "__b": pa.array(us % _OVL_BUCKETS, I64),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        us = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((ts, us))
+        us, ts = us[order], ts[order]
+        keep = np.concatenate(([True], (us[1:] != us[:-1]) | (ts[1:] != ts[:-1])))
+        us, ts = us[keep], ts[keep]
+        starts = np.flatnonzero(np.concatenate(([True], us[1:] != us[:-1])))
+        ends = np.append(starts[1:], len(us))
+        agg: dict[tuple[str, str], int] = {}
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            tt = ts[s:e]  # sorted, distinct
+            for i in range(len(tt)):
+                for j in range(i + 1, len(tt)):
+                    k = (tt[i], tt[j])
+                    agg[k] = agg.get(k, 0) + 1
+        if not agg:
+            return _empty({"type_a": STR, "type_b": STR, "n_users": I64})
+        ks = sorted(agg)
+        return pa.table(
+            {
+                "type_a": pa.array([k[0] for k in ks], STR),
+                "type_b": pa.array([k[1] for k in ks], STR),
+                "n_users": pa.array([agg[k] for k in ks], I64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return with_schema_seed(
+        partials.groupby(["type_a", "type_b"]).aggregate(
+            Sum("n_users", alias_name="n_users")
+        ),
+        out_schema,
+    )

@@ -2266,3 +2266,123 @@ REGISTRY["compression_ratio"] = QASpec(
     # tests/test_compression_ratio.py
     "custom(compression-ratio,byte-level-redundancy-signal)",
 )
+
+from metareadability_ray.pipelines import quality as QL  # noqa: E402
+
+REGISTRY["charset_profile"] = QASpec(
+    QL.q_charset_profile,
+    r"""
+    SELECT doc_id,
+           coalesce(length(text), 0) AS n_chars,
+           coalesce(length(text)
+               - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')), 0) AS n_non_ascii,
+           coalesce(length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')), 0) AS n_digits,
+           coalesce(length(text) - length(replace(text, chr(65533), '')), 0) AS n_fffd,
+           CASE WHEN coalesce(length(text), 0) = 0 THEN NULL
+                ELSE printf('%.4f',
+                     (length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE))
+           END AS non_ascii_pct
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+    "custom(charset-profile,mojibake-decode-failure-audit)",
+)
+
+REGISTRY["markup_leakage"] = QASpec(
+    QL.q_markup_leakage,
+    r"""
+    WITH per AS (
+        SELECT source,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE length(regexp_extract_all(text, '(<[A-Za-z][^>]*>)|(&[a-z]+;)'))
+               END AS hits
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS n_hits,
+           printf('%.4f', sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                          / CAST(count(*) AS DOUBLE)) AS flag_pct
+    FROM per GROUP BY source
+    """,
+    "custom(markup-leakage,extraction-residue-regression-audit)",
+)
+
+REGISTRY["hash_feature_score"] = QASpec(
+    QL.q_hash_feature_score,
+    r"""
+    -- hashed-feature weight = (first 8 md5 hex digits as uint32) % 2001 - 1000,
+    -- an exact integer milli-unit on both engines (summation-order-proof)
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+    toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM d
+    ),
+    w AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 268435456
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16777216
+              + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 1048576
+              + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1)) % 2001 - 1000 AS wm
+        FROM toks
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(wm) AS BIGINT) AS sm
+        FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+           CASE WHEN agg.n_tokens IS NULL THEN NULL
+                ELSE printf('%.4f', sm / (1000.0 * agg.n_tokens)) END AS score
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    "custom(hashed-bow-linear-score,fastText-style-quality-classifier-shape)",
+)
+
+REGISTRY["event_type_overlap"] = QASpec(
+    QL.q_event_type_overlap,
+    """
+    WITH du AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    "custom(event-type-audience-overlap,cross-stream-contamination-matrix)",
+)
+
+REGISTRY["contrastive_pairs"] = QASpec(
+    C.q_contrastive_pairs,
+    r"""
+    WITH RECURSIVE """ + _NGRAM_CTES + r""",
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter_t
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 5 >= 1 * (sa.set_size + sb.set_size - inter)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clus AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT cluster_id AS anchor_id, doc_id AS positive_id
+    FROM clus WHERE doc_id <> cluster_id
+    """,
+    "custom(contrastive-pairs,dedup-byproduct-training-positives)",
+)

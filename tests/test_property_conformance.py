@@ -160,6 +160,8 @@ _PROP = dict(
         "mad_outlier_docs", "distinct_ngram_ratio", "incremental_dedup",
         "containment_pairs", "bigram_cond_entropy", "blocklist_filter",
         "corpus_diff", "table_profile", "tokenizer_fertility", "canary_scan",
+        "charset_profile", "markup_leakage", "hash_feature_score",
+        "contrastive_pairs",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -241,6 +243,7 @@ def _run_both_events(name: str, events: pa.Table, tmp_path_factory) -> None:
         "full_outer_join", "correlated_users", "markov_transitions",
         "cohort_retention", "interval_overlap_users", "path_trigrams",
         "user_value_trend", "decayed_user_score", "sliding_distinct_users",
+        "event_type_overlap",
     ],
 )
 def test_query_conformance_on_generated_events(ray_session, tmp_path_factory, name):

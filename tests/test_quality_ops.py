@@ -1,0 +1,170 @@
+"""Unit tests for the quality.py audit operators (charset_profile,
+markup_leakage, hash_feature_score, event_type_overlap) and
+clustering.q_contrastive_pairs: value-level checks on hand-built corpora
+where the expected numbers are computable by eye, plus null/unicode
+handling. SQL parity is covered separately by the conformance suite."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _collect(res) -> pa.Table:
+    import ray
+
+    tabs = [ray.get(r) for r in res.to_arrow_refs()]
+    nonempty = [t for t in tabs if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty, promote_options="permissive")
+    for t in tabs:
+        if t.num_columns:
+            return t
+    return pa.table({})
+
+
+def _docs(tmp_path, texts, sources=None, ids=None):
+    n = len(texts)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids if ids is not None else range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(sources if sources is not None else ["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_charset_profile_values(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_charset_profile
+
+    texts = [
+        "abc 123",          # 0: 7 chars, 0 non-ascii, 3 digits
+        "héllo �",     # 1: 7 chars, 2 non-ascii (é + U+FFFD), 1 FFFD
+        None,               # 2: null text → zero counts, NULL pct
+        "",                 # 3: empty → zero counts, NULL pct
+        "日本語",            # 4: 3 chars, all non-ascii
+    ]
+    d = _docs(tmp_path, texts, ids=[0, 1, None, 3, 4])
+    got = {r["doc_id"]: r for r in _collect(q_charset_profile(d)).to_pylist()}
+    assert set(got) == {0, 1, 3, 4}  # null-id doc skipped
+    assert got[0] == {
+        "doc_id": 0, "n_chars": 7, "n_non_ascii": 0, "n_digits": 3,
+        "n_fffd": 0, "non_ascii_pct": "0.0000",
+    }
+    assert got[1]["n_chars"] == 7 and got[1]["n_non_ascii"] == 2
+    assert got[1]["n_fffd"] == 1 and got[1]["non_ascii_pct"] == "0.2857"
+    assert got[3]["n_chars"] == 0 and got[3]["non_ascii_pct"] is None
+    assert got[4] == {
+        "doc_id": 4, "n_chars": 3, "n_non_ascii": 3, "n_digits": 0,
+        "n_fffd": 0, "non_ascii_pct": "1.0000",
+    }
+
+
+def test_markup_leakage_flags_residue(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_markup_leakage
+
+    texts = [
+        "clean prose here",                 # s0: clean
+        "leak <p>para</p> and &amp; twice &lt;",  # s0: 1 open-tag + 2 entity
+        # hits (the </p> close tag starts '</' and the open-tag alternation
+        # deliberately requires a letter — close tags leak WITH their opens)
+        None,                               # s1: null text → unflagged doc
+        "<div class='x'>block</div>",       # s1: 1 open-tag hit
+    ]
+    d = _docs(tmp_path, texts, sources=["s0", "s0", "s1", "s1"])
+    got = {r["source"]: r for r in _collect(q_markup_leakage(d)).to_pylist()}
+    assert got["s0"]["n_docs"] == 2 and got["s0"]["n_flagged"] == 1
+    assert got["s0"]["n_hits"] == 3 and got["s0"]["flag_pct"] == "0.5000"
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["n_flagged"] == 1
+    assert got["s1"]["n_hits"] == 1
+
+
+def test_markup_leakage_null_source_group(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_markup_leakage
+
+    n = len(texts := ["<b>x</b>", "plain"])
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array([None, None], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    rows = _collect(q_markup_leakage(str(tmp_path))).to_pylist()
+    assert rows == [
+        {"source": None, "n_docs": 2, "n_flagged": 1, "n_hits": 1, "flag_pct": "0.5000"}
+    ]
+
+
+def test_hash_feature_score_matches_local_oracle(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_hash_feature_score
+
+    texts = ["alpha beta alpha", "", None, "gamma"]
+    d = _docs(tmp_path, texts)
+    got = {r["doc_id"]: r for r in _collect(q_hash_feature_score(d)).to_pylist()}
+
+    def w(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    exp0 = "%.4f" % ((2 * w("alpha") + w("beta")) / 3000.0)
+    assert got[0] == {"doc_id": 0, "n_tokens": 3, "score": exp0}
+    assert got[1]["n_tokens"] == 0 and got[1]["score"] is None
+    assert got[2]["n_tokens"] == 0 and got[2]["score"] is None
+    assert got[3]["score"] == "%.4f" % (w("gamma") / 1000.0)
+    # the hash weight is bounded by construction
+    assert all(-1.0 <= float(r["score"]) <= 1.0 for r in got.values() if r["score"])
+
+
+def test_event_type_overlap_counts_distinct_users(ray_session, tmp_path):
+    import datetime as dt
+
+    from metareadability_ray.pipelines.quality import q_event_type_overlap
+
+    # u1: view+click (twice each — distinct once), u2: view only,
+    # u3: view+click+buy, null user / null type rows drop
+    rows = [
+        (1, "view"), (1, "click"), (1, "view"), (1, "click"),
+        (2, "view"),
+        (3, "view"), (3, "click"), (3, "buy"),
+        (None, "view"), (4, None),
+    ]
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([dt.datetime(2026, 1, 1)] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    got = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in _collect(q_event_type_overlap(str(tmp_path))).to_pylist()
+    }
+    assert got == {("click", "view"): 2, ("buy", "click"): 1, ("buy", "view"): 1}
+
+
+def test_contrastive_pairs_star_per_cluster(ray_session, tmp_path):
+    from metareadability_ray.pipelines.clustering import q_contrastive_pairs
+
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    texts = [long, long, long, "totally different text entirely", "another unique one"]
+    d = _docs(tmp_path, texts)
+    pairs = sorted(
+        (r["anchor_id"], r["positive_id"])
+        for r in _collect(q_contrastive_pairs(d)).to_pylist()
+    )
+    # docs 0,1,2 form one cluster anchored at 0 → star (0,1),(0,2);
+    # singletons emit nothing
+    assert pairs == [(0, 1), (0, 2)]
