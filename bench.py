@@ -210,6 +210,10 @@ BENCH_QUERIES = [
     "hash_feature_score",
     "event_type_overlap",
     "contrastive_pairs",
+    "lsh_recall_audit",
+    "ann_recall_audit",
+    "extraction_coverage",
+    "burst_detect",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

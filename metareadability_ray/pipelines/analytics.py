@@ -55,6 +55,7 @@ from metareadability_ray.pipelines.textops import _PAIR_BUCKETS
 from metareadability_ray.util import lookup_ref, lookup_take, with_schema_seed
 
 I64 = pa.int64()
+STR = pa.string()
 F64 = pa.float64()
 
 PMI_MIN_COUNT = 5
@@ -558,4 +559,149 @@ def q_pareto_frontier(sf_dir: str) -> "ray.data.Dataset":
                 ("o_orderdate", pa.timestamp("us")),
             ]
         ),
+    )
+
+
+# --------------------------------------------------- Kleinberg burst detection
+def _viterbi_bursts(counts: np.ndarray, s: float, gamma: float):
+    """Exact 2-state Kleinberg Viterbi over one hourly count series (the
+    batch/enumerated variant of Kleinberg 2002's infinite automaton):
+    state 0 emits at the series' base rate r0 = mean(counts), state 1 at
+    r1 = s·r0; emission cost is the Poisson negative log-likelihood with
+    the state-independent ln(c!) term dropped; entering the burst state
+    costs gamma·ln(T). Returns the optimal state path as a bool array.
+
+    Pure function of (counts, s, gamma): runs inside ONE map_groups task
+    per series, so float order is fixed and results are deterministic on
+    any cluster layout. Ties prefer the non-burst state."""
+    T = len(counts)
+    r0 = float(counts.sum()) / T
+    r1 = s * r0
+    c = counts.astype(np.float64)
+    e0 = -(c * np.log(r0) - r0)
+    e1 = -(c * np.log(r1) - r1)
+    trans = gamma * np.log(T) if T > 1 else 0.0
+    INF = float("inf")
+    cost0, cost1 = e0[0], e1[0] + trans
+    back = np.zeros((T, 2), dtype=np.int8)
+    for t in range(1, T):
+        # into state 0: from 0 (free) or 1 (free); tie → stay
+        c00, c10 = cost0, cost1
+        if c00 <= c10:
+            back[t, 0], new0 = 0, c00 + e0[t]
+        else:
+            back[t, 0], new0 = 1, c10 + e0[t]
+        # into state 1: from 1 (free) or 0 (pay trans); tie → stay in 1
+        c11, c01 = cost1, cost0 + trans
+        if c11 <= c01:
+            back[t, 1], new1 = 1, c11 + e1[t]
+        else:
+            back[t, 1], new1 = 0, c01 + e1[t]
+        cost0, cost1 = new0, new1
+    state = 0 if cost0 <= cost1 else 1
+    path = np.zeros(T, dtype=bool)
+    for t in range(T - 1, -1, -1):
+        path[t] = bool(state)
+        state = back[t, state]
+    return path
+
+
+def q_burst_detect(
+    sf_dir: str, s: float = 2.0, gamma: float = 0.5
+) -> "ray.data.Dataset":
+    """Kleinberg burst detection over per-type hourly event counts — the
+    trending-topic / incident detector of a streaming analytics stack
+    (Kleinberg, KDD 2002): emits one row per maximal burst interval per
+    event_type, with its hour span and event mass.
+
+    Scale shape: hourly counts pre-aggregate per block (one (type, hour,
+    n) row per distinct pair per block) and shuffle ONCE keyed by type;
+    each type's zero-filled series then runs the exact 2-state Viterbi in
+    a single map_groups task — series length is bounded by the time span
+    in hours (~9k/year), never by event count, so a 100 TB events table
+    still hands each task a few-KB array. NULL type/ts rows drop (SQL
+    grouping-key semantics). Rows-only (iterative DP — no SQL twin); the
+    local-oracle replay + planted-burst tests pin values.
+
+    Registered (s=2, gamma=0.5): Kleinberg's canonical gamma=1 finds
+    nothing on the low-rate synthetic stream (~0.3 events/hour/type —
+    the state cost gap never amortizes ln T); gamma=0.5 surfaces the
+    handful of real 2-3× rate excursions the generator produces.
+    Production tunes both per stream, as the paper prescribes."""
+    out_schema = pa.schema(
+        [
+            ("event_type", STR),
+            ("start_ts", pa.timestamp("us")),
+            ("end_ts", pa.timestamp("us")),
+            ("n_hours", I64),
+            ("n_events", I64),
+        ]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column("event_type")), pc.is_valid(batch.column("ts")))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], STR), "hour": pa.array([], I64),
+                 "n": pa.array([], I64)}
+            )
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        types = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((hour, types))
+        tt, hh = types[order], hour[order]
+        newg = np.concatenate(([True], (tt[1:] != tt[:-1]) | (hh[1:] != hh[:-1])))
+        starts = np.flatnonzero(newg)
+        return pa.table(
+            {
+                "event_type": pa.array(tt[starts].astype(object), STR),
+                "hour": pa.array(hh[starts], I64),
+                "n": pa.array(np.diff(np.append(starts, len(tt))).astype(np.int64), I64),
+            }
+        )
+
+    def per_type(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")[0].as_py()
+        hh = group.column("hour").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        # merge cross-block partials for the same hour, zero-fill the span
+        order = np.argsort(hh, kind="stable")
+        hh, nn = hh[order], nn[order]
+        starts = np.flatnonzero(np.concatenate(([True], hh[1:] != hh[:-1])))
+        uh = hh[starts]
+        un = np.add.reduceat(nn, starts)
+        lo, hi = int(uh[0]), int(uh[-1])
+        series = np.zeros(hi - lo + 1, dtype=np.int64)
+        series[uh - lo] = un
+        path = _viterbi_bursts(series, s, gamma)
+        if not path.any():
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        d = np.diff(path.astype(np.int8))
+        run_starts = np.flatnonzero(np.concatenate(([path[0]], d == 1)))
+        run_ends = np.flatnonzero(np.concatenate((d == -1, [path[-1]])))
+        rows_s, rows_e, rows_nh, rows_ne = [], [], [], []
+        for rs, re_ in zip(run_starts, run_ends):
+            rows_s.append((lo + int(rs)) * 3_600_000_000)
+            rows_e.append((lo + int(re_)) * 3_600_000_000)
+            rows_nh.append(int(re_ - rs + 1))
+            rows_ne.append(int(series[rs : re_ + 1].sum()))
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(rows_s), STR),
+                "start_ts": pa.array(rows_s, I64).cast(pa.timestamp("us")),
+                "end_ts": pa.array(rows_e, I64).cast(pa.timestamp("us")),
+                "n_hours": pa.array(rows_nh, I64),
+                "n_events": pa.array(rows_ne, I64),
+            }
+        )
+
+    from metareadability_ray.util import with_schema_seed
+
+    return with_schema_seed(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow"),
+        out_schema,
     )

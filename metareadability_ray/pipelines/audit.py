@@ -387,3 +387,233 @@ def q_embedding_dim_stats(sf_dir: str) -> pa.Table:
             "max_v": pa.array(maxs, STR),
         }
     )
+
+
+# ------------------------------------------------------------ recall audits
+def q_lsh_recall_audit(sf_dir: str) -> pa.Table:
+    """End-to-end candidate-recall audit of the MinHash-LSH dedup path:
+    what fraction of the EXACT near-dup pairs (k-gram Jaccard ≥ 1/5, the
+    dup pipeline's cut) does the banded LSH candidate generation surface?
+    This is the number that decides whether the 100 TB scale path may
+    replace the exact one — the repo pins it with a test today, but a
+    production curation run re-measures it per corpus (shingle-length and
+    dup-profile dependent), so it is an operator, not just a test.
+
+    Output (one row): n_exact, n_candidates, n_hit, recall, precision —
+    `recall` = hit/exact (LSH's end-to-end dedup guarantee), `precision`
+    = hit/candidates (verify-stage work amortization; candidates below
+    the Jaccard cut are not errors, just verify load).
+
+    Scale shape: both pair streams are already distributed (inverted-index
+    / banded shuffles); this audit adds ONE pair-bucketed shuffle of
+    tagged (doc_a, doc_b, side) rows — 17 bytes each — an in-bucket
+    vectorized sorted-merge count, and an O(buckets) driver fold. No pair
+    set ever materializes on the driver."""
+    from metareadability_ray.pipelines.textops import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(sf_dir, k=3, thresh_num=1, thresh_den=5).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    cand = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a")
+            b = batch.column("doc_b")
+            mix = pc.add(pc.multiply(a, pa.scalar(1_000_003, I64)), b)
+            return pa.table(
+                {
+                    "doc_a": a,
+                    "doc_b": b,
+                    "side": pa.array(np.full(batch.num_rows, side, np.int64), I64),
+                    "__b": pc.abs(pc.bit_wise_and(mix, pa.scalar(_BUCKETS - 1, I64))),
+                }
+            )
+
+        return f
+
+    tagged = exact.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        cand.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        a = group.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, b, a))
+        a, b, s = a[order], b[order], s[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(a))
+        has_exact = np.array([(s[st:en] == 0).any() for st, en in zip(starts, ends)])
+        has_cand = np.array([(s[st:en] == 1).any() for st, en in zip(starts, ends)])
+        return pa.table(
+            {
+                "n_exact": pa.array([int(has_exact.sum())], I64),
+                "n_candidates": pa.array([int(has_cand.sum())], I64),
+                "n_hit": pa.array([int((has_exact & has_cand).sum())], I64),
+            }
+        )
+
+    parts = tagged.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+    ne = nc = nh = 0
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        ne += int(pc.sum(t.column("n_exact")).as_py() or 0)
+        nc += int(pc.sum(t.column("n_candidates")).as_py() or 0)
+        nh += int(pc.sum(t.column("n_hit")).as_py() or 0)
+    return pa.table(
+        {
+            "n_exact": pa.array([ne], I64),
+            "n_candidates": pa.array([nc], I64),
+            "n_hit": pa.array([nh], I64),
+            "recall": pa.array(["%.4f" % (nh / ne)] if ne else [None], STR),
+            "precision": pa.array(["%.4f" % (nh / nc)] if nc else [None], STR),
+        }
+    )
+
+
+def q_ann_recall_audit(sf_dir: str) -> pa.Table:
+    """Recall@k audit of the IVF ANN index vs exact brute-force top-k on
+    the SAME queries — the index-quality dashboard number every ANN
+    deployment tracks (recall falls when nprobe is too small for the
+    corpus's cluster geometry; this op is how you notice after a drop).
+
+    Scale shape: both sides are existing distributed ops; result sets are
+    (num_queries × k) rows, so the compare itself is trivially small. The
+    fold groups by query_id and counts neighbor-set intersection — kept
+    as a per-query table (mean recall is derivable; per-query rows show
+    WHICH queries the index fails, the actionable view)."""
+    from metareadability_ray.pipelines.vectors import q_ivf_topk, q_knn_bruteforce
+
+    def side_rows(ds, side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": batch.column("query_id"),
+                    "neighbor_id": batch.column("neighbor_id"),
+                    "side": pa.array(np.full(batch.num_rows, side, np.int64), I64),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    tagged = side_rows(q_knn_bruteforce(sf_dir), 0).union(side_rows(q_ivf_topk(sf_dir), 1))
+
+    def per_query(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nb = group.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        ex = set(nb[s == 0].tolist())
+        ap = set(nb[s == 1].tolist())
+        hit = len(ex & ap)
+        return pa.table(
+            {
+                "query_id": pa.array([qid], I64),
+                "n_exact": pa.array([len(ex)], I64),
+                "n_hit": pa.array([hit], I64),
+                "recall": pa.array(["%.4f" % (hit / len(ex))] if ex else [None], STR),
+            }
+        )
+
+    return tagged.groupby("query_id").map_groups(per_query, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- extraction coverage
+def q_extraction_coverage(sf_dir: str) -> "ray.data.Dataset":
+    """Per-host extraction-field coverage over the flagship pipeline's own
+    output: what fraction of each host's pages yielded a headline /
+    pubdate / authors / main text. THE production dashboard for a
+    metadata-extraction service — coverage is how extraction regressions
+    and hostile template changes actually surface (a host whose pubdate
+    coverage drops 40 points between crawls changed its markup).
+
+    Scale shape: composes the real extraction chain (actor-pool DOM
+    kernel) with a zero-shuffle per-block combiner — one (host, 5
+    counters) partial row per host per block — and a host-cardinality
+    groupby. Page bytes never shuffle; only counter rows do."""
+    from urllib.parse import urlparse
+
+    from metareadability_ray.pipelines.docs2pages import pages_dataset
+    from metareadability_ray.pipelines.flagship import extraction_chain
+    from metareadability_ray.util import auto_actor_concurrency
+
+    ds = extraction_chain(
+        pages_dataset(sf_dir), num_partitions=16, concurrency=auto_actor_concurrency()
+    ).select_columns(["url", "headline", "pubdate", "authors", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "host": pa.array([], STR),
+                    "n_pages": pa.array([], I64),
+                    "n_headline": pa.array([], I64),
+                    "n_pubdate": pa.array([], I64),
+                    "n_authors": pa.array([], I64),
+                    "n_text": pa.array([], I64),
+                }
+            )
+        hosts = np.asarray(
+            [urlparse(u).netloc for u in batch.column("url").to_pylist()], dtype=object
+        )
+        def nz_str(col):
+            return np.asarray(
+                [bool(v) for v in batch.column(col).to_pylist()], dtype=np.int64
+            )
+        h = nz_str("headline")
+        p = nz_str("pubdate")
+        au = np.asarray(
+            [bool(v) for v in batch.column("authors").to_pylist()], dtype=np.int64
+        )
+        tx = nz_str("text")
+        order = np.argsort(hosts, kind="stable")
+        hs = hosts[order]
+        starts = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+        def seg(x):
+            return pa.array(np.add.reduceat(x[order], starts), I64)
+        return pa.table(
+            {
+                "host": pa.array(hs[starts].astype(object), STR),
+                "n_pages": pa.array(
+                    np.diff(np.append(starts, len(hs))).astype(np.int64), I64
+                ),
+                "n_headline": seg(h),
+                "n_pubdate": seg(p),
+                "n_authors": seg(au),
+                "n_text": seg(tx),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        host = group.column("host")[0].as_py()
+        np_, nh, nd, na, nt = (
+            int(pc.sum(group.column(c)).as_py())
+            for c in ["n_pages", "n_headline", "n_pubdate", "n_authors", "n_text"]
+        )
+        return pa.table(
+            {
+                "host": pa.array([host], STR),
+                "n_pages": pa.array([np_], I64),
+                "pct_headline": pa.array(["%.4f" % (nh / np_)], STR),
+                "pct_pubdate": pa.array(["%.4f" % (nd / np_)], STR),
+                "pct_authors": pa.array(["%.4f" % (na / np_)], STR),
+                "pct_text": pa.array(["%.4f" % (nt / np_)], STR),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("host", STR),
+            ("n_pages", I64),
+            ("pct_headline", STR),
+            ("pct_pubdate", STR),
+            ("pct_authors", STR),
+            ("pct_text", STR),
+        ]
+    )
+    return with_schema_seed(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .map_groups(finish, batch_format="pyarrow"),
+        out_schema,
+    )

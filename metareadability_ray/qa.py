@@ -2386,3 +2386,36 @@ REGISTRY["contrastive_pairs"] = QASpec(
     """,
     "custom(contrastive-pairs,dedup-byproduct-training-positives)",
 )
+
+from metareadability_ray.pipelines import audit as AU2  # noqa: E402
+from metareadability_ray.pipelines import analytics as AN3  # noqa: E402
+
+REGISTRY["lsh_recall_audit"] = QASpec(
+    AU2.q_lsh_recall_audit,
+    None,  # composes the exact (SQL-checked) and LSH (probabilistic) pair
+    # streams; the audit numbers are pinned by tests/test_recall_audits.py
+    # (hand-computable corpus + all-candidates-found invariants)
+    "custom(lsh-candidate-recall-audit,scale-path-admission-gate)",
+)
+
+REGISTRY["ann_recall_audit"] = QASpec(
+    AU2.q_ann_recall_audit,
+    None,  # IVF side is probabilistic (nprobe-truncated) — rows-only;
+    # per-query recall values pinned vs brute force in tests
+    "custom(ann-recall-at-k-audit,index-quality-dashboard)",
+)
+
+REGISTRY["extraction_coverage"] = QASpec(
+    AU2.q_extraction_coverage,
+    None,  # composes the flagship DOM-extraction chain (not SQL-expressible);
+    # per-host coverage values pinned by a committed sf0.001 snapshot +
+    # determinism test
+    "MR-X0+custom(per-host-field-coverage,extraction-regression-dashboard)",
+)
+
+REGISTRY["burst_detect"] = QASpec(
+    AN3.q_burst_detect,
+    None,  # iterative 2-state Viterbi DP — no SQL twin; exact local-oracle
+    # replay + planted-burst recovery tests pin values
+    "custom(kleinberg-burst-detection,KDD-2002-2-state-batch-variant)",
+)

@@ -30,6 +30,12 @@ SNAPSHOT_QUERIES = [
     # centroids rounded to 6 dp / covariance to 9 dp before use, so float-sum
     # block-order wobble cannot flip assignments or projections
     "semdedup", "pca_project",
+    # r5 composed audits: deterministic extraction + commutative int sums
+    # (coverage), both pair streams snapshot-deterministic (lsh recall),
+    # snapshot-pinned ANN sides (ann recall), exact int hourly counts into a
+    # single-task DP (bursts)
+    "extraction_coverage", "lsh_recall_audit", "ann_recall_audit",
+    "burst_detect",
 ]
 SF_DIR = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "expected")
@@ -61,8 +67,12 @@ def main() -> None:
 
     os.makedirs(OUT_DIR, exist_ok=True)
     for name in SNAPSHOT_QUERIES:
-        ds = REGISTRY[name].fn(SF_DIR)
-        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        res = REGISTRY[name].fn(SF_DIR)
+        t = (
+            res
+            if isinstance(res, pa.Table)
+            else pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+        )
         t = canonical(t)
         path = os.path.join(OUT_DIR, f"{name}.parquet")
         pq.write_table(t, path)

@@ -21,8 +21,12 @@ EXPECTED_DIR = os.path.join(os.path.dirname(__file__), "expected")
 def test_snapshot_values_match(ray_session, name):
     from metareadability_ray.qa import REGISTRY
 
-    ds = REGISTRY[name].fn(SF_DIR)
-    got = canonical(pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))))
+    res = REGISTRY[name].fn(SF_DIR)
+    got = canonical(
+        res
+        if isinstance(res, pa.Table)
+        else pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+    )
     want = pq.read_table(os.path.join(EXPECTED_DIR, f"{name}.parquet"))
     assert got.num_rows == want.num_rows, f"{name}: row count changed"
     assert got.column_names == want.column_names
