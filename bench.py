@@ -214,6 +214,9 @@ BENCH_QUERIES = [
     "ann_recall_audit",
     "extraction_coverage",
     "burst_detect",
+    "type_token_ratio",
+    "posting_lists",
+    "embedding_coverage",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

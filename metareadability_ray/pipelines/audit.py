@@ -617,3 +617,70 @@ def q_extraction_coverage(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(finish, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# --------------------------------------------------- doc↔embedding coverage
+def q_embedding_coverage(sf_dir: str) -> pa.Table:
+    """Doc↔vector referential-coverage audit: how many documents have an
+    embedding, how many vectors are orphans — the join-health check run
+    BEFORE any ANN / semdedup stage (a silent 20% unembedded slice poisons
+    every downstream similarity number; this is how you notice at load
+    time, not after a bad dedup run). One summary row: n_docs, n_vectors,
+    n_matched, n_docs_unembedded, n_orphan_vectors.
+
+    Scale shape: only (id, side) rows move — one id-bucketed shuffle (the
+    corpus_diff exchange), in-bucket vectorized membership compare, and an
+    O(buckets) driver fold of five counters. NULL ids drop on both engines
+    (SQL join-key semantics); ids are unique per table (both tables'
+    schema contract), so counts are set cardinalities."""
+    docs = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    embs = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id"])
+
+    def tag(col: str, side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(col)
+            b = batch.filter(pc.is_valid(ids))
+            ids = b.column(col)
+            return pa.table(
+                {
+                    "id": ids,
+                    "side": pa.array(np.full(b.num_rows, side, np.int64), I64),
+                    "__b": pc.bit_wise_and(ids, pa.scalar(_BUCKETS - 1, I64)),
+                }
+            )
+
+        return f
+
+    tagged = docs.map_batches(tag("doc_id", 0), batch_format="pyarrow", zero_copy_batch=True).union(
+        embs.map_batches(tag("vec_id", 1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = set(ids[s == 0].tolist())
+        e = set(ids[s == 1].tolist())
+        m = len(d & e)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(d)], I64),
+                "n_vectors": pa.array([len(e)], I64),
+                "n_matched": pa.array([m], I64),
+            }
+        )
+
+    nd = nv = nm = 0
+    parts = tagged.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        nd += int(pc.sum(t.column("n_docs")).as_py() or 0)
+        nv += int(pc.sum(t.column("n_vectors")).as_py() or 0)
+        nm += int(pc.sum(t.column("n_matched")).as_py() or 0)
+    return pa.table(
+        {
+            "n_docs": pa.array([nd], I64),
+            "n_vectors": pa.array([nv], I64),
+            "n_matched": pa.array([nm], I64),
+            "n_docs_unembedded": pa.array([nd - nm], I64),
+            "n_orphan_vectors": pa.array([nv - nm], I64),
+        }
+    )

@@ -344,3 +344,131 @@ def q_event_type_overlap(sf_dir: str) -> "ray.data.Dataset":
         ),
         out_schema,
     )
+
+
+# ------------------------------------------------------- lexical diversity
+def q_type_token_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document type-token ratio (distinct tokens / tokens) — the
+    classic lexical-diversity quality signal (low TTR ⇒ templated or
+    looping text; the smooth cousin of Gopher's repetition rules and the
+    token-level complement of compression_ratio's byte-level view).
+
+    Scale shape: zero shuffle — one ``np.unique`` per doc inside the
+    batch kernel; a document's tokens never leave their block. Per-doc
+    contract: null-id docs skip on both engines; null/empty text keeps
+    its row with 0 counts and NULL ttr (funnel accounting)."""
+    out_schema = pa.schema(
+        [("doc_id", I64), ("n_tokens", I64), ("n_distinct", I64), ("ttr", STR)]
+    )
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("doc_id")))
+        if b.num_rows == 0:
+            return _empty({f.name: f.type for f in out_schema})
+        nt, ndist, ratio = [], [], []
+        for t in b.column("text").to_pylist():
+            toks = re2_tokens(t)
+            n = len(toks)
+            d = len(set(toks))
+            nt.append(n)
+            ndist.append(d)
+            ratio.append(None if n == 0 else "%.4f" % (d / n))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(nt, I64),
+                "n_distinct": pa.array(ndist, I64),
+                "ttr": pa.array(ratio, STR),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(ttr, batch_format="pyarrow", zero_copy_batch=True), out_schema
+    )
+
+
+# --------------------------------------------------------- inverted index
+_PL_BUCKETS = 64
+
+
+def q_posting_lists(sf_dir: str, min_df: int = 2, n_sample: int = 3) -> "ray.data.Dataset":
+    """Inverted-index construction — the core physical structure of every
+    text-retrieval / dedup system (bm25_topk and ngram_jaccard_pairs both
+    build one implicitly; this op materializes it as a TABLE): one row per
+    token with document frequency ≥ ``min_df``, carrying the df and the
+    first ``n_sample`` doc ids of its (sorted) posting list as the
+    debuggable sample a search engineer actually greps.
+
+    Scale shape: per-block combiner collapses each block to DISTINCT
+    (token, doc_id) pairs before anything moves; that deduped stream
+    shuffles ONCE bucketed by token hash, so each reduce task sees
+    complete token groups (exact in-bucket string grouping via lexsort —
+    token-space buckets are disjoint, the source_overlap contract);
+    df < min_df rows are cut in-bucket, before the table ever exists.
+    Posting lists themselves are never materialized beyond the sample —
+    the full list lives implicitly in the sorted pair stream, which at
+    100 TB you would write partitioned by bucket (the shard layout every
+    search index uses). Null-id docs skip on both engines."""
+    from metareadability_ray.functions.scalars import stable_hash64
+
+    out_schema = pa.schema(
+        [("tok", STR), ("df", I64), ("sample_docs", pa.list_(I64))]
+    )
+    nb = _PL_BUCKETS
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, int]] = set()
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if did is None or not t:
+                continue
+            for tok in set(re2_tokens(t)):
+                seen.add((tok, did))
+        if not seen:
+            return _empty({"tok": STR, "doc_id": I64, "__b": I64})
+        toks = np.asarray([p[0] for p in seen], dtype=object)
+        h = stable_hash64(toks)
+        return pa.table(
+            {
+                "tok": pa.array(toks, STR),
+                "doc_id": pa.array([p[1] for p in seen], I64),
+                "__b": pa.array(h % np.int64(nb), I64),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        toks = np.asarray(group.column("tok").to_pylist(), dtype=object)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, toks))
+        toks, ids = toks[order], ids[order]
+        # cross-block re-dedup of (tok, doc_id)
+        keep = np.concatenate(([True], (toks[1:] != toks[:-1]) | (ids[1:] != ids[:-1])))
+        toks, ids = toks[keep], ids[keep]
+        starts = np.flatnonzero(np.concatenate(([True], toks[1:] != toks[:-1])))
+        ends = np.append(starts[1:], len(toks))
+        out_t, out_df, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < min_df:
+                continue
+            out_t.append(toks[s])
+            out_df.append(int(e - s))
+            out_s.append(ids[s : min(e, s + n_sample)].tolist())
+        if not out_t:
+            return _empty({"tok": STR, "df": I64, "sample_docs": pa.list_(I64)})
+        return pa.table(
+            {
+                "tok": pa.array(out_t, STR),
+                "df": pa.array(out_df, I64),
+                "sample_docs": pa.array(out_s, pa.list_(I64)),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        out_schema,
+    )

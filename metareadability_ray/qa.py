@@ -2419,3 +2419,54 @@ REGISTRY["burst_detect"] = QASpec(
     # replay + planted-burst recovery tests pin values
     "custom(kleinberg-burst-detection,KDD-2002-2-state-batch-variant)",
 )
+
+REGISTRY["type_token_ratio"] = QASpec(
+    QL.q_type_token_ratio,
+    r"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+    t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM d),
+    a AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+          FROM t GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           CASE WHEN a.n_tokens IS NULL THEN NULL
+                ELSE printf('%.4f', a.n_distinct / CAST(a.n_tokens AS DOUBLE))
+           END AS ttr
+    FROM d LEFT JOIN a USING (doc_id)
+    """,
+    "custom(type-token-ratio,lexical-diversity-signal)",
+)
+
+REGISTRY["posting_lists"] = QASpec(
+    QL.q_posting_lists,
+    r"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+            FROM documents WHERE doc_id IS NOT NULL
+        )
+    ),
+    a AS (
+        SELECT tok, count(*) AS df,
+               list_slice(list_sort(list(doc_id)), 1, 3) AS sample_docs
+        FROM t GROUP BY tok
+    )
+    SELECT tok, df, sample_docs FROM a WHERE df >= 2
+    """,
+    "custom(inverted-index-build,posting-lists-with-df-cut)",
+)
+
+REGISTRY["embedding_coverage"] = QASpec(
+    AU2.q_embedding_coverage,
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+         e AS (SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL),
+         m AS (SELECT count(*) AS c FROM d JOIN e ON doc_id = vec_id)
+    SELECT (SELECT count(*) FROM d) AS n_docs,
+           (SELECT count(*) FROM e) AS n_vectors,
+           (SELECT c FROM m) AS n_matched,
+           (SELECT count(*) FROM d) - (SELECT c FROM m) AS n_docs_unembedded,
+           (SELECT count(*) FROM e) - (SELECT c FROM m) AS n_orphan_vectors
+    """,
+    "custom(doc-embedding-referential-coverage,join-health-audit)",
+)

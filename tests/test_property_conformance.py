@@ -161,7 +161,7 @@ _PROP = dict(
         "containment_pairs", "bigram_cond_entropy", "blocklist_filter",
         "corpus_diff", "table_profile", "tokenizer_fertility", "canary_scan",
         "charset_profile", "markup_leakage", "hash_feature_score",
-        "contrastive_pairs",
+        "contrastive_pairs", "type_token_ratio", "posting_lists",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):
@@ -577,6 +577,16 @@ def test_query_conformance_on_generated_embeddings(ray_session, tmp_path_factory
     @given(embeddings_table())
     def inner(emb):
         _run_both_emb(name, emb, None, tmp_path_factory)
+
+    inner()
+
+
+def test_embedding_coverage_conformance_on_generated(ray_session, tmp_path_factory):
+    @settings(max_examples=_N_EX, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+    @given(embeddings_table(), documents_table())
+    def inner(emb, docs):
+        _run_both_emb("embedding_coverage", emb, docs, tmp_path_factory)
 
     inner()
 

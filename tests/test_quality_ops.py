@@ -168,3 +168,48 @@ def test_contrastive_pairs_star_per_cluster(ray_session, tmp_path):
     # docs 0,1,2 form one cluster anchored at 0 → star (0,1),(0,2);
     # singletons emit nothing
     assert pairs == [(0, 1), (0, 2)]
+
+
+def test_type_token_ratio_values(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_type_token_ratio
+
+    d = _docs(tmp_path, ["a b a b a", None, "x y z"])
+    got = {r["doc_id"]: r for r in _collect(q_type_token_ratio(d)).to_pylist()}
+    assert got[0] == {"doc_id": 0, "n_tokens": 5, "n_distinct": 2, "ttr": "0.4000"}
+    assert got[1]["n_tokens"] == 0 and got[1]["ttr"] is None
+    assert got[2]["ttr"] == "1.0000"
+
+
+def test_posting_lists_df_cut_and_sample(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_posting_lists
+
+    d = _docs(
+        tmp_path,
+        ["common rare1 common", "common", "common rare2", None],
+        ids=[0, 1, 2, None],
+    )
+    rows = {r["tok"]: r for r in _collect(q_posting_lists(d)).to_pylist()}
+    # 'common' appears in docs 0,1,2 (df 3 ≥ 2); rare tokens are cut;
+    # the null-id doc contributes nothing
+    assert set(rows) == {"common"}
+    assert rows["common"]["df"] == 3
+    assert rows["common"]["sample_docs"] == [0, 1, 2]
+
+
+def test_embedding_coverage_counts(ray_session, tmp_path):
+    from metareadability_ray.pipelines.audit import q_embedding_coverage
+
+    _docs(tmp_path, ["a", "b", "c"], ids=[0, 1, 2])
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 9], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 3, pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    got = q_embedding_coverage(str(tmp_path)).to_pylist()[0]
+    assert got == {
+        "n_docs": 3, "n_vectors": 3, "n_matched": 2,
+        "n_docs_unembedded": 1, "n_orphan_vectors": 1,
+    }
