@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "type_token_ratio",
     "posting_lists",
     "embedding_coverage",
+    "html_curation_run",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -1016,3 +1016,170 @@ def q_compression_ratio(sf_dir: str, level: int = 6) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- end-to-end HTML curation run
+def html_curation_run(
+    sf_dir: str,
+    out_dir: str | None = None,
+    num_shards: int = 8,
+    min_words: int = 5,
+) -> pa.Table:
+    """THE end-to-end pipeline this engine exists for, composed from its
+    own stages: Common-Crawl-style HTML pages → flagship DOM extraction
+    (headline / pubdate / authors / main text, actor-pool kernel) →
+    hygiene gates on the EXTRACTED text (word-count floor + zero raw-markup
+    residue — the quality.py checks applied where they belong, post-strip)
+    → exact main-text dedup (smallest-url-wins) → hive-sharded Parquet
+    export. Returns the stage-accounting table (stage, n_removed,
+    n_remaining) — the "where did my crawl go" answer, now starting from
+    HTML bytes instead of a pre-extracted documents table.
+
+    Scale shape, stage by stage: extraction is the streaming actor-pool
+    chain (page bytes move exactly once, read → actor); the extracted
+    corpus is materialized ONCE (text-sized, the standard persisted
+    intermediate of a curation run — at 100 TB this is a Parquet write and
+    re-read, same lineage cut) and every later stage is a cheap vectorized
+    pass over it; the gates are zero-shuffle Arrow kernels; dedup ships
+    only (text-hash, url) rows through one hash-bucketed shuffle and
+    broadcasts the LOSER url set (bounded by dup count; the distributed
+    twin buckets on url-hash with in-bucket exact compare, the
+    scalable_anti_join contract); the export pays one keyed shuffle so
+    every shard directory gets few fat files (hive sink). Counts are
+    ``ds.count()`` / metadata reads — the driver never holds rows."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from metareadability_ray.functions.scalars import stable_hash64
+    from metareadability_ray.pipelines.docs2pages import pages_dataset
+    from metareadability_ray.pipelines.flagship import extraction_chain
+    from metareadability_ray.pipelines.quality import _MARKUP_PAT
+    from metareadability_ray.sources.hive import export_hive_partitioned
+    from metareadability_ray.util import auto_actor_concurrency
+
+    n_pages = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    extracted = (
+        extraction_chain(
+            pages_dataset(sf_dir), num_partitions=16, concurrency=auto_actor_concurrency()
+        )
+        .select_columns(["url", "headline", "pubdate", "authors", "text"])
+        .materialize()
+    )
+
+    # stage 1: extractable — the DOM scorer found a main-content container
+    def extractable(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(pc.fill_null(batch.column("text"), ""), ""))
+
+    s1 = extracted.map_batches(
+        extractable, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n1 = s1.count()
+
+    # stage 2: hygiene gates on the EXTRACTED text — word-count floor and
+    # zero markup residue (a page whose "main text" still contains tags is
+    # an extraction casualty, not content)
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        words = pc.count_substring_regex(text, r"\S+")
+        markup = pc.count_substring_regex(text, _MARKUP_PAT)
+        ok = pc.and_(
+            pc.greater_equal(words, pa.scalar(min_words)),
+            pc.equal(markup, pa.scalar(0)),
+        )
+        return batch.filter(ok)
+
+    s2 = s1.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n2 = s2.count()
+
+    # stage 3: exact main-text dedup, smallest-url-wins — only (hash, url)
+    # rows shuffle; loser URLs broadcast back as an anti mask
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        h = stable_hash64(texts)
+        return pa.table(
+            {
+                "h": pa.array(h, I64),
+                "url": batch.column("url"),
+                "__b": pa.array(h % np.int64(64), I64),
+            }
+        )
+
+    def losers_in_bucket(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = np.asarray(group.column("url").to_pylist(), dtype=object)
+        order = np.lexsort((urls, h))
+        h, urls = h[order], urls[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        keep_first = np.zeros(len(h), dtype=bool)
+        keep_first[starts] = True
+        lose = urls[~keep_first]
+        return pa.table({"url": pa.array(lose, STR)})
+
+    loser_parts = (
+        s2.map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(losers_in_bucket, batch_format="pyarrow")
+    )
+    loser_urls: set[str] = set()
+    for t in loser_parts.iter_batches(batch_format="pyarrow"):
+        loser_urls.update(t.column("url").to_pylist())
+    losers_ref = ray.put(pa.array(sorted(loser_urls), STR))
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        bad = ray.get(losers_ref) if not isinstance(losers_ref, pa.Array) else losers_ref
+        if len(bad) == 0:
+            return batch
+        return batch.filter(pc.invert(pc.is_in(batch.column("url"), value_set=bad)))
+
+    s3 = s2.map_batches(drop_losers, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n3 = s3.count()
+
+    # stage 4: hive-sharded export — shard = url-hash % num_shards
+    if out_dir is None:
+        out_dir = "/tmp/mr_curation_run_%s" % _hl.md5(
+            os.path.abspath(sf_dir).encode()
+        ).hexdigest()[:8]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+        sh = (stable_hash64(urls) % np.int64(num_shards)).astype(np.int64)
+        # authors is list<string>; hive writer wants flat columns → join
+        auth = pa.array(
+            ["; ".join(a) if a else "" for a in batch.column("authors").to_pylist()], STR
+        )
+        out = batch.drop_columns(["authors"]).append_column("authors", auth)
+        return out.append_column("shard", pa.array([str(x) for x in sh], STR))
+
+    if n3 > 0:
+        export_hive_partitioned(
+            s3.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True),
+            out_dir,
+            col="shard",
+        )
+    else:
+        # nothing survived (legal on adversarial corpora): an empty export
+        # dir, not a crash — the accounting table is still the answer
+        os.makedirs(out_dir, exist_ok=True)
+
+    stages = [
+        ("pages", 0, n_pages),
+        ("extractable", n_pages - n1, n1),
+        ("quality_gate", n1 - n2, n2),
+        ("exact_dedup", n2 - n3, n3),
+    ]
+    return pa.table(
+        {
+            "stage": pa.array([s for s, _, _ in stages], STR),
+            "n_removed": pa.array([r for _, r, _ in stages], I64),
+            "n_remaining": pa.array([n for _, _, n in stages], I64),
+        }
+    )
+
+
+def q_html_curation_run(sf_dir: str) -> pa.Table:
+    return html_curation_run(sf_dir)

@@ -2470,3 +2470,12 @@ REGISTRY["embedding_coverage"] = QASpec(
     """,
     "custom(doc-embedding-referential-coverage,join-health-audit)",
 )
+
+REGISTRY["html_curation_run"] = QASpec(
+    CU.q_html_curation_run,
+    None,  # composes the flagship DOM extraction (not SQL-expressible) with
+    # hygiene gates, exact-text dedup and a hive-sharded export; the
+    # accounting table is snapshot-pinned and every gate is exercised by
+    # planted-junk unit tests (tests/test_quality_ops.py)
+    "MR-X0+custom(end-to-end-curation-run,html→extract→gate→dedup→export)",
+)

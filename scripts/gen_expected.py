@@ -36,6 +36,9 @@ SNAPSHOT_QUERIES = [
     # single-task DP (bursts)
     "extraction_coverage", "lsh_recall_audit", "ann_recall_audit",
     "burst_detect",
+    # end-to-end curation-run accounting: deterministic extraction, exact
+    # counts, hash dedup on deterministic text
+    "html_curation_run",
 ]
 SF_DIR = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "expected")

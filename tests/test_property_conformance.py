@@ -631,6 +631,7 @@ _ROWS_ONLY_DOCS = [
     "media_features", "media_frame_sample", "pdf_layout_spans", "extract_pages",
     "anchor_text_index", "url_pagerank", "url_hits", "distinct_ngram_hll",
     "compression_ratio", "lsh_recall_audit", "extraction_coverage",
+    "html_curation_run",
 ]
 _ROWS_ONLY_EVENTS = ["hll_distinct_users", "similar_users_sketch", "burst_detect"]
 _ROWS_ONLY_EMB = ["lsh_bucket_stats", "lsh_neardup_pairs", "semdedup", "quantize_int8", "pca_project", "ivf_topk", "pq_topk", "mmr_select", "kmeanspp_sample", "ann_recall_audit"]

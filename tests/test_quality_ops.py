@@ -213,3 +213,48 @@ def test_embedding_coverage_counts(ray_session, tmp_path):
         "n_docs": 3, "n_vectors": 3, "n_matched": 2,
         "n_docs_unembedded": 1, "n_orphan_vectors": 1,
     }
+
+
+def test_html_curation_run_gates_and_export(ray_session, tmp_path):
+    from metareadability_ray.pipelines.curation import html_curation_run
+
+    long = (
+        "spark data engine stream batch shuffle partition arrow parquet "
+        "vector window agg sort merge join filter scan table row column"
+    )
+    dup = long + " unique one"
+    texts = [
+        # ids 0,1,4 share one text; the deterministic page templates render
+        # id 0 WITH a headline line in the main container and ids 1,4
+        # body-only (verified against the docs2pages seed), so exact-text
+        # dedup removes exactly one of {1,4} and keeps 0 as distinct
+        dup,
+        dup,
+        # 2: < 5 words but enough chars to clear the content scorer -
+        # dies at the WORD floor, not at extraction
+        "internationalization anthropomorphization compartmentalization institutionalization",
+        # 3: planted markup - the EXTRACTOR strips it (that is the point of
+        # the pipeline), so this doc passes the residue gate with tag-free
+        # text; the gate exists for extraction casualties, asserted below
+        long + " markup <b>bold</b> residue",
+        dup,
+    ]
+    d = _docs(tmp_path, texts)
+    out = str(tmp_path / "export")
+    acct = {r["stage"]: r for r in html_curation_run(d, out_dir=out).to_pylist()}
+    assert acct["pages"]["n_remaining"] == 5
+    assert acct["extractable"]["n_remaining"] == 5
+    assert acct["quality_gate"]["n_removed"] == 1   # the 4-word doc
+    assert acct["exact_dedup"]["n_removed"] == 1    # one of the body-only twins
+    assert acct["exact_dedup"]["n_remaining"] == 3
+
+    import pyarrow.dataset as pds
+
+    ds = pds.dataset(out, partitioning="hive")
+    assert ds.count_rows() == 3
+    texts_out = ds.to_table(columns=["text"]).column("text").to_pylist()
+    # extraction stripped the planted tags before the gate ever saw them
+    assert any("markup bold residue" in t for t in texts_out)
+    assert not any("<b>" in t for t in texts_out)
+    assert sum(t == dup for t in texts_out) == 1          # twins deduped
+    assert sum(t.endswith(" unique one") for t in texts_out) == 2  # + headline variant
