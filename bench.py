@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "posting_lists",
     "embedding_coverage",
     "html_curation_run",
+    "ngram_novelty",
+    "vocab_growth",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

@@ -472,3 +472,250 @@ def q_posting_lists(sf_dir: str, min_df: int = 2, n_sample: int = 3) -> "ray.dat
         .map_groups(per_bucket, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# ------------------------------------------------------------ shingle novelty
+def q_ngram_novelty(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document shingle novelty: the fraction of a doc's DISTINCT
+    3-gram shingles whose FIRST corpus occurrence (min doc_id — the stable
+    tie-proof ownership rule) is this document. The incremental-information
+    curve of a crawl in doc order (Lee et al. 2022's novelty measurement):
+    near-1 docs bring new text, near-0 docs restate the corpus — the
+    smooth, leak-proof complement of the pairwise dup cut, sharing its
+    exact shingle definition (textops._shingles) so the two views cannot
+    drift.
+
+    Scale shape: per-block kernel emits each doc's DISTINCT (shingle,
+    doc_id) pairs PLUS one local (doc_id, n_shingles) total row (a doc
+    lives in one block, so totals never need a merge); only the deduped
+    vocabulary stream shuffles, bucketed by shingle hash — per bucket, one
+    lexsort finds each shingle's min-doc owner and counts owned shingles
+    per doc (each shingle credits exactly one doc); novel partials and
+    totals union into a doc-cardinality groupby. Null-id docs skip both
+    engines (ownership needs an id); empty docs keep their row with 0/0
+    and NULL novelty."""
+    from metareadability_ray.functions.scalars import stable_hash64
+    from metareadability_ray.pipelines.textops import _shingles
+
+    out_schema = pa.schema(
+        [("doc_id", I64), ("n_shingles", I64), ("n_novel", I64), ("novelty", STR)]
+    )
+    nb = _PL_BUCKETS
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def vocab_pairs(batch: pa.Table) -> pa.Table:
+        sh_s: list[str] = []
+        sh_d: list[int] = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if did is None:
+                continue
+            for s in _shingles(re2_tokens(t), 3):
+                sh_s.append(s)
+                sh_d.append(did)
+        if not sh_s:
+            return _empty({"shingle": STR, "doc_id": I64, "__b": I64})
+        arr = np.asarray(sh_s, dtype=object)
+        return pa.table(
+            {
+                "shingle": pa.array(arr, STR),
+                "doc_id": pa.array(sh_d, I64),
+                "__b": pa.array(stable_hash64(arr) % np.int64(nb), I64),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if did is None:
+                continue
+            ids.append(did)
+            ns.append(len(_shingles(re2_tokens(t), 3)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, I64),
+                "n_shingles": pa.array(ns, I64),
+                "n_novel": pa.array([0] * len(ids), I64),
+            }
+        )
+
+    def owners_per_bucket(group: pa.Table) -> pa.Table:
+        sh = np.asarray(group.column("shingle").to_pylist(), dtype=object)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+        owners = ids[starts]  # min doc_id per shingle (sorted within group)
+        own_sorted = np.sort(owners)
+        s2 = np.flatnonzero(np.concatenate(([True], own_sorted[1:] != own_sorted[:-1])))
+        return pa.table(
+            {
+                "doc_id": pa.array(own_sorted[s2], I64),
+                "n_shingles": pa.array([0] * len(s2), I64),
+                "n_novel": pa.array(
+                    np.diff(np.append(s2, len(own_sorted))).astype(np.int64), I64
+                ),
+            }
+        )
+
+    novel = (
+        ds.map_batches(vocab_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(owners_per_bucket, batch_format="pyarrow")
+    )
+    both = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True).union(novel)
+
+    def finish(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id")[0].as_py()
+        ns = int(pc.sum(group.column("n_shingles")).as_py() or 0)
+        nv = int(pc.sum(group.column("n_novel")).as_py() or 0)
+        return pa.table(
+            {
+                "doc_id": pa.array([did], I64),
+                "n_shingles": pa.array([ns], I64),
+                "n_novel": pa.array([nv], I64),
+                "novelty": pa.array([None if ns == 0 else "%.4f" % (nv / ns)], STR),
+            }
+        )
+
+    return with_schema_seed(
+        both.groupby("doc_id").map_groups(finish, batch_format="pyarrow"), out_schema
+    )
+
+
+# ------------------------------------------------------------- vocab growth
+def q_vocab_growth(sf_dir: str, n_buckets: int = 10) -> pa.Table:
+    """Vocabulary-growth (Heaps-law) curve: new distinct tokens and
+    cumulative vocabulary per doc-id decile — the tokenizer-budget /
+    corpus-saturation audit (a flattening curve says more crawl adds no
+    new vocabulary; a linear one says the tokenizer's OOV long tail is
+    still growing). Buckets are equal-WIDTH id ranges in exact integer
+    math (``(id-min)*K // (max-min+1)``, identical on both engines — no
+    global rank sort, which is what ntile would cost at 10^12 docs).
+
+    Scale shape: min/max ids fold from per-block partials; each token's
+    first-occurrence owner computes in the same token-hash-bucketed
+    shuffle the posting-list build uses (per-block (token, local-min-id)
+    combiner rows only — one row per distinct token per block); per bucket
+    the owners collapse to ``n_buckets`` counter rows and the driver folds
+    K integers plus one cumulative sum. Null-id docs skip on both engines
+    (ownership needs an id)."""
+    from metareadability_ray.functions.scalars import stable_hash64
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    # pass 0: id range (two ints) from per-block partials
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        ids = batch.filter(pc.is_valid(ids)).column("doc_id")
+        if len(ids) == 0:
+            return _empty({"mn": I64, "mx": I64})
+        return pa.table(
+            {
+                "mn": pa.array([pc.min(ids).as_py()], I64),
+                "mx": pa.array([pc.max(ids).as_py()], I64),
+            }
+        )
+
+    mn = mx = None
+    for t in ds.map_batches(
+        mm_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            bmn = pc.min(t.column("mn")).as_py()
+            bmx = pc.max(t.column("mx")).as_py()
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+    if mn is None:  # no addressable docs at all
+        return pa.table(
+            {
+                "bucket": pa.array([], I64),
+                "n_new_tokens": pa.array([], I64),
+                "cum_vocab": pa.array([], I64),
+            }
+        )
+    span = mx - mn + 1
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        local_min: dict[str, int] = {}
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if did is None or not t:
+                continue
+            for tok in re2_tokens(t):
+                prev = local_min.get(tok)
+                if prev is None or did < prev:
+                    local_min[tok] = did
+        if not local_min:
+            return _empty({"tok": STR, "owner": I64, "__b": I64})
+        toks = np.asarray(list(local_min.keys()), dtype=object)
+        return pa.table(
+            {
+                "tok": pa.array(toks, STR),
+                "owner": pa.array(list(local_min.values()), I64),
+                "__b": pa.array(stable_hash64(toks) % np.int64(_PL_BUCKETS), I64),
+            }
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        toks = np.asarray(group.column("tok").to_pylist(), dtype=object)
+        owners = group.column("owner").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((owners, toks))
+        toks, owners = toks[order], owners[order]
+        starts = np.flatnonzero(np.concatenate(([True], toks[1:] != toks[:-1])))
+        own = owners[starts]  # global min owner per token (sorted run head)
+        dec = np.minimum(n_buckets - 1, (own - mn) * n_buckets // span)
+        cnt = np.bincount(dec, minlength=n_buckets)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(n_buckets, dtype=np.int64), I64),
+                "n_new": pa.array(cnt.astype(np.int64), I64),
+            }
+        )
+
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    parts = (
+        ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+    )
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        n = t.column("n_new").to_numpy(zero_copy_only=False)
+        np.add.at(counts, b, n)
+    # SQL twin emits only buckets that CONTAIN docs (DISTINCT bucket over
+    # the doc table) — an id range with no docs has no row. Distinct
+    # buckets fold DISTRIBUTED: one ≤n_buckets-row partial per block, the
+    # driver merges tiny sets (never a doc-id column).
+    def block_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.filter(pc.is_valid(batch.column("doc_id"))).column("doc_id")
+        if len(ids) == 0:
+            return _empty({"bucket": I64})
+        arr = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = np.unique(np.minimum(n_buckets - 1, (arr - mn) * n_buckets // span))
+        return pa.table({"bucket": pa.array(dec, I64)})
+
+    doc_bucket_set: set[int] = set()
+    for t in ds.map_batches(
+        block_buckets, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        doc_bucket_set.update(int(x) for x in t.column("bucket").to_pylist())
+    doc_buckets = sorted(doc_bucket_set)
+    cum = 0
+    rows_b, rows_n, rows_c = [], [], []
+    for b in doc_buckets:
+        cum += int(counts[b])
+        rows_b.append(b)
+        rows_n.append(int(counts[b]))
+        rows_c.append(cum)
+    return pa.table(
+        {
+            "bucket": pa.array(rows_b, I64),
+            "n_new_tokens": pa.array(rows_n, I64),
+            "cum_vocab": pa.array(rows_c, I64),
+        }
+    )

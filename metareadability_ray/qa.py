@@ -2479,3 +2479,62 @@ REGISTRY["html_curation_run"] = QASpec(
     # planted-junk unit tests (tests/test_quality_ops.py)
     "MR-X0+custom(end-to-end-curation-run,html→extract→gate→dedup→export)",
 )
+
+REGISTRY["ngram_novelty"] = QASpec(
+    QL.q_ngram_novelty,
+    r"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM d
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN length(t) = 0 THEN []
+                    WHEN length(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, length(t) - 2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               END AS shingles
+        FROM toks
+    ), ds AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+    ), own AS (
+        SELECT shingle, min(doc_id) AS owner FROM ds GROUP BY shingle
+    ), per AS (
+        SELECT ds.doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN own.owner = ds.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM ds JOIN own USING (shingle) GROUP BY ds.doc_id
+    )
+    SELECT d.doc_id, coalesce(per.n_shingles, 0) AS n_shingles,
+           coalesce(per.n_novel, 0) AS n_novel,
+           CASE WHEN per.n_shingles IS NULL THEN NULL
+                ELSE printf('%.4f', per.n_novel / CAST(per.n_shingles AS DOUBLE))
+           END AS novelty
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+    "custom(shingle-novelty,first-occurrence-ownership,Lee-2022-novelty-curve)",
+)
+
+REGISTRY["vocab_growth"] = QASpec(
+    QL.q_vocab_growth,
+    r"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+    mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),
+    bk AS (
+        SELECT doc_id,
+               least(9, (doc_id - mn) * 10 // (mx - mn + 1)) AS bucket
+        FROM d, mm
+    ),
+    toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM d),
+    own AS (SELECT tok, min(doc_id) AS owner FROM toks GROUP BY tok),
+    nb AS (
+        SELECT bk.bucket, count(*) AS n_new
+        FROM own JOIN bk ON own.owner = bk.doc_id GROUP BY bk.bucket
+    )
+    SELECT b.bucket, coalesce(nb.n_new, 0) AS n_new_tokens,
+           CAST(sum(coalesce(nb.n_new, 0)) OVER (ORDER BY b.bucket) AS BIGINT)
+               AS cum_vocab
+    FROM (SELECT DISTINCT bucket FROM bk) b LEFT JOIN nb USING (bucket)
+    """,
+    "custom(heaps-law-vocab-growth,per-id-decile-saturation-audit)",
+)

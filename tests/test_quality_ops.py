@@ -258,3 +258,34 @@ def test_html_curation_run_gates_and_export(ray_session, tmp_path):
     assert not any("<b>" in t for t in texts_out)
     assert sum(t == dup for t in texts_out) == 1          # twins deduped
     assert sum(t.endswith(" unique one") for t in texts_out) == 2  # + headline variant
+
+
+def test_ngram_novelty_ownership(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_ngram_novelty
+
+    texts = [
+        "a b c d",        # 0: shingles {abc, bcd} — both novel (first doc)
+        "a b c d",        # 1: same shingles, owned by 0 → novelty 0
+        "a b c x",        # 2: {abc(owned by 0), bcx(novel)} → 0.5
+        "",               # 3: empty → 0 shingles, NULL novelty
+    ]
+    d = _docs(tmp_path, texts)
+    got = {r["doc_id"]: r for r in _collect(q_ngram_novelty(d)).to_pylist()}
+    assert got[0] == {"doc_id": 0, "n_shingles": 2, "n_novel": 2, "novelty": "1.0000"}
+    assert got[1] == {"doc_id": 1, "n_shingles": 2, "n_novel": 0, "novelty": "0.0000"}
+    assert got[2] == {"doc_id": 2, "n_shingles": 2, "n_novel": 1, "novelty": "0.5000"}
+    assert got[3]["n_shingles"] == 0 and got[3]["novelty"] is None
+
+
+def test_vocab_growth_deciles(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_vocab_growth
+
+    # ids 0..9 → one per decile; each doc introduces its own token plus
+    # the shared token 'x' (owned by doc 0)
+    texts = ["t%d x" % i for i in range(10)]
+    d = _docs(tmp_path, texts)
+    rows = {r["bucket"]: r for r in q_vocab_growth(d).to_pylist()}
+    assert len(rows) == 10
+    assert rows[0]["n_new_tokens"] == 2          # t0 + x
+    assert all(rows[b]["n_new_tokens"] == 1 for b in range(1, 10))
+    assert rows[9]["cum_vocab"] == 11            # 10 unique + shared x
