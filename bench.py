@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "html_curation_run",
     "ngram_novelty",
     "vocab_growth",
+    "mix_diversity",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

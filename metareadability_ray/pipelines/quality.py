@@ -719,3 +719,73 @@ def q_vocab_growth(sf_dir: str, n_buckets: int = 10) -> pa.Table:
             "cum_vocab": pa.array(rows_c, I64),
         }
     )
+
+
+# ------------------------------------------------------------ mix diversity
+def q_mix_diversity(sf_dir: str) -> pa.Table:
+    """One-row source-concentration audit of the corpus mix: source count,
+    Shannon entropy (bits), effective source count (2^H — "how many equal
+    sources is this mix worth"), and the Gini coefficient of the share
+    distribution. The number a data-mixing review opens with: a 0.9-Gini
+    corpus is one crawl wearing twenty source labels.
+
+    Scale shape: per-block (source, n) combiner rows → one
+    source-cardinality groupby → the driver folds |sources| counters and
+    computes four scalars. Gini uses the sorted-by-(n, source) rank form
+    with a FIXED deterministic order on both engines; entropy terms sum
+    over ≤ |sources| values with %.4f absorbing ulps (the token_entropy
+    contract). NULL-source docs are excluded (share of WHAT source?)."""
+    import math
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("source")))
+        if b.num_rows == 0:
+            return _empty({"source": STR, "n": I64})
+        srcs = np.asarray(b.column("source").to_pylist(), dtype=object)
+        order = np.argsort(srcs, kind="stable")
+        ss = srcs[order]
+        starts = np.flatnonzero(np.concatenate(([True], ss[1:] != ss[:-1])))
+        return pa.table(
+            {
+                "source": pa.array(ss[starts].astype(object), STR),
+                "n": pa.array(np.diff(np.append(starts, len(ss))).astype(np.int64), I64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts: list[tuple[str, int]] = []
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        counts.extend(zip(t.column("source").to_pylist(), t.column("n").to_pylist()))
+    if not counts:
+        return pa.table(
+            {
+                "n_sources": pa.array([0], I64),
+                "entropy_bits": pa.array([None], STR),
+                "effective_sources": pa.array([None], STR),
+                "gini": pa.array([None], STR),
+            }
+        )
+    counts.sort(key=lambda p: (p[1], p[0]))  # the twin's ORDER BY (n, source)
+    k = len(counts)
+    tot = sum(n for _, n in counts)
+    # + 0.0 normalizes IEEE negative zero (a one-source corpus yields -0.0
+    # entropy; the twin applies the same normalization)
+    ent = -sum((n / tot) * math.log2(n / tot) for _, n in counts) + 0.0
+    gini = (
+        sum((2 * (i + 1) - k - 1) * n for i, (_, n) in enumerate(counts)) / (k * tot)
+        + 0.0
+    )
+    return pa.table(
+        {
+            "n_sources": pa.array([k], I64),
+            "entropy_bits": pa.array(["%.4f" % ent], STR),
+            "effective_sources": pa.array(["%.4f" % (2.0**ent)], STR),
+            "gini": pa.array(["%.4f" % gini], STR),
+        }
+    )

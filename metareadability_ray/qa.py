@@ -2538,3 +2538,27 @@ REGISTRY["vocab_growth"] = QASpec(
     """,
     "custom(heaps-law-vocab-growth,per-id-decile-saturation-audit)",
 )
+
+REGISTRY["mix_diversity"] = QASpec(
+    QL.q_mix_diversity,
+    r"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE source IS NOT NULL GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS k FROM c),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n, source) AS rn FROM c
+    )
+    SELECT (SELECT k FROM tot) AS n_sources,
+           printf('%.4f', (SELECT sum(-(n / CAST(t AS DOUBLE))
+                               * log2(n / CAST(t AS DOUBLE))) FROM c, tot) + 0.0)
+               AS entropy_bits,
+           printf('%.4f', pow(2.0, (SELECT sum(-(n / CAST(t AS DOUBLE))
+                               * log2(n / CAST(t AS DOUBLE))) FROM c, tot)))
+               AS effective_sources,
+           printf('%.4f', (SELECT sum((2 * rn - k - 1) * n) FROM r, tot)
+                          / CAST((SELECT k * t FROM tot) AS DOUBLE) + 0.0) AS gini
+    """,
+    "custom(mix-diversity,entropy-effective-sources-gini-concentration)",
+)

@@ -289,3 +289,32 @@ def test_vocab_growth_deciles(ray_session, tmp_path):
     assert rows[0]["n_new_tokens"] == 2          # t0 + x
     assert all(rows[b]["n_new_tokens"] == 1 for b in range(1, 10))
     assert rows[9]["cum_vocab"] == 11            # 10 unique + shared x
+
+
+def test_mix_diversity_uniform_vs_skewed(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_mix_diversity
+
+    # uniform 4-source mix: H = 2 bits, effective 4, gini 0
+    d = _docs(tmp_path, ["t"] * 8, sources=["a", "b", "c", "d"] * 2)
+    got = q_mix_diversity(d).to_pylist()[0]
+    assert got == {
+        "n_sources": 4, "entropy_bits": "2.0000",
+        "effective_sources": "4.0000", "gini": "0.0000",
+    }
+
+
+def test_mix_diversity_skew_and_nulls(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_mix_diversity
+
+    # 9-vs-1 split (null sources excluded): H = -(0.9 lg 0.9 + 0.1 lg 0.1)
+    srcs = ["big"] * 9 + ["small"] + [None] * 3
+    d = _docs(tmp_path, ["t"] * 13, sources=srcs)
+    got = q_mix_diversity(d).to_pylist()[0]
+    import math
+
+    h = -(0.9 * math.log2(0.9) + 0.1 * math.log2(0.1))
+    assert got["n_sources"] == 2
+    assert got["entropy_bits"] == "%.4f" % h
+    # sorted asc: small(1), big(9); k=2, tot=10 →
+    # ((2*1-3)*1 + (2*2-3)*9) / (2*10) = 8/20
+    assert got["gini"] == "0.4000"
