@@ -36,6 +36,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -75,11 +76,19 @@ def _batch_shingle_hashes(batch: pa.Table, n: int = _NGRAM_N) -> tuple[np.ndarra
 
 def _docs_side(sf_dir: str, bench_mod: int, benchmark: bool) -> "ray.data.Dataset":
     """documents split into benchmark / training halves by doc_id modulus
-    (vectorized batch filter — Ray's filter(expr=...) can't parse ``%``)."""
+    (vectorized batch filter — Ray's filter(expr=...) can't parse ``%``).
+
+    Null-id docs belong to NEITHER side: SQL's ``doc_id % 10 = 0`` /
+    ``<> 0`` are both unknown on NULL, so the twins drop the row from the
+    bench AND train halves. The kernel used to leak them into the TRAIN
+    side (null → NaN under numpy modulo, and ``NaN != 0`` is True) and
+    then crash the int64 doc_id emit when such a doc actually shared an
+    8-gram — found by the null-doc_id conformance generator (r5)."""
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = batch.filter(pc.is_valid(batch.column("doc_id")))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         mask = (ids % bench_mod == 0) if benchmark else (ids % bench_mod != 0)
-        return batch.filter(pa.array(mask))
+        return b.filter(pa.array(mask))
 
     return ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True

@@ -218,3 +218,36 @@ def test_lm_perplexity_rare_tokens_score_higher(ray_session, tmp_path):
     out = _collect(q_lm_perplexity(str(tmp_path))).sort_by("doc_id")
     bits = [float(b) for b in out.column("bits_per_token").to_pylist()]
     assert bits[-1] > bits[0], "rare-token doc must score more bits/token"
+
+
+def test_decontaminate_null_doc_id_drops_both_sides(ray_session, tmp_path):
+    """Null-id docs belong to NEITHER the benchmark nor the training half:
+    SQL's doc_id % 10 = 0 / <> 0 are both unknown on NULL. The kernel used
+    to leak them into the TRAIN side (null → NaN under numpy modulo, NaN !=
+    0 is True) and crash the int64 doc_id emit when the doc shared an
+    8-gram with the benchmark — the r5 full-registry conformance soak's
+    falsifying example, pinned here because .hypothesis/ is not committed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from metareadability_ray.pipelines.training_prep import q_decontaminate
+
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, None], pa.int64()),
+            "text": pa.array([long, long, long], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s0"] * 3, pa.string()),
+            "n_chars": pa.array([len(long)] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    res = q_decontaminate(str(tmp_path))
+    tabs = [ray.get(r) for r in res.to_arrow_refs()]
+    rows = [r for t in tabs for r in t.to_pylist()]
+    # doc 0 is benchmark; doc 1 is contaminated train (3 shared 8-grams);
+    # the null-id doc appears NOWHERE despite sharing every 8-gram
+    assert rows == [{"doc_id": 1, "n_hits": 3}]
