@@ -1045,7 +1045,15 @@ def q_doc_embedding_join(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+    from metareadability_ray.util import with_schema_seed
+
+    # schema seed: when EVERY join key is null (reduce_side_attach drops
+    # null keys per SQL inner-join semantics) the result is 0 rows and must
+    # still carry its three columns — r5 soak find on an all-null-id corpus
+    return with_schema_seed(
+        agg.map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("lang", pa.string()), ("n_docs", pa.int64()), ("sum_norm_sq", pa.string())]),
+    )
 
 
 # ------------------------------------------------- int8 vector quantization

@@ -102,7 +102,13 @@ class MediaDecodeActor:
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
     """documents → fake media table (deterministic: payload = utf-8 text bytes,
-    type cycles by doc_id). Used by tests/QA — real data arrives as Parquet."""
+    type cycles by doc_id). Used by tests/QA — real data arrives as Parquet.
+
+    Null-id docs are skipped (a media row is keyed by its id — the r5
+    null-doc_id contract; ``None % 3`` crashed the type cycle before)."""
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.is_valid(batch.column("doc_id")))
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     types = ["image", "audio", "video"]

@@ -318,3 +318,43 @@ def test_mix_diversity_skew_and_nulls(ray_session, tmp_path):
     # sorted asc: small(1), big(9); k=2, tot=10 →
     # ((2*1-3)*1 + (2*2-3)*9) / (2*10) = 8/20
     assert got["gini"] == "0.4000"
+
+
+def test_media_synth_and_join_null_doc_id(ray_session, tmp_path):
+    """r5 full-registry soak finds, pinned because .hypothesis/ is not
+    committed: (a) synth_media_batch crashed on a null-id doc (None % 3 in
+    the type cycle) — null-id docs now skip per the per-doc contract;
+    (b) doc_embedding_join lost its SCHEMA when every join key was null
+    (reduce_side_attach drops null keys per SQL inner-join semantics, so
+    the result is legitimately 0 rows — but it must keep its columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from metareadability_ray.pipelines.vectors import q_doc_embedding_join
+    from metareadability_ray.stages.multimodal import media_features
+
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    d = _docs(tmp_path, [long, long], ids=[0, None])
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0, 0.25]] * 2, pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+
+    media = _collect(media_features(str(tmp_path)))
+    assert media.num_rows == 1  # the null-id doc emits no media row
+
+    # all-null-id docs: the join is 0 rows but keeps its 3 columns
+    import os
+
+    os.makedirs(str(tmp_path / "sub"), exist_ok=True)
+    _docs(tmp_path / "sub", [long], ids=[None])
+    pq.write_table(emb, str(tmp_path / "sub" / "embeddings.parquet"))
+    res = _collect(q_doc_embedding_join(str(tmp_path / "sub")))
+    assert res.num_rows == 0
+    assert set(res.column_names) == {"lang", "n_docs", "sum_norm_sq"}
