@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "vocab_growth",
     "mix_diversity",
+    "length_ks_drift",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

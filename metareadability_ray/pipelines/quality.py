@@ -789,3 +789,90 @@ def q_mix_diversity(sf_dir: str) -> pa.Table:
             "gini": pa.array(["%.4f" % gini], STR),
         }
     )
+
+
+# ---------------------------------------------------------------- KS drift
+def q_length_ks_drift(sf_dir: str) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov statistic between the doc-length
+    distributions of the corpus's two LARGEST sources (deterministic
+    count-desc, name-asc pick) — the distribution-drift alarm of a
+    multi-source mix ("source B's length profile no longer looks like
+    source A's" — template change, truncation bug, or scraper drift).
+    One row: source_a, source_b, n_a, n_b, ks (max CDF gap, %.4f), or a
+    NULL row when fewer than two sources exist.
+
+    Scale shape: per-block (source, length, count) combiner rows → one
+    (source, length)-keyed groupby (cardinality = sources × distinct
+    lengths, never docs) → the driver folds two histograms (bounded by
+    distinct lengths), sorts once, and takes the max gap of two exact
+    rational CDFs. NULL-source docs are excluded; NULL lengths count at
+    position 0 on both engines (coalesce — n_chars is never null in the
+    schema but adversarial tables may differ)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("source")))
+        if b.num_rows == 0:
+            return _empty({"source": STR, "len": I64, "n": I64})
+        srcs = np.asarray(b.column("source").to_pylist(), dtype=object)
+        lens = (
+            pc.fill_null(b.column("n_chars"), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.lexsort((lens, srcs))
+        ss, ll = srcs[order], lens[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (ss[1:] != ss[:-1]) | (ll[1:] != ll[:-1])))
+        )
+        return pa.table(
+            {
+                "source": pa.array(ss[starts].astype(object), STR),
+                "len": pa.array(ll[starts], I64),
+                "n": pa.array(np.diff(np.append(starts, len(ss))).astype(np.int64), I64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "len"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hists: dict[str, dict[int, int]] = {}
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        for s, l, n in zip(
+            t.column("source").to_pylist(), t.column("len").to_pylist(), t.column("n").to_pylist()
+        ):
+            hists.setdefault(s, {})[int(l)] = hists.setdefault(s, {}).get(int(l), 0) + int(n)
+    out_null = pa.table(
+        {
+            "source_a": pa.array([None], STR),
+            "source_b": pa.array([None], STR),
+            "n_a": pa.array([None], I64),
+            "n_b": pa.array([None], I64),
+            "ks": pa.array([None], STR),
+        }
+    )
+    if len(hists) < 2:
+        return out_null
+    totals = sorted(
+        ((sum(h.values()), s) for s, h in hists.items()), key=lambda p: (-p[0], p[1])
+    )
+    (na, sa), (nb, sb) = totals[0], totals[1]
+    ha, hb = hists[sa], hists[sb]
+    vals = sorted(set(ha) | set(hb))
+    ca = cb = 0
+    ks = 0.0
+    for v in vals:
+        ca += ha.get(v, 0)
+        cb += hb.get(v, 0)
+        gap = abs(ca / na - cb / nb)
+        if gap > ks:
+            ks = gap
+    return pa.table(
+        {
+            "source_a": pa.array([sa], STR),
+            "source_b": pa.array([sb], STR),
+            "n_a": pa.array([na], I64),
+            "n_b": pa.array([nb], I64),
+            "ks": pa.array(["%.4f" % ks], STR),
+        }
+    )

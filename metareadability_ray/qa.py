@@ -2562,3 +2562,42 @@ REGISTRY["mix_diversity"] = QASpec(
     """,
     "custom(mix-diversity,entropy-effective-sources-gini-concentration)",
 )
+
+REGISTRY["length_ks_drift"] = QASpec(
+    QL.q_length_ks_drift,
+    r"""
+    WITH d AS (
+        SELECT source, coalesce(n_chars, 0) AS len
+        FROM documents WHERE source IS NOT NULL
+    ),
+    cnt AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+    top2 AS (
+        SELECT source, n, row_number() OVER (ORDER BY n DESC, source) AS rn
+        FROM cnt QUALIFY rn <= 2
+    ),
+    a AS (SELECT len FROM d JOIN top2 USING (source) WHERE rn = 1),
+    b AS (SELECT len FROM d JOIN top2 USING (source) WHERE rn = 2),
+    v AS (
+        SELECT DISTINCT len
+        FROM (SELECT len FROM a UNION ALL SELECT len FROM b)
+    ),
+    gaps AS (
+        SELECT abs(
+            (SELECT count(*) FROM a WHERE a.len <= v.len)
+                / CAST((SELECT count(*) FROM a) AS DOUBLE)
+          - (SELECT count(*) FROM b WHERE b.len <= v.len)
+                / CAST((SELECT count(*) FROM b) AS DOUBLE)
+        ) AS gap FROM v
+    )
+    SELECT
+      CASE WHEN (SELECT count(*) FROM top2) < 2 THEN NULL
+           ELSE (SELECT source FROM top2 WHERE rn = 1) END AS source_a,
+      (SELECT source FROM top2 WHERE rn = 2) AS source_b,
+      CASE WHEN (SELECT count(*) FROM top2) < 2 THEN NULL
+           ELSE (SELECT n FROM top2 WHERE rn = 1) END AS n_a,
+      (SELECT n FROM top2 WHERE rn = 2) AS n_b,
+      CASE WHEN (SELECT count(*) FROM top2) < 2 THEN NULL
+           ELSE printf('%.4f', (SELECT max(gap) FROM gaps)) END AS ks
+    """,
+    "custom(two-sample-KS-drift,top-2-source-length-distributions)",
+)

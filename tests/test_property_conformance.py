@@ -162,7 +162,7 @@ _PROP = dict(
         "corpus_diff", "table_profile", "tokenizer_fertility", "canary_scan",
         "charset_profile", "markup_leakage", "hash_feature_score",
         "contrastive_pairs", "type_token_ratio", "posting_lists",
-        "ngram_novelty", "vocab_growth", "mix_diversity",
+        "ngram_novelty", "vocab_growth", "mix_diversity", "length_ks_drift",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):

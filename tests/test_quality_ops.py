@@ -358,3 +358,23 @@ def test_media_synth_and_join_null_doc_id(ray_session, tmp_path):
     res = _collect(q_doc_embedding_join(str(tmp_path / "sub")))
     assert res.num_rows == 0
     assert set(res.column_names) == {"lang", "n_docs", "sum_norm_sq"}
+
+
+def test_length_ks_drift_known_distributions(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_length_ks_drift
+
+    # source a: lengths {1,2,3,4}; source b: lengths {3,4,5,6} → KS = 0.5
+    # (CDF gap at len 2: 2/4 vs 0/4); a third tiny source is ignored
+    texts = ["x" * n for n in [1, 2, 3, 4, 3, 4, 5, 6, 9]]
+    srcs = ["a"] * 4 + ["b"] * 4 + ["c"]
+    d = _docs(tmp_path, texts, sources=srcs)
+    got = q_length_ks_drift(d).to_pylist()[0]
+    assert got == {"source_a": "a", "source_b": "b", "n_a": 4, "n_b": 4, "ks": "0.5000"}
+
+
+def test_length_ks_drift_single_source_null_row(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_length_ks_drift
+
+    d = _docs(tmp_path, ["xx", "yyy"], sources=["only", "only"])
+    got = q_length_ks_drift(d).to_pylist()[0]
+    assert got == {"source_a": None, "source_b": None, "n_a": None, "n_b": None, "ks": None}
