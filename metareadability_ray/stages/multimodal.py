@@ -15,7 +15,6 @@ vectors) are what flows downstream.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pyarrow as pa
