@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "vocab_growth",
     "mix_diversity",
     "length_ks_drift",
+    "dup_rate_by_source",
     # Composed curation chain — dup_clusters first so its cluster-table memo
     # amortizes into the two downstream consumers.
     "dup_clusters",

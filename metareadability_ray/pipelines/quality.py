@@ -876,3 +876,88 @@ def q_length_ks_drift(sf_dir: str) -> pa.Table:
             "ks": pa.array(["%.4f" % ks], STR),
         }
     )
+
+
+# --------------------------------------------------------- dup provenance
+def q_dup_rate_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source exact-duplicate exposure: how many of each source's docs
+    share their EXACT text with ≥1 other doc anywhere in the corpus — the
+    provenance slice of exact dedup ("which feed is mirroring content").
+    A doc counts as dup-exposed wherever its copies live, so two sources
+    mirroring each other both show the exposure (the actionable view; the
+    keeper/loser split is a separate policy choice downstream).
+
+    Scale shape: per-block (text-hash64, source) rows shuffle once bucketed
+    by hash — all copies of a text land in one bucket, so group sizes are
+    exact in-bucket (the 64-bit content hash partitions distinct texts
+    exactly as the twin's md5 does — both sides group by an injective-in-
+    practice content key, and only group SIZES cross engines); each bucket collapses to (source, n_docs, n_dup)
+    partials and a source-cardinality groupby sums them. Null-text docs
+    are excluded on both engines (md5(NULL) joins nothing); NULL source
+    is its own group via the sentinel."""
+    from metareadability_ray.functions.scalars import stable_hash64
+
+    out_schema = pa.schema(
+        [("source", STR), ("n_docs", I64), ("n_dup_docs", I64), ("dup_pct", STR)]
+    )
+    nb = _PL_BUCKETS
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("text")))
+        if b.num_rows == 0:
+            return _empty({"h": I64, "__src": STR, "__b": I64})
+        texts = np.asarray(b.column("text").to_pylist(), dtype=object)
+        h = stable_hash64(texts)
+        srcs = np.asarray(
+            [_NULL_KEY if s is None else s for s in b.column("source").to_pylist()],
+            dtype=object,
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, I64),
+                "__src": pa.array(srcs, STR),
+                "__b": pa.array(h % np.int64(nb), I64),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = np.asarray(group.column("__src").to_pylist(), dtype=object)
+        order = np.lexsort((srcs, h))
+        h, srcs = h[order], srcs[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        sizes = np.diff(np.append(starts, len(h)))
+        is_dup = np.repeat(sizes > 1, sizes)
+        sorder = np.argsort(srcs, kind="stable")
+        ss, dd = srcs[sorder], is_dup[sorder]
+        s2 = np.flatnonzero(np.concatenate(([True], ss[1:] != ss[:-1])))
+        return pa.table(
+            {
+                "__src": pa.array(ss[s2].astype(object), STR),
+                "n_docs": pa.array(np.diff(np.append(s2, len(ss))).astype(np.int64), I64),
+                "n_dup_docs": pa.array(np.add.reduceat(dd, s2).astype(np.int64), I64),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        src = group.column("__src")[0].as_py()
+        nd = int(pc.sum(group.column("n_docs")).as_py())
+        du = int(pc.sum(group.column("n_dup_docs")).as_py())
+        return pa.table(
+            {
+                "source": pa.array([None if src == _NULL_KEY else src], STR),
+                "n_docs": pa.array([nd], I64),
+                "n_dup_docs": pa.array([du], I64),
+                "dup_pct": pa.array(["%.4f" % (du / nd)], STR),
+            }
+        )
+
+    return with_schema_seed(
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("__src")
+        .map_groups(finish, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -2601,3 +2601,19 @@ REGISTRY["length_ks_drift"] = QASpec(
     """,
     "custom(two-sample-KS-drift,top-2-source-length-distributions)",
 )
+
+REGISTRY["dup_rate_by_source"] = QASpec(
+    QL.q_dup_rate_by_source,
+    r"""
+    WITH d AS (
+        SELECT source, md5(text) AS h FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (SELECT h, count(*) AS n FROM d GROUP BY h)
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           printf('%.4f', sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END)
+                          / CAST(count(*) AS DOUBLE)) AS dup_pct
+    FROM d JOIN g USING (h) GROUP BY d.source
+    """,
+    "custom(per-source-exact-dup-exposure,provenance-slice-of-exact-dedup)",
+)

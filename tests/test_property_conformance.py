@@ -163,6 +163,7 @@ _PROP = dict(
         "charset_profile", "markup_leakage", "hash_feature_score",
         "contrastive_pairs", "type_token_ratio", "posting_lists",
         "ngram_novelty", "vocab_growth", "mix_diversity", "length_ks_drift",
+        "dup_rate_by_source",
     ],
 )
 def test_query_conformance_on_generated_documents(ray_session, tmp_path_factory, name):

@@ -378,3 +378,20 @@ def test_length_ks_drift_single_source_null_row(ray_session, tmp_path):
     d = _docs(tmp_path, ["xx", "yyy"], sources=["only", "only"])
     got = q_length_ks_drift(d).to_pylist()[0]
     assert got == {"source_a": None, "source_b": None, "n_a": None, "n_b": None, "ks": None}
+
+
+def test_dup_rate_by_source_cross_source_exposure(ray_session, tmp_path):
+    from metareadability_ray.pipelines.quality import q_dup_rate_by_source
+
+    # 'mirror' copies a doc from 'orig' → BOTH sources show the exposure;
+    # null-text doc is excluded entirely
+    texts = ["same text here", "same text here", "unique one", None]
+    srcs = ["orig", "mirror", "orig", "orig"]
+    d = _docs(tmp_path, texts, sources=srcs)
+    got = {r["source"]: r for r in _collect(q_dup_rate_by_source(d)).to_pylist()}
+    assert got["orig"] == {
+        "source": "orig", "n_docs": 2, "n_dup_docs": 1, "dup_pct": "0.5000",
+    }
+    assert got["mirror"] == {
+        "source": "mirror", "n_docs": 1, "n_dup_docs": 1, "dup_pct": "1.0000",
+    }
